@@ -1,0 +1,46 @@
+"""Frozen configuration threaded through jit-compiled paths.
+
+The reference's de-facto config is the 5-kwarg signature repeated on every
+function (``pytv/tv_operators_CPU.py:76``, ``pytv/tv_CPU.py:47``; SURVEY.md
+section 5 "Config / flag system").  Here it is one hashable dataclass so the
+whole solver step can be staged under ``jax.jit`` with the config static.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+from .schemes import SCHEMES
+
+
+@dataclasses.dataclass(frozen=True)
+class TVConfig:
+    """Static TV-operator configuration.
+
+    scheme            : one of 'upwind', 'downwind', 'central', 'hybrid'
+    reg_z_over_reg    : z-direction regularization ratio; z channels dropped
+                        when <= 0 or Nz == 1 (``tv_operators_CPU.py:111``)
+    reg_time          : time regularization ratio (mu); time channels are
+                        opt-in via reg_time > 0 (``tv_operators_CPU.py:113``)
+    factor_reg_static : extra sqrt-factor applied to time channels under the
+                        static mask (``tv_operators_CPU.py:148-151``)
+    """
+
+    scheme: str = "hybrid"
+    reg_z_over_reg: float = 1.0
+    reg_time: float = 0.0
+    factor_reg_static: float = 0.0
+
+    def __post_init__(self):
+        if self.scheme not in SCHEMES:
+            raise ValueError(
+                f"unknown scheme {self.scheme!r}; expected one of {SCHEMES}"
+            )
+
+    def kwargs(self) -> dict:
+        """Reference-style kwargs dict for the functional operator API."""
+        return dict(
+            reg_z_over_reg=self.reg_z_over_reg,
+            reg_time=self.reg_time,
+            factor_reg_static=self.factor_reg_static,
+        )

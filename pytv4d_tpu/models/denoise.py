@@ -1,0 +1,90 @@
+"""Denoising model front-ends over the solver layer.
+
+Covers the reference's worked examples (``README.md:95-158``,
+``examples/a_getting_started.ipynb``) as library API, plus the
+``denoise_tv_chambolle`` scikit-image-compatible entry point the reference
+lists as a to-do (``README.md:260``).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TVConfig
+from ..solvers.admm import admm
+from ..solvers.cp import chambolle_pock
+from ..solvers.gd import subgradient_descent
+
+
+def add_noise(img, noise_level: float = 100.0, seed: int = 0) -> np.ndarray:
+    """The README's noise recipe (``README.md:112-115``):
+    ``img + noise_level * U[0,1)`` with ``np.random.seed(seed)``."""
+    np.random.seed(seed)
+    img = np.asarray(img, dtype=np.float64)
+    return img + noise_level * np.random.rand(*img.shape)
+
+
+def _to_volume(image):
+    image = jnp.asarray(image)
+    if image.ndim == 2:
+        return image[None, None], 2
+    if image.ndim == 3:  # z-stack
+        return image[:, None], 3
+    if image.ndim == 4:
+        return image, 4
+    raise ValueError(f"expected 2D/3D/4D image, got shape {image.shape}")
+
+
+def _from_volume(x, ndim):
+    if ndim == 2:
+        return x[0, 0]
+    if ndim == 3:
+        return x[:, 0]
+    return x
+
+
+@dataclasses.dataclass(frozen=True)
+class TVDenoiser:
+    """TV denoising model: minimize ``1/2 ||x - x0||^2 + reg * TV(x)``.
+
+    One object, three solvers (``README.md:107-158``'s GD and CP recipes plus
+    ADMM).  Accepts 2D ``(N, N)``, 3D ``(Nz, N, N)`` or 4D ``(Nz, M, N, N)``
+    inputs and returns the same rank.
+    """
+
+    reg: float = 25.0
+    cfg: TVConfig = TVConfig()
+
+    def gd(self, noisy, n_iter: int = 300, step_size: float = 5e-3, **kw):
+        x, ndim = _to_volume(noisy)
+        res = subgradient_descent(
+            x, n_iter=n_iter, reg=self.reg, step_size=step_size, cfg=self.cfg, **kw
+        )
+        return res._replace(x=_from_volume(res.x, ndim))
+
+    def cp(self, noisy, n_iter: int = 300, **kw):
+        x, ndim = _to_volume(noisy)
+        res = chambolle_pock(x, n_iter=n_iter, reg=self.reg, cfg=self.cfg, **kw)
+        return res._replace(x=_from_volume(res.x, ndim))
+
+    def admm(self, noisy, n_iter: int = 100, **kw):
+        x, ndim = _to_volume(noisy)
+        res = admm(x, n_iter=n_iter, reg=self.reg, cfg=self.cfg, **kw)
+        return res._replace(x=_from_volume(res.x, ndim))
+
+
+def denoise_tv_chambolle(
+    image,
+    weight: float = 0.1,
+    max_num_iter: int = 200,
+    scheme: str = "hybrid",
+):
+    """scikit-image-compatible TV denoising (the reference's to-do item,
+    ``README.md:260``): minimizes ``1/2 ||x - x0||^2 + weight * TV(x)`` with
+    the Chambolle-Pock solver and returns a numpy array of the input rank."""
+    model = TVDenoiser(reg=weight, cfg=TVConfig(scheme=scheme))
+    res = model.cp(image, n_iter=max_num_iter)
+    return np.asarray(res.x)

@@ -1,0 +1,257 @@
+"""TV gradient operators D / D_T and the L2,1 norm — backend-agnostic core.
+
+One implementation, generated from the declarative stencil tables in
+``core/schemes.py``, replaces the reference's 18 hand-unrolled operator
+functions (``pytv/tv_operators_CPU.py:45-658``, ``pytv/tv_operators_GPU.py``).
+The array module is pluggable (``xp`` = ``jax.numpy`` or ``numpy``):
+
+- ``xp=jax.numpy`` (default): jit-able, differentiable, TPU-shardable.  All
+  code is pads/slices/elementwise only — no scatter ops — so XLA's SPMD
+  partitioner can split it over a device mesh with automatic halo exchange.
+- ``xp=numpy``: bit-exact float64 reference-parity path (used by the compat
+  modules and the golden tests; reproduces ``README.md:91``'s
+  532166.8251801673 to the last ulp).
+
+Semantics matched to the reference (SURVEY.md section 2.2):
+
+- input layout ``(Nz, M, N_row, N_col)``; D output ``(Nz, Nd, M, N_row, N_col)``
+  (``pytv/tv_operators_CPU.py:97``).  Non-square images are supported (the
+  reference's own to-do, ``README.md:259``).
+- one-sided zero boundary convention (``tv_operators_CPU.py:115-127``).
+- z/t channels pre-scaled by sqrt(reg) in both D and D_T
+  (``tv_operators_CPU.py:133,143,419``).
+- static-mask factor on time channels: applied to channel values in D
+  (``tv_operators_CPU.py:148-151``) and to the accumulated time update after
+  the scatter in D_T (``tv_operators_CPU.py:430-446``) — exactly as the
+  reference orders it.
+- scheme normalizations: hybrid 1/sqrt(2), central 1/2
+  (``tv_operators_CPU.py:154,358,448,658``).
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+
+import jax.numpy as jnp
+
+from ..core.schemes import (
+    BWD,
+    CTR,
+    FWD,
+    Channel,
+    channel_weight,
+    scheme_channels,
+)
+
+__all__ = [
+    "compute_L21_norm",
+    "D",
+    "D_T",
+    "D_upwind",
+    "D_downwind",
+    "D_central",
+    "D_hybrid",
+    "D_T_upwind",
+    "D_T_downwind",
+    "D_T_central",
+    "D_T_hybrid",
+]
+
+
+def mask_enabled(mask_static) -> bool:
+    """The reference's "disabled" sentinel is any bool (``tv_operators_CPU.py:148``:
+    ``isinstance(mask_static, bool)``); we additionally accept None and []."""
+    if mask_static is None or isinstance(mask_static, bool):
+        return False
+    if isinstance(mask_static, (list, tuple)) and len(mask_static) == 0:
+        return False
+    return True
+
+
+def check_volume(img, ndim: int = 4, what: str = "img"):
+    """All operator entry points require the canonical rank — the reference
+    silently assumes it and crashes confusingly otherwise (its GPU docstrings
+    even claim 2D/3D input works, SURVEY.md section 2.4.7).  2D/3D images are
+    handled by ``models.TVDenoiser`` / ``utils.as_volume``."""
+    if img.ndim != ndim:
+        expect = "(Nz, M, N_row, N_col)" if ndim == 4 else "(Nz, Nd, M, N_row, N_col)"
+        raise ValueError(
+            f"{what} must be rank {ndim} with layout {expect}, got shape "
+            f"{tuple(img.shape)}; wrap 2D/3D images with utils.as_volume or "
+            f"use models.TVDenoiser which accepts 2D/3D/4D"
+        )
+
+
+def _sl(ndim: int, axis: int, a, b):
+    s = [slice(None)] * ndim
+    s[axis] = slice(a, b)
+    return tuple(s)
+
+
+def _pad(xp, arr, axis: int, before: int, after: int):
+    pads = [(0, 0)] * arr.ndim
+    pads[axis] = (before, after)
+    return xp.pad(arr, pads)
+
+
+def d_channel(xp, img, axis: int, kind: str):
+    """One unweighted difference channel with the zero-slot boundary convention.
+
+    FWD: d[i] = f[i+1]-f[i] at slots [0, L-2]   (``tv_operators_CPU.py:265``)
+    BWD: d[i] = f[i]-f[i-1] at slots [1, L-1]   (``tv_operators_CPU.py:199``)
+    CTR: d[i] = f[i+1]-f[i-1] at slots [1, L-2] (``tv_operators_CPU.py:331``)
+    """
+    nd = img.ndim
+    if kind == CTR:
+        d = img[_sl(nd, axis, 2, None)] - img[_sl(nd, axis, None, -2)]
+        return _pad(xp, d, axis, 1, 1)
+    d = img[_sl(nd, axis, 1, None)] - img[_sl(nd, axis, None, -1)]
+    if kind == FWD:
+        return _pad(xp, d, axis, 0, 1)
+    return _pad(xp, d, axis, 1, 0)
+
+
+def dt_channel(xp, y, axis: int, kind: str):
+    """Exact adjoint scatter of one channel.
+
+    Reads only the channel's valid slots (the reference ignores values parked
+    in zero slots, e.g. ``tv_operators_CPU.py:555-556`` reads ``img[:,0,:,:-1,:]``)
+    and scatter-adds with opposite signs:
+
+    FWD: out[i+1] += y[i], out[i]   -= y[i]  for i in [0, L-2]
+    BWD: out[i]   += y[i], out[i-1] -= y[i]  for i in [1, L-1]
+    CTR: out[i+1] += y[i], out[i-1] -= y[i]  for i in [1, L-2]
+
+    Expressed as pads (no scatter primitive) so XLA shards it automatically.
+    """
+    nd = y.ndim
+    if kind == FWD:
+        t = y[_sl(nd, axis, None, -1)]
+        return _pad(xp, t, axis, 1, 0) - _pad(xp, t, axis, 0, 1)
+    if kind == BWD:
+        t = y[_sl(nd, axis, 1, None)]
+        return _pad(xp, t, axis, 1, 0) - _pad(xp, t, axis, 0, 1)
+    t = y[_sl(nd, axis, 1, -1)]
+    return _pad(xp, t, axis, 2, 0) - _pad(xp, t, axis, 0, 2)
+
+
+def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):
+    """L2,1 norm of a difference image: sum_i sqrt(sum_j D[i,j]^2).
+
+    Mirrors ``pytv/tv_operators_CPU.py:45-74``: square, sum over the channel
+    axis (axis 1), sqrt, global sum; optionally also returns the
+    ``(Nz, M, N_row, N_col)`` array of per-pixel L2 norms.
+    """
+    out = xp.square(D_img)
+    out = xp.sum(out, axis=1)
+    out = xp.sqrt(out)
+    l21 = xp.sum(out)
+    if return_array:
+        return l21, out
+    return l21
+
+
+def D(
+    img,
+    scheme: str = "hybrid",
+    reg_z_over_reg: float = 1.0,
+    reg_time: float = 0.0,
+    mask_static=False,
+    factor_reg_static: float = 0.0,
+    *,
+    xp=jnp,
+):
+    """Discrete gradient operator; output ``(Nz, Nd, M, N_row, N_col)``.
+
+    Parity: ``pytv/tv_operators_CPU.py:76-358`` (all four ``D_<scheme>``).
+    """
+    check_volume(img)
+    Nz, M = img.shape[0], img.shape[1]
+    chans, norm = scheme_channels(scheme, Nz, M, reg_z_over_reg, reg_time)
+    use_mask = mask_enabled(mask_static)
+    sqrt_factor = math.sqrt(factor_reg_static) if use_mask else 1.0
+
+    outs = []
+    for ch in chans:
+        d = d_channel(xp, img, ch.axis, ch.kind)
+        w = channel_weight(ch, reg_z_over_reg, reg_time)
+        if w != 1.0:
+            d = d * w
+        if use_mask and ch.weight == "t":
+            d = xp.where(mask_static, d * sqrt_factor, d)
+        outs.append(d)
+    D_img = xp.stack(outs, axis=1)
+    if norm != 1.0:
+        D_img = D_img * norm
+    return D_img
+
+
+def D_T(
+    D_img,
+    scheme: str = "hybrid",
+    reg_z_over_reg: float = 1.0,
+    reg_time: float = 0.0,
+    mask_static=False,
+    factor_reg_static: float = 0.0,
+    *,
+    xp=jnp,
+):
+    """Exact transpose of :func:`D`; output ``(Nz, M, N_row, N_col)``.
+
+    Parity: ``pytv/tv_operators_CPU.py:360-658`` (all four ``D_T_<scheme>``).
+    The static-mask factor is applied to the *accumulated time update* after
+    the scatter, exactly as the reference does (``tv_operators_CPU.py:430-446``).
+    """
+    check_volume(D_img, 5, "D_img")
+    Nz, M = D_img.shape[0], D_img.shape[2]
+    chans, norm = scheme_channels(scheme, Nz, M, reg_z_over_reg, reg_time)
+    if D_img.shape[1] != len(chans):
+        raise ValueError(
+            f"D_img has {D_img.shape[1]} channels but scheme {scheme!r} with "
+            f"Nz={Nz}, M={M}, reg_z_over_reg={reg_z_over_reg}, "
+            f"reg_time={reg_time} expects {len(chans)}"
+        )
+    use_mask = mask_enabled(mask_static)
+    sqrt_factor = math.sqrt(factor_reg_static) if use_mask else 1.0
+
+    out = None
+    out_time = None
+    for i, ch in enumerate(chans):
+        y = D_img[:, i]
+        w = channel_weight(ch, reg_z_over_reg, reg_time)
+        if w != 1.0:
+            y = y * w
+        contrib = dt_channel(xp, y, ch.axis, ch.kind)
+        if use_mask and ch.weight == "t":
+            out_time = contrib if out_time is None else out_time + contrib
+        else:
+            out = contrib if out is None else out + contrib
+    if out is None:
+        out = xp.zeros(
+            (Nz, M, D_img.shape[3], D_img.shape[4]), dtype=D_img.dtype
+        )
+    if out_time is not None:
+        out_time = xp.where(mask_static, out_time * sqrt_factor, out_time)
+        out = out + out_time
+    if norm != 1.0:
+        out = out * norm
+    return out
+
+
+def _scheme_partial(fn, scheme):
+    partial = functools.partial(fn, scheme=scheme)
+    partial.__name__ = f"{fn.__name__}_{scheme}"
+    partial.__qualname__ = partial.__name__
+    partial.__doc__ = f"{fn.__name__}(..., scheme={scheme!r}); see :func:`{fn.__name__}`."
+    return partial
+
+
+D_upwind = _scheme_partial(D, "upwind")
+D_downwind = _scheme_partial(D, "downwind")
+D_central = _scheme_partial(D, "central")
+D_hybrid = _scheme_partial(D, "hybrid")
+D_T_upwind = _scheme_partial(D_T, "upwind")
+D_T_downwind = _scheme_partial(D_T, "downwind")
+D_T_central = _scheme_partial(D_T, "central")
+D_T_hybrid = _scheme_partial(D_T, "hybrid")

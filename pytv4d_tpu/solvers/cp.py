@@ -1,0 +1,108 @@
+"""Chambolle-Pock primal-dual TV denoising — the reference's user-loop recipe
+(``README.md:139-158``, Chambolle & Pock 2011 doi:10.1007/s10851-010-0251-1)
+promoted to a jit-compiled, device-resident ``lax.scan`` solver.
+
+Minimizes ``1/2 ||x - x0||^2 + reg * TV(x)``.  The dual TV prox uses
+``keepdims=True`` so it is correct for all of 2D/3D/4D — the README's own
+prox line broadcasts correctly only in the 2D case (SURVEY.md section 2.4.6).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import TVConfig
+from ..core.schemes import num_channels, operator_norm_bound_sq
+from ..ops.operators import D, D_T, compute_L21_norm
+
+
+class CPState(NamedTuple):
+    x: jax.Array     # primal iterate (Nz, M, N_row, N_col)
+    y_A: jax.Array   # dual variable of the fidelity term, same shape as x
+    y_D: jax.Array   # dual variable of the TV term (Nz, Nd, M, N_row, N_col)
+
+
+class CPResult(NamedTuple):
+    x: jax.Array
+    state: CPState
+    loss: jax.Array  # per-iteration loss history (n_iter,)
+
+
+def default_tau(cfg: TVConfig, Nz: int, M: int, sigma_A: float = 1.0) -> float:
+    """Reference step rule ``tau = 1/(||D||^2 + sigma_A)`` — the README's
+    ``1/(8+1)`` with 8 = hybrid-scheme bound (``README.md:141-143``),
+    generalized per scheme/config via the stencil table."""
+    L2 = operator_norm_bound_sq(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
+    return 1.0 / (L2 + sigma_A)
+
+
+def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfig,
+            mask_static=None):
+    """One CP iteration, exactly the reference recipe (``README.md:146-157``):
+
+    - fidelity dual:  y_A <- (y_A + sigma_A (x - x0)) / (1 + sigma_A)
+    - TV dual prox:   y_D <- p / max(1, |p|_2 / reg),  p = y_D + sigma_D D x
+    - primal:         x   <- x - tau y_A - tau D^T y_D
+    - loss:           1/2 ||x_new - x0||^2 + reg * L21(D x_old)
+      (the reference reuses the pre-update ``D_x`` in the loss line)
+    """
+    kw = dict(mask_static=mask_static, **cfg.kwargs())
+    x, y_A, y_D = state
+    y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
+    D_x = D(x, cfg.scheme, **kw)
+    p = y_D + sigma_D * D_x
+    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+    y_D = p / jnp.maximum(1.0, p_norms / reg)
+    x = x - tau * y_A - tau * D_T(y_D, cfg.scheme, **kw)
+    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * compute_L21_norm(D_x)
+    return CPState(x, y_A, y_D), loss
+
+
+def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
+    Nz, M = x_noisy.shape[0], x_noisy.shape[1]
+    Nd = num_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
+    x = x_noisy if x_init is None else x_init
+    y_A = jnp.zeros_like(x_noisy)
+    y_D = jnp.zeros((Nz, Nd, M) + x_noisy.shape[2:], dtype=x_noisy.dtype)
+    return CPState(x=x, y_A=y_A, y_D=y_D)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau"),
+)
+def chambolle_pock(
+    x_noisy,
+    n_iter: int = 300,
+    reg: float = 25.0,
+    sigma_D: float = 0.5,
+    sigma_A: float = 1.0,
+    tau: float = None,
+    cfg: TVConfig = TVConfig(),
+    state: CPState = None,
+    mask_static=None,
+) -> CPResult:
+    """Run ``n_iter`` Chambolle-Pock iterations on device.
+
+    Defaults are the reference recipe (``README.md:141-143``): sigma_D=0.5,
+    sigma_A=1.0, tau=1/(||D||^2 + sigma_A).  Pass ``state`` (e.g. from a
+    checkpoint, see ``solvers.state``) to resume a run.
+    """
+    if tau is None:
+        tau = default_tau(cfg, x_noisy.shape[0], x_noisy.shape[1], sigma_A)
+    if state is None:
+        state = init_state(x_noisy, cfg)
+
+    def body(st, _):
+        st, loss = cp_step(
+            st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A, tau=tau,
+            cfg=cfg, mask_static=mask_static,
+        )
+        return st, loss
+
+    final, losses = jax.lax.scan(body, state, length=n_iter)
+    return CPResult(x=final.x, state=final, loss=losses)

@@ -1,0 +1,87 @@
+"""Solver-state checkpoint / resume (SURVEY.md section 5: the reference has
+none — its solvers are user loops holding state in Python locals, with dev-test
+TIFF dumps as the only artifact, ``pytv/tests.py:432-434``).
+
+Any solver-state pytree (``CPState``, ``ADMMState``, plain dicts of arrays)
+can be saved to a single ``.npz`` and restored; :func:`run_checkpointed`
+wraps a scan-style solver so long runs snapshot at a configurable cadence and
+resume after interruption.
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Any, Callable
+
+import jax
+import numpy as np
+
+
+def save_state(path: str, pytree: Any) -> None:
+    """Save an arbitrary pytree of arrays to ``path`` (.npz, atomic rename)."""
+    leaves, treedef = jax.tree_util.tree_flatten(pytree)
+    arrays = {f"leaf_{i}": np.asarray(leaf) for i, leaf in enumerate(leaves)}
+    arrays["__treedef__"] = np.frombuffer(
+        repr(treedef).encode("utf-8"), dtype=np.uint8
+    )
+    tmp = path + ".tmp"
+    with open(tmp, "wb") as f:
+        np.savez(f, **arrays)
+    os.replace(tmp, path)
+
+
+def load_state(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_state`; ``like`` supplies the
+    tree structure (e.g. a freshly-initialized solver state)."""
+    with np.load(path) as data:
+        leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
+    _, treedef = jax.tree_util.tree_flatten(like)
+    return jax.tree_util.tree_unflatten(treedef, leaves)
+
+
+def run_checkpointed(
+    solver: Callable[..., Any],
+    x_noisy,
+    n_iter: int,
+    checkpoint_path: str = None,
+    checkpoint_every: int = 0,
+    **solver_kwargs,
+):
+    """Run ``solver(x_noisy, n_iter=..., state=..., **kwargs)`` in chunks,
+    saving ``result.state`` every ``checkpoint_every`` iterations and resuming
+    from ``checkpoint_path`` if it exists.
+
+    The solver must follow the package convention: accept a ``state`` kwarg
+    and return a result with ``.state`` and ``.loss`` fields (``chambolle_pock``
+    and ``admm`` do).  Returns (final_result, full_loss_history).
+    """
+    if not checkpoint_every or checkpoint_path is None:
+        return solver(x_noisy, n_iter=n_iter, **solver_kwargs)
+
+    state = None
+    done = 0
+    losses = []
+    if os.path.exists(checkpoint_path):
+        meta_path = checkpoint_path + ".meta.npz"
+        if os.path.exists(meta_path):
+            with np.load(meta_path) as meta:
+                done = int(meta["done"])
+                losses = [meta["losses"]]
+        # Build a template state to restore into.
+        probe = solver(x_noisy, n_iter=0, **solver_kwargs)
+        state = load_state(checkpoint_path, probe.state)
+
+    result = None
+    while done < n_iter:
+        chunk = min(checkpoint_every, n_iter - done)
+        result = solver(x_noisy, n_iter=chunk, state=state, **solver_kwargs)
+        state = result.state
+        losses.append(np.asarray(result.loss))
+        done += chunk
+        save_state(checkpoint_path, state)
+        with open(checkpoint_path + ".meta.npz.tmp", "wb") as f:
+            np.savez(f, done=done, losses=np.concatenate(losses))
+        os.replace(checkpoint_path + ".meta.npz.tmp", checkpoint_path + ".meta.npz")
+
+    full_loss = np.concatenate(losses) if losses else np.zeros((0,))
+    return result._replace(loss=full_loss)
