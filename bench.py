@@ -1,0 +1,106 @@
+"""Benchmark harness — prints ONE JSON line with the headline metric.
+
+Headline: the BASELINE.md Chambolle-Pock recipe (cameraman 256x256, reg=25,
+300 iterations) as device-resident iterations/s, vs the measured reference
+baseline of 208 it/s (CPU NumPy, BASELINE.md "Measured solver baselines";
+the reference GPU path is unrunnable without CUDA).  Run with the ambient
+platform (TPU under the driver; CPU works too).
+
+Extra diagnostics (4D throughput, bandwidth estimate) go to stderr so stdout
+stays a single JSON line.
+"""
+
+import json
+import sys
+import time
+
+import numpy as np
+
+BASELINE_CP_IT_PER_S = 300 / 1.44  # BASELINE.md: 1.44 s / 300 it, CPU
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def bench_cp_cameraman(n_iter=300, repeats=3):
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.models import add_noise
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+    from pytv4d_tpu.utils import cameraman
+
+    truth = cameraman().reshape((1, 1, 256, 256))
+    noisy = jnp.asarray(add_noise(truth, 100.0, seed=0), dtype=jnp.float32)
+
+    # compile + warm up
+    res = chambolle_pock(noisy, n_iter=n_iter, reg=25.0)
+    jax.block_until_ready(res.loss)
+    final_loss = float(res.loss[-1])
+    log(f"cp cameraman final loss: {final_loss:.2f} (f64 ref 38575639.48)")
+
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = chambolle_pock(noisy, n_iter=n_iter, reg=25.0)
+        jax.block_until_ready(res.loss)
+        best = min(best, time.perf_counter() - t0)
+    return n_iter / best, final_loss
+
+
+def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
+    """Secondary: big-4D CP throughput in voxel-iterations/s + effective HBM
+    bandwidth estimate (diagnostic only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+
+    res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg)
+    jax.block_until_ready(res.loss)
+    t0 = time.perf_counter()
+    res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg)
+    jax.block_until_ready(res.loss)
+    dt = time.perf_counter() - t0
+    vox = float(np.prod(shape))
+    it_s = n_iter / dt
+    # rough traffic model: x, y_A, x0 (3 vol) + y_D r/w (2*Nd vol) + D_x (Nd) per it
+    nd = 8
+    bytes_per_it = vox * 4 * (3 * 2 + 3 * nd)
+    log(
+        f"cp 4D {shape}: {it_s:.1f} it/s, {vox * it_s / 1e9:.2f} Gvox-it/s, "
+        f"~{bytes_per_it * it_s / 1e9:.0f} GB/s est. traffic"
+    )
+    return it_s
+
+
+def main():
+    import jax
+
+    log(f"devices: {jax.devices()}")
+    it_per_s, final_loss = bench_cp_cameraman()
+    try:
+        bench_cp_4d()
+    except Exception as e:  # diagnostics must never break the headline
+        log(f"4D bench skipped: {e!r}")
+
+    print(
+        json.dumps(
+            {
+                "metric": "cp_denoise_cameraman_300it",
+                "value": round(it_per_s, 1),
+                "unit": "it/s",
+                "vs_baseline": round(it_per_s / BASELINE_CP_IT_PER_S, 2),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

@@ -1,4 +1,11 @@
-from . import mesh
+from . import halo, mesh
+from .halo import (
+    make_sharded_cp_solver,
+    sharded_cp_step,
+    sharded_D,
+    sharded_D_T,
+    sharded_tv_and_subgrad,
+)
 from .mesh import (
     T_AXIS,
     Z_AXIS,

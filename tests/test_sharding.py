@@ -1,0 +1,138 @@
+"""Sharded-path tests on the 8-virtual-CPU-device mesh (SURVEY.md section 4
+"multi-host tests"): the shard_map halo-exchange operators must be slot-exact
+with the single-device path, keep D/D_T adjointness across shard edges
+(SURVEY.md section 7 hard part 2), and the sharded CP solver must track the
+unsharded solver."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import pytv4d_tpu as ptv
+from pytv4d_tpu.core.config import TVConfig
+from pytv4d_tpu.ops import operators as ops
+from pytv4d_tpu.parallel import (
+    make_mesh,
+    make_sharded_cp_solver,
+    shard_volume,
+    sharded_D,
+    sharded_D_T,
+    sharded_tv_and_subgrad,
+)
+from pytv4d_tpu.solvers.cp import chambolle_pock, init_state
+
+pytestmark = pytest.mark.skipif(
+    len(jax.devices()) < 8, reason="needs 8 virtual devices"
+)
+
+SCHEMES = ("upwind", "downwind", "central", "hybrid")
+
+
+def _mesh42():
+    return make_mesh(z=4, t=2)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_sharded_D_matches_local(scheme):
+    rng = np.random.default_rng(31)
+    shape = (8, 4, 16, 16)
+    img = rng.random(shape)
+    cfg = TVConfig(scheme=scheme, reg_time=0.5, reg_z_over_reg=0.7)
+    mesh = _mesh42()
+    x = shard_volume(jnp.asarray(img), mesh)
+    D_sharded = sharded_D(mesh, cfg, shape)(x)
+    D_local = ops.D(jnp.asarray(img), scheme, **cfg.kwargs())
+    np.testing.assert_allclose(np.asarray(D_sharded), np.asarray(D_local),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_sharded_D_T_matches_local(scheme):
+    rng = np.random.default_rng(32)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme=scheme, reg_time=0.5)
+    from pytv4d_tpu.core.schemes import num_channels
+
+    Nd = num_channels(scheme, 8, 4, cfg.reg_z_over_reg, cfg.reg_time)
+    y = rng.random((8, Nd, 4, 16, 16))
+    mesh = _mesh42()
+    DT_sharded = sharded_D_T(mesh, cfg, shape)(jnp.asarray(y))
+    DT_local = ops.D_T(jnp.asarray(y), scheme, **cfg.kwargs())
+    np.testing.assert_allclose(np.asarray(DT_sharded), np.asarray(DT_local),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("scheme", ["hybrid", "central"])
+def test_sharded_adjointness(scheme):
+    """Oracle 1 on the sharded path: cross-shard-edge scatter contributions
+    must keep <Y, D X> == <D^T Y, X> exactly."""
+    rng = np.random.default_rng(33)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme=scheme, reg_time=0.8, reg_z_over_reg=0.4)
+    from pytv4d_tpu.core.schemes import num_channels
+
+    Nd = num_channels(scheme, 8, 4, cfg.reg_z_over_reg, cfg.reg_time)
+    mesh = _mesh42()
+    D_fn = sharded_D(mesh, cfg, shape)
+    DT_fn = sharded_D_T(mesh, cfg, shape)
+    X = jnp.asarray(rng.random(shape))
+    Y = jnp.asarray(rng.random((8, Nd, 4, 16, 16)))
+    DX = D_fn(X)
+    lhs = float(jnp.sum(Y * DX))
+    rhs = float(jnp.sum(DT_fn(Y) * X))
+    # normalize by the inner-product scale, not |lhs| (which can cancel to ~0)
+    scale = float(jnp.linalg.norm(Y.ravel()) * jnp.linalg.norm(DX.ravel()))
+    assert abs(lhs - rhs) / scale < 1e-14
+
+
+def test_sharded_tv_and_subgrad_matches_local():
+    rng = np.random.default_rng(34)
+    shape = (8, 4, 16, 16)
+    img = rng.random(shape)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    mesh = _mesh42()
+    tv_s, G_s = sharded_tv_and_subgrad(mesh, cfg, shape)(
+        shard_volume(jnp.asarray(img), mesh)
+    )
+    tv_l, G_l = ptv.ops.tv.tv_and_subgrad(jnp.asarray(img), "hybrid", reg_time=0.5)
+    assert float(tv_s) == pytest.approx(float(tv_l), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_l), rtol=1e-11,
+                               atol=1e-12)
+
+
+def test_sharded_cp_tracks_unsharded():
+    rng = np.random.default_rng(35)
+    shape = (8, 4, 16, 16)
+    noisy = jnp.asarray(rng.random(shape) + 10.0)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    mesh = _mesh42()
+
+    ref = chambolle_pock(noisy, n_iter=25, reg=0.5, cfg=cfg)
+
+    solve = make_sharded_cp_solver(mesh, cfg, shape, reg=0.5, n_iter=25)
+    st = init_state(noisy, cfg)
+    x_sh = shard_volume(noisy, mesh)
+    x, y_A, y_D, losses = solve(
+        x_sh, shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(st.y_D, ptv.parallel.d_volume_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-10)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x), rtol=1e-10,
+                               atol=1e-12)
+
+
+def test_gspmd_auto_sharding_matches():
+    """The plain jnp ops under jit with sharded inputs (GSPMD path) must also
+    agree — XLA inserts the halo collectives automatically."""
+    rng = np.random.default_rng(36)
+    shape = (8, 2, 16, 16)
+    img = rng.random(shape)
+    mesh = make_mesh(z=8, t=1)
+    x = shard_volume(jnp.asarray(img), mesh, shard_time=False)
+    tv_s, G_s = ptv.tv_and_subgrad(x, "hybrid")
+    tv_l, G_l = ptv.tv_and_subgrad(jnp.asarray(img), "hybrid")
+    assert float(tv_s) == pytest.approx(float(tv_l), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_l), rtol=1e-11)
