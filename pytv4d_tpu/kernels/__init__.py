@@ -1,6 +1,16 @@
 """Fused Pallas TPU kernels (the performance layer; SURVEY.md section 7.3).
 
-Imported lazily by the dispatch layer; importing this package does not
-require TPU hardware (kernels also run under the Pallas interpreter on CPU
-for testing).
+Importing this package does not require TPU hardware (kernels also run under
+the Pallas interpreter on CPU for testing).
 """
+
+from . import dispatch, fused
+from .dispatch import can_fuse, default_interpret
+from .fused import (
+    cp_step_fused,
+    make_cp_dual_kernel,
+    make_cp_primal_kernel,
+    make_tv_norms_kernel,
+    make_tv_subgrad_kernel,
+    tv_and_subgrad_fused,
+)

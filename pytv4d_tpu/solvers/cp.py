@@ -73,7 +73,7 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau"),
+    static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau", "fused"),
 )
 def chambolle_pock(
     x_noisy,
@@ -85,23 +85,41 @@ def chambolle_pock(
     cfg: TVConfig = TVConfig(),
     state: CPState = None,
     mask_static=None,
+    fused: bool = None,
 ) -> CPResult:
     """Run ``n_iter`` Chambolle-Pock iterations on device.
 
     Defaults are the reference recipe (``README.md:141-143``): sigma_D=0.5,
     sigma_A=1.0, tau=1/(||D||^2 + sigma_A).  Pass ``state`` (e.g. from a
     checkpoint, see ``solvers.state``) to resume a run.
+
+    ``fused=None`` auto-selects the fused Pallas step (kernels/fused.py) when
+    the problem supports it; ``fused=False`` forces the jnp path.
     """
+    from ..kernels.dispatch import can_fuse, default_interpret
+
     if tau is None:
         tau = default_tau(cfg, x_noisy.shape[0], x_noisy.shape[1], sigma_A)
     if state is None:
         state = init_state(x_noisy, cfg)
+    if fused is None:
+        fused = mask_static is None and can_fuse(
+            tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
+        )
 
     def body(st, _):
-        st, loss = cp_step(
-            st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A, tau=tau,
-            cfg=cfg, mask_static=mask_static,
-        )
+        if fused:
+            from ..kernels.fused import cp_step_fused
+
+            st, loss = cp_step_fused(
+                st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
+                tau=tau, cfg=cfg, interpret=default_interpret(),
+            )
+        else:
+            st, loss = cp_step(
+                st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
+                tau=tau, cfg=cfg, mask_static=mask_static,
+            )
         return st, loss
 
     final, losses = jax.lax.scan(body, state, length=n_iter)

@@ -41,7 +41,7 @@ def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "cfg", "reg", "step_size")
+    jax.jit, static_argnames=("n_iter", "cfg", "reg", "step_size", "fused")
 )
 def subgradient_descent(
     x_noisy,
@@ -51,20 +51,35 @@ def subgradient_descent(
     cfg: TVConfig = TVConfig(),
     x_init=None,
     mask_static=None,
+    fused: bool = None,
 ) -> GDResult:
     """Run ``n_iter`` subgradient-descent iterations on device.
 
     Defaults are the reference's README recipe (``README.md:108-116``:
     reg=25, step=5e-3, 300 iterations). ``x_init`` defaults to the noisy
-    image, as in the recipe.
+    image, as in the recipe.  ``fused=None`` auto-selects the fused Pallas
+    tv+subgradient kernels when supported.
     """
+    from ..kernels.dispatch import can_fuse, default_interpret
+
     x0 = x_noisy
     x = x0 if x_init is None else x_init
+    if fused is None:
+        fused = mask_static is None and can_fuse(
+            tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
+        )
 
     def body(x, _):
-        x_new, loss, tv = gd_step(
-            x, x0, reg=reg, step_size=step_size, cfg=cfg, mask_static=mask_static
-        )
+        if fused:
+            from ..kernels.fused import tv_and_subgrad_fused
+
+            tv, G = tv_and_subgrad_fused(x, cfg, interpret=default_interpret())
+        else:
+            tv, G = tv_and_subgrad(
+                x, cfg.scheme, mask_static=mask_static, **cfg.kwargs()
+            )
+        x_new = x - step_size * ((x - x0) + reg * G)
+        loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv
         return x_new, (loss, tv)
 
     x_final, (losses, tvs) = jax.lax.scan(body, x, length=n_iter)

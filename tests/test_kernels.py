@@ -1,0 +1,93 @@
+"""Fused Pallas kernel tests (interpreter mode on CPU): the fused CP step and
+tv+subgradient must match the jnp reference path to fp32 round-off across all
+schemes/configs, including the boundary masking of z/t channels."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytv4d_tpu.core.config import TVConfig
+from pytv4d_tpu.kernels.dispatch import can_fuse
+from pytv4d_tpu.kernels.fused import cp_step_fused, tv_and_subgrad_fused
+from pytv4d_tpu.ops.tv import tv_and_subgrad
+from pytv4d_tpu.solvers.cp import CPState, cp_step, default_tau, init_state
+from pytv4d_tpu.solvers.gd import subgradient_descent
+
+SCHEMES = ("upwind", "downwind", "central", "hybrid")
+SHAPE = (4, 3, 16, 128)
+CONFIGS = [dict(), dict(reg_time=0.5), dict(reg_time=0.7, reg_z_over_reg=0.3),
+           dict(reg_z_over_reg=0.0)]
+
+
+@pytest.fixture(scope="module")
+def x0():
+    rng = np.random.default_rng(0)
+    return jnp.asarray(rng.random(SHAPE), jnp.float32)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+@pytest.mark.parametrize("kw", CONFIGS, ids=["base", "time", "zt", "noz"])
+def test_cp_step_fused_matches_jnp(x0, scheme, kw):
+    cfg = TVConfig(scheme=scheme, **kw)
+    tau = default_tau(cfg, SHAPE[0], SHAPE[1])
+    rng = np.random.default_rng(1)
+    st = init_state(x0, cfg)
+    st = CPState(st.x, jnp.asarray(rng.random(SHAPE), jnp.float32),
+                 jnp.asarray(rng.random(st.y_D.shape), jnp.float32))
+    ref, loss_ref = cp_step(st, x0, reg=0.5, sigma_D=0.5, sigma_A=1.0,
+                            tau=tau, cfg=cfg)
+    got, loss_got = cp_step_fused(st, x0, reg=0.5, sigma_D=0.5, sigma_A=1.0,
+                                  tau=tau, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.y_A), np.asarray(ref.y_A),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.y_D), np.asarray(ref.y_D),
+                               atol=2e-6, rtol=1e-5)
+    assert float(loss_got) == pytest.approx(float(loss_ref), rel=1e-5)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+@pytest.mark.parametrize("kw", CONFIGS, ids=["base", "time", "zt", "noz"])
+def test_tv_subgrad_fused_matches_jnp(x0, scheme, kw):
+    cfg = TVConfig(scheme=scheme, **kw)
+    tv_ref, G_ref = tv_and_subgrad(x0, scheme, **kw)
+    tv_got, G_got = tv_and_subgrad_fused(x0, cfg, interpret=True)
+    assert float(tv_got) == pytest.approx(float(tv_ref), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(G_got), np.asarray(G_ref),
+                               atol=3e-6, rtol=1e-5)
+
+
+def test_fused_flat_image_inf_convention():
+    """Zero-gradient pixels must produce zero G (no NaN/inf leakage)."""
+    x = jnp.full(SHAPE, 3.0, jnp.float32)
+    cfg = TVConfig(scheme="hybrid", reg_time=1.0)
+    tv, G = tv_and_subgrad_fused(x, cfg, interpret=True)
+    assert float(tv) == 0.0
+    assert bool(jnp.all(G == 0.0))
+
+
+def test_solver_fused_flag_end_to_end(x0):
+    """The fused solver path must track the jnp path over many iterations."""
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    a = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=False)
+    b = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss), rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               atol=1e-4, rtol=1e-4)
+
+    ga = subgradient_descent(x0, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=False)
+    gb = subgradient_descent(x0, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=True)
+    np.testing.assert_allclose(np.asarray(gb.loss), np.asarray(ga.loss), rtol=1e-4)
+
+
+def test_can_fuse_guard():
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    assert can_fuse((8, 4, 256, 256), cfg)
+    assert not can_fuse((8, 4, 2048, 2048), cfg)        # too big for VMEM
+    assert not can_fuse((8, 4, 256, 256), cfg, mask_static=np.ones((1, 1, 256, 256), bool))
