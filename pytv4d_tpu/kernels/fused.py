@@ -6,28 +6,29 @@ iteration touches ~70 volume-equivalents of HBM traffic.  These kernels fuse
 the stencil, the channel reduction and the prox into two passes over the
 volume, never materializing ``D_x`` or the prox argument in HBM:
 
-- pass A (:func:`make_cp_dual_kernel`): reads x (+4 neighbor planes), x0,
-  y_A, y_D; writes y_A', y_D' and per-plane L21 partials.
-- pass B (:func:`make_cp_primal_kernel`): reads x, y_A', y_D' (+ neighbor
-  planes of the z/t channels), x0; writes x' and fidelity partials.
+- pass A (:func:`make_cp_dual_kernel`): reads x (+neighbors), x0, y_A, y_D;
+  writes y_A', y_D' and per-tile L21 partials.
+- pass B (:func:`make_cp_primal_kernel`): reads x, x0, y_A', y_D'
+  (+ channel-sliced neighbors); writes x' and fidelity partials.
 
-~19 + ~14 volume-equivalents total — the stencil math per plane is generated
-from the same declarative channel table as the jnp path (core/schemes.py), so
-numerics are identical (tested to fp32 round-off).
+Grid/tiling: programs cover row tiles of (z, t) planes — grid
+``(Nz, M, R)`` with tiles ``(TR, N_col)`` where ``TR`` is chosen so a
+program's working set stays ~2 MB and double buffering fits VMEM
+(:func:`choose_row_tile`); arbitrarily large in-plane sizes are supported.
+Neighbors arrive as extra input refs: full tiles for z/t planes (clamped
+index maps + ``pl.program_id`` gating reproduce the reference's one-sided
+zero boundary, ``pytv/tv_operators_CPU.py:115-127``), 8-row thin blocks for
+the row-tile seams.  ``y_D`` uses the internal channel-contiguous layout
+``(Nz, M, Nd, N_row, N_col)`` inside fused solvers (one DMA per tile).
 
-Layout/grid: one program per (z, t) plane of the canonical (Nz, M, N, N)
-volume; whole (N_row, N_col) planes live in VMEM (guarded by
-:func:`fits_vmem`; larger planes fall back to the jnp path via
-kernels.dispatch).  Neighbor planes arrive through extra input refs with
-clamped index maps; global-boundary channel slots are masked with
-``pl.program_id`` predicates, reproducing the reference's one-sided zero
-boundary (``pytv/tv_operators_CPU.py:115-127``).
+All stencil math is generated from the same declarative channel table as the
+jnp path (core/schemes.py), so numerics are identical (tested to fp32
+round-off).
 """
 
 from __future__ import annotations
 
 import functools
-import math
 
 import jax
 import jax.numpy as jnp
@@ -48,19 +49,49 @@ from ..core.schemes import (
 )
 
 # ---------------------------------------------------------------------------
-# in-plane stencil helpers on a (N_row, N_col) block
+# tiling
+# ---------------------------------------------------------------------------
+
+_TILE_BYTES_TARGET = 2 * 1024 * 1024
+
+
+def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4) -> int:
+    """Halve the row tile (keeping TR | Nr, TR % 8 == 0) until the
+    Nd-channel tile is ~1 MB; small images keep the full plane."""
+    tr = Nr
+    while (tr % 2 == 0 and (tr // 2) % 8 == 0
+           and Nd * tr * Nc * bpe > _TILE_BYTES_TARGET):
+        tr //= 2
+    return tr
+
+
+def fits_vmem(shape, Nd, dtype=jnp.float32, limit_bytes=14 * 1024 * 1024):
+    """Guard: the fused kernels' per-program working set (double-buffered)
+    must fit VMEM after row tiling."""
+    Nr, Nc = shape[-2], shape[-1]
+    bpe = jnp.dtype(dtype).itemsize
+    if jnp.dtype(dtype) != jnp.float32:
+        return False
+    tr = choose_row_tile(Nr, Nc, Nd, bpe)
+    tile = tr * Nc * bpe
+    # pass A: ~7 x-tiles + x0 + yA + yD(Nd) + outs (1 + Nd)
+    per_program = (10 + 2 * Nd) * tile
+    return 2 * per_program <= limit_bytes and Nc >= 8
+
+
+# ---------------------------------------------------------------------------
+# in-tile stencil helpers
 # ---------------------------------------------------------------------------
 
 
-def _plane_d(x, axis01: int, kind: str):
-    """Difference channel within a full plane (block == global plane, so the
-    zero boundary slots are exact with no masking)."""
-    if axis01 == 0:
-        if kind == FWD:
-            return jnp.pad(x[1:, :] - x[:-1, :], ((0, 1), (0, 0)))
-        if kind == BWD:
-            return jnp.pad(x[1:, :] - x[:-1, :], ((1, 0), (0, 0)))
-        return jnp.pad(x[2:, :] - x[:-2, :], ((1, 1), (0, 0)))
+def _gate(pred, x):
+    """Zero ``x`` where the scalar bool ``pred`` holds."""
+    return jnp.where(pred, jnp.zeros_like(x), x)
+
+
+def _col_d(x, kind: str):
+    """Column-axis difference channel; the tile spans all columns, so the
+    zero boundary slots are exact with no masking."""
     if kind == FWD:
         return jnp.pad(x[:, 1:] - x[:, :-1], ((0, 0), (0, 1)))
     if kind == BWD:
@@ -68,18 +99,8 @@ def _plane_d(x, axis01: int, kind: str):
     return jnp.pad(x[:, 2:] - x[:, :-2], ((0, 0), (1, 1)))
 
 
-def _plane_dt(y, axis01: int, kind: str):
-    """Adjoint scatter of one in-plane channel (valid-slot reads only)."""
-    if axis01 == 0:
-        if kind == FWD:
-            t = y[:-1, :]
-        elif kind == BWD:
-            t = y[1:, :]
-        else:
-            t = y[1:-1, :]
-        a, b = (1, 0) if kind != CTR else (2, 0)
-        c, d = (0, 1) if kind != CTR else (0, 2)
-        return jnp.pad(t, ((a, b), (0, 0))) - jnp.pad(t, ((c, d), (0, 0)))
+def _col_dt(y, kind: str):
+    """Adjoint scatter of a column channel (valid-slot reads only)."""
     if kind == FWD:
         t = y[:, :-1]
     elif kind == BWD:
@@ -91,92 +112,191 @@ def _plane_dt(y, axis01: int, kind: str):
     return jnp.pad(t, ((0, 0), (a, b))) - jnp.pad(t, ((0, 0), (c, d)))
 
 
-def _gate(pred, x):
-    """Zero ``x`` where ``pred`` (a scalar bool) holds."""
-    return jnp.where(pred, jnp.zeros_like(x), x)
+def _zero_row(x, row: int, pred):
+    """Zero the first (row=0) or last (row=-1) row of a tile where ``pred``."""
+    keep = jnp.where(pred, jnp.zeros((), x.dtype), jnp.ones((), x.dtype))
+    if row == -1:
+        return jnp.concatenate([x[:-1], x[-1:] * keep], axis=0)
+    return jnp.concatenate([x[:1] * keep, x[1:]], axis=0)
 
 
-def _cross_d(kind, center, prev_plane, nxt_plane, idx, n):
-    """Difference channel along a grid axis (z or t): the channel value at
-    plane ``idx``, using clamped neighbor planes + boundary masking."""
+def _row_d(kind, x, up_row, dn_row, r, R):
+    """Row-axis difference channel of a (TR, Nc) tile; ``up_row``/``dn_row``
+    are the adjacent rows from the neighboring tiles (garbage at the global
+    boundary — gated)."""
     if kind == FWD:
-        return _gate(idx == n - 1, nxt_plane - center)
+        ext = jnp.concatenate([x, dn_row], axis=0)
+        d = ext[1:] - ext[:-1]
+        return _zero_row(d, -1, r == R - 1)
     if kind == BWD:
-        return _gate(idx == 0, center - prev_plane)
-    d = nxt_plane - prev_plane
-    return _gate(jnp.logical_or(idx == 0, idx == n - 1), d)
+        ext = jnp.concatenate([up_row, x], axis=0)
+        d = ext[1:] - ext[:-1]
+        return _zero_row(d, 0, r == 0)
+    ext = jnp.concatenate([up_row, x, dn_row], axis=0)
+    d = ext[2:] - ext[:-2]
+    d = _zero_row(d, 0, r == 0)
+    return _zero_row(d, -1, r == R - 1)
+
+
+def _row_dt(kind, y, y_up_row, y_dn_row, r, R):
+    """Adjoint scatter of a row channel across tile seams.  Valid-slot
+    masking happens before the neighbor rows are consumed.  (With TR | Nr the
+    neighbor rows are never themselves global-boundary slots except through
+    the r==0 / r==R-1 gates.)"""
+    if kind == FWD:
+        yv = _zero_row(y, -1, r == R - 1)
+        up = _gate(r == 0, y_up_row)
+        return jnp.concatenate([up, yv], axis=0)[:-1] - yv
+    if kind == BWD:
+        yv = _zero_row(y, 0, r == 0)
+        dn = _gate(r == R - 1, y_dn_row)
+        return yv - jnp.concatenate([yv, dn], axis=0)[1:]
+    yv = _zero_row(y, 0, r == 0)
+    yv = _zero_row(yv, -1, r == R - 1)
+    up = _gate(r == 0, y_up_row)
+    dn = _gate(r == R - 1, y_dn_row)
+    return (
+        jnp.concatenate([up, yv], axis=0)[:-1]
+        - jnp.concatenate([yv, dn], axis=0)[1:]
+    )
+
+
+def _cross_d(kind, center, prev_tile, nxt_tile, idx, n):
+    """Difference channel along a grid axis (z or t) at the current tile."""
+    if kind == FWD:
+        return _gate(idx == n - 1, nxt_tile - center)
+    if kind == BWD:
+        return _gate(idx == 0, center - prev_tile)
+    return _gate(jnp.logical_or(idx == 0, idx == n - 1), nxt_tile - prev_tile)
 
 
 def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n):
-    """Adjoint contribution at plane ``idx`` of a grid-axis channel; reads of
-    globally-invalid slots are masked to zero."""
+    """Adjoint contribution of a grid-axis channel at the current tile."""
     if kind == FWD:
-        t_c = _gate(idx == n - 1, y_center)          # slot n-1 invalid
-        t_p = _gate(idx == 0, y_prev)                # no plane before 0
-        return t_p - t_c
+        return _gate(idx == 0, y_prev) - _gate(idx == n - 1, y_center)
     if kind == BWD:
-        t_c = _gate(idx == 0, y_center)              # slot 0 invalid
-        t_n = _gate(idx == n - 1, y_nxt)             # no plane after n-1
-        return t_c - t_n
-    # CTR: valid slots are [1, n-2]
-    t_p = _gate(idx <= 1, y_prev)                    # y[idx-1] invalid if idx-1 < 1
-    t_n = _gate(idx >= n - 2, y_nxt)                 # y[idx+1] invalid if idx+1 > n-2
-    return t_p - t_n
+        return _gate(idx == 0, y_center) - _gate(idx == n - 1, y_nxt)
+    return _gate(idx <= 1, y_prev) - _gate(idx >= n - 2, y_nxt)
 
 
 # ---------------------------------------------------------------------------
-# grid / spec plumbing
+# spec plumbing (grid = (Nz, M, R); tiles (TR, Nc))
 # ---------------------------------------------------------------------------
 
 
-def _make_specs(Nz, M, Nr, Nc, Nd):
-    def vol(shift_z=0, shift_t=0):
-        def index_map(z, m):
+class _Specs:
+    def __init__(self, Nz, M, Nr, Nc, Nd, TR):
+        self.Nz, self.M, self.Nr, self.Nc, self.Nd, self.TR = Nz, M, Nr, Nc, Nd, TR
+        self.R = Nr // TR
+
+    def vol(self, shift_z=0, shift_t=0):
+        """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
+        clamped neighbor plane."""
+        Nz, M = self.Nz, self.M
+
+        def index_map(z, m, r):
             zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
             mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-            return (zi, mi, 0, 0)
+            return (zi, mi, r, 0)
 
-        return pl.BlockSpec((1, 1, Nr, Nc), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, self.TR, self.Nc), index_map,
+                            memory_space=pltpu.VMEM)
 
-    def dvol(shift_z=0, shift_t=0):
-        def index_map(z, m):
+    def vol_rows(self, direction: int):
+        """8-row thin block adjacent to the tile (direction -1: the rows just
+        above; +1: just below), clamped at the global boundary (gated
+        in-kernel)."""
+        blocks_per_tile = self.TR // 8
+        last = self.Nr // 8 - 1
+
+        def index_map(z, m, r):
+            if direction < 0:
+                return (z, m, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+            return (z, m, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+
+        return pl.BlockSpec((1, 1, 8, self.Nc), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def dvol(self):
+        """Nd-channel tile of the internal (Nz, M, Nd, Nr, Nc) layout — one
+        contiguous DMA per program."""
+
+        def index_map(z, m, r):
+            return (z, m, 0, r, 0)
+
+        return pl.BlockSpec((1, 1, self.Nd, self.TR, self.Nc), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def dvol_chan(self, chan, shift_z=0, shift_t=0):
+        """Single-channel neighbor tile of the internal D-volume."""
+        Nz, M = self.Nz, self.M
+
+        def index_map(z, m, r):
             zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
             mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-            return (zi, 0, mi, 0, 0)
+            return (zi, mi, chan, r, 0)
 
-        return pl.BlockSpec((1, Nd, 1, Nr, Nc), index_map, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, 1, self.TR, self.Nc), index_map,
+                            memory_space=pltpu.VMEM)
 
-    # per-program partial sums: Mosaic requires the last two block dims to be
-    # a full (8, 128) tile, so each program owns one tile and writes its sum
-    # at [..., 0, 0] (see _sum_parts)
-    part = pl.BlockSpec((1, 1, 8, 128), lambda z, m: (z, m, 0, 0),
-                        memory_space=pltpu.VMEM)
-    return vol, dvol, part
+    def dvol_chan_rows(self, chan, direction: int):
+        """8-row thin block of one channel adjacent to the tile seam."""
+        blocks_per_tile = self.TR // 8
+        last = self.Nr // 8 - 1
 
+        def index_map(z, m, r):
+            if direction < 0:
+                return (z, m, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+            return (z, m, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-def _part_shape(Nz, M, dtype):
-    return jax.ShapeDtypeStruct((Nz, M, 8, 128), dtype)
+        return pl.BlockSpec((1, 1, 1, 8, self.Nc), index_map,
+                            memory_space=pltpu.VMEM)
+
+    def part(self):
+        """Per-program scalar partial: one full (8, 128) tile per program
+        (Mosaic's minimum f32 tile)."""
+        return pl.BlockSpec((1, 1, 1, 8, 128), lambda z, m, r: (z, m, r, 0, 0),
+                            memory_space=pltpu.VMEM)
+
+    def part_shape(self, dtype):
+        return jax.ShapeDtypeStruct((self.Nz, self.M, self.R, 8, 128), dtype)
+
+    @property
+    def grid(self):
+        return (self.Nz, self.M, self.R)
 
 
 def _write_part(ref, value, dtype):
-    """Write a per-program scalar partial into its (8, 128) tile (broadcast
-    fill — .at[].set would lower to an unsupported scatter on TPU)."""
-    ref[0, 0] = jnp.full((8, 128), value, dtype)
+    """Broadcast-fill the partial tile (.at[].set would lower to an
+    unsupported scatter on TPU); the consumer reads [..., 0, 0]."""
+    ref[0, 0, 0] = jnp.full((8, 128), value, dtype)
 
 
 def _sum_parts(parts):
-    return jnp.sum(parts[:, :, 0, 0])
+    return jnp.sum(parts[..., 0, 0])
 
 
-def fits_vmem(shape, Nd, dtype=jnp.float32, limit_bytes=14 * 1024 * 1024):
-    """Conservative guard: per-program VMEM footprint of the fused kernels
-    (with double buffering) must fit.  Larger planes fall back to jnp."""
-    Nr, Nc = shape[-2], shape[-1]
-    bpe = jnp.dtype(dtype).itemsize
-    plane = Nr * Nc * bpe
-    # pass A: 5x x-planes + x0 + yA + yD(Nd) + outs (1 + Nd) -> ~(8 + 2 Nd)
-    per_program = (8 + 2 * Nd) * plane
-    return 2 * per_program <= limit_bytes and Nr >= 8 and Nc >= 128
+def _build(cfg: TVConfig, shape, dtype_name):
+    Nz, M, Nr, Nc = shape
+    dtype = jnp.dtype(dtype_name)
+    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg,
+                                  cfg.reg_time)
+    weights = tuple(
+        channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
+        for ch in chans
+    )
+    TR = choose_row_tile(Nr, Nc, len(chans), dtype.itemsize)
+    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR)
+    return sp, chans, weights, norm, dtype
+
+
+def _seam_rows(sp, x_up_ref, x_dn_ref, view):
+    """The single rows adjacent to the tile (from thin blocks, or zeros when
+    the plane is a single tile and no thin specs exist)."""
+    if sp.R == 1:
+        zero = jnp.zeros((1, sp.Nc), view.dtype)
+        return zero, zero
+    return x_up_ref[0, 0, -1:], x_dn_ref[0, 0, :1]
 
 
 # ---------------------------------------------------------------------------
@@ -184,10 +304,21 @@ def fits_vmem(shape, Nd, dtype=jnp.float32, limit_bytes=14 * 1024 * 1024):
 # ---------------------------------------------------------------------------
 
 
-def _needs(chans):
-    need_z = any(ch.axis == AXIS_Z for ch in chans)
-    need_t = any(ch.axis == AXIS_T for ch in chans)
-    return need_z, need_t
+def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
+                z, m, r, sp):
+    """All weighted D channels of the current tile (VMEM-resident only)."""
+    ds = []
+    for ch, w in zip(chans, weights):
+        if ch.axis == AXIS_ROW:
+            d = _row_d(ch.kind, x, up_row, dn_row, r, sp.R)
+        elif ch.axis == AXIS_COL:
+            d = _col_d(x, ch.kind)
+        elif ch.axis == AXIS_Z:
+            d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz)
+        else:
+            d = _cross_d(ch.kind, x, x_tm, x_tp, m, sp.M)
+        ds.append(d * w)
+    return ds
 
 
 @functools.lru_cache(maxsize=None)
@@ -199,104 +330,98 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     (``README.md:148-151`` with keepdims semantics) and the L21 partial
     reduction of ``D_x`` for the loss line.
     """
-    Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
-    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
     Nd = len(chans)
-    weights = [channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
-               for ch in chans]
-    need_z, need_t = _needs(chans)
-    vol, dvol, part = _make_specs(Nz, M, Nr, Nc, Nd)
 
-    def kernel(x_ref, x_zm, x_zp, x_tm, x_tp, x0_ref, yA_ref, yD_ref,
-               yA_out, yD_out, l21_out):
-        z = pl.program_id(0)
-        m = pl.program_id(1)
+    def kernel(*refs):
+        if sp.R == 1:
+            (x_ref, x_zm, x_zp, x_tm, x_tp, x0_ref, yA_ref, yD_ref,
+             yA_out, yD_out, l21_out) = refs
+            x_up = x_dn = None
+        else:
+            (x_ref, x_zm, x_zp, x_tm, x_tp, x_up, x_dn, x0_ref, yA_ref,
+             yD_ref, yA_out, yD_out, l21_out) = refs
+        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
-        x0 = x0_ref[0, 0]
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
 
-        # fidelity dual (README.md:148)
-        yA_out[0, 0] = (yA_ref[0, 0] + sigma_A * (x - x0)) / (1.0 + sigma_A)
+        yA_out[0, 0] = (yA_ref[0, 0] + sigma_A * (x - x0_ref[0, 0])) / (1.0 + sigma_A)
 
-        # D_x channels (never materialized in HBM)
-        ds = []
-        for ch, w in zip(chans, weights):
-            if ch.axis == AXIS_ROW:
-                d = _plane_d(x, 0, ch.kind)
-            elif ch.axis == AXIS_COL:
-                d = _plane_d(x, 1, ch.kind)
-            elif ch.axis == AXIS_Z:
-                d = _cross_d(ch.kind, x, x_zm[0, 0], x_zp[0, 0], z, Nz)
-            else:
-                d = _cross_d(ch.kind, x, x_tm[0, 0], x_tp[0, 0], m, M)
-            ds.append(d * w)
+        ds = _d_channels(chans, weights, x, up_row, dn_row,
+                         x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
+                         z, m, r, sp)
 
-        # L21 partial of D_x for the loss line (README.md:157)
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
             norms_sq = norms_sq + d * d
         _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
 
-        # TV dual prox: y_D' = p / max(1, |p|_2 / reg)
         ps = []
         p_sq = None
         for i, d in enumerate(ds):
-            p = yD_ref[0, i, 0] + sigma_D * d
+            p = yD_ref[0, 0, i] + sigma_D * d
             ps.append(p)
             p_sq = p * p if p_sq is None else p_sq + p * p
         inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
         for i, p in enumerate(ps):
-            yD_out[0, i, 0] = p * inv_scale
+            yD_out[0, 0, i] = p * inv_scale
+
+    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
+                sp.vol(0, 1)]
+    if sp.R > 1:
+        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+    in_specs += [sp.vol(), sp.vol(), sp.dvol()]
 
     fn = pl.pallas_call(
         kernel,
-        grid=(Nz, M),
-        in_specs=[vol(), vol(-1, 0), vol(1, 0), vol(0, -1), vol(0, 1),
-                  vol(), vol(), dvol()],
-        out_specs=(vol(), dvol(), part),
+        grid=sp.grid,
+        in_specs=in_specs,
+        out_specs=(sp.vol(), sp.dvol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct((Nz, Nd, M, Nr, Nc), dtype),
-            _part_shape(Nz, M, dtype),
+            jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dtype),
+            sp.part_shape(dtype),
         ),
         interpret=interpret,
     )
 
     def call(x, x0, y_A, y_D):
-        return fn(x, x, x, x, x, x0, y_A, y_D)
+        xs = [x] * (7 if sp.R > 1 else 5)
+        return fn(*xs, x0, y_A, y_D)
 
     return call
 
 
-def _neighbor_plan(chans):
-    """Which (channel, z-shift, t-shift) single-channel neighbor planes the
-    adjoint pass needs: FWD adjoint reads the previous plane, BWD the next,
-    CTR both (cf. :func:`_cross_dt`)."""
+def _neighbor_plan(chans, sp):
+    """Neighbor operands the adjoint pass needs, per channel: FWD reads the
+    previous plane/row, BWD the next, CTR both (cf. _cross_dt / _row_dt)."""
     plan = []
     for i, ch in enumerate(chans):
         if ch.axis == AXIS_Z:
             if ch.kind in (FWD, CTR):
-                plan.append((i, -1, 0))
+                plan.append((i, "z", -1))
             if ch.kind in (BWD, CTR):
-                plan.append((i, 1, 0))
+                plan.append((i, "z", 1))
         elif ch.axis == AXIS_T:
             if ch.kind in (FWD, CTR):
-                plan.append((i, 0, -1))
+                plan.append((i, "t", -1))
             if ch.kind in (BWD, CTR):
-                plan.append((i, 0, 1))
+                plan.append((i, "t", 1))
+        elif ch.axis == AXIS_ROW and sp.R > 1:
+            if ch.kind in (FWD, CTR):
+                plan.append((i, "r", -1))
+            if ch.kind in (BWD, CTR):
+                plan.append((i, "r", 1))
     return tuple(plan)
 
 
-def _chan_spec(Nz, M, Nr, Nc, chan, shift_z, shift_t):
-    """Single-channel (1, 1, 1, Nr, Nc) neighbor-plane spec of a D-volume —
-    keeps pass-B VMEM at O(planes), not O(Nd x planes)."""
-
-    def index_map(z, m):
-        zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
-        mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-        return (zi, chan, mi, 0, 0)
-
-    return pl.BlockSpec((1, 1, 1, Nr, Nc), index_map, memory_space=pltpu.VMEM)
+def _plan_spec(sp, key):
+    i, axis, d = key
+    if axis == "z":
+        return sp.dvol_chan(i, shift_z=d)
+    if axis == "t":
+        return sp.dvol_chan(i, shift_t=d)
+    return sp.dvol_chan_rows(i, d)
 
 
 @functools.lru_cache(maxsize=None)
@@ -306,43 +431,43 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
     Fuses D^T of the dual with the primal update and the fidelity partial of
     the loss (``README.md:154,157``).  Neighbor reads of y_D' are
-    channel-sliced (one plane per grid-axis channel per needed direction).
+    channel-sliced: full tiles for z/t channels, thin row blocks for row-tile
+    seams.
     """
-    Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
-    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
-    Nd = len(chans)
-    weights = [channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
-               for ch in chans]
-    vol, dvol, part = _make_specs(Nz, M, Nr, Nc, Nd)
-    plan = _neighbor_plan(chans)
-    nb_specs = [_chan_spec(Nz, M, Nr, Nc, c, sz, st) for c, sz, st in plan]
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
+    plan = _neighbor_plan(chans, sp)
+    nb_specs = [_plan_spec(sp, key) for key in plan]
 
-    def kernel(x_ref, x0_ref, yA_ref, yD_ref, *rest):
-        nb_refs = rest[: len(plan)]
-        x_out, fid_out = rest[len(plan):]
-        nb = {key: ref for key, ref in zip(plan, nb_refs)}
-        z = pl.program_id(0)
-        m = pl.program_id(1)
+    def kernel(*refs):
+        x_ref, x0_ref, yA_ref, yD_ref = refs[:4]
+        nb_refs = dict(zip(plan, refs[4:4 + len(plan)]))
+        x_out, fid_out = refs[4 + len(plan):]
+        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
-        def nb_plane(i, sz, st):
-            ref = nb.get((i, sz, st))
-            # unused direction for this kind (gated off in _cross_dt)
-            return yD_ref[0, i, 0] if ref is None else ref[0, 0, 0]
+        def nb_tile(i, axis, d):
+            ref = nb_refs.get((i, axis, d))
+            return yD_ref[0, 0, i] if ref is None else ref[0, 0, 0]
+
+        def nb_row(i, d):
+            ref = nb_refs.get((i, "r", d))
+            if ref is None:  # R == 1: gated off in _row_dt
+                return jnp.zeros((1, sp.Nc), dtype)
+            block = ref[0, 0, 0]
+            return block[-1:] if d < 0 else block[:1]
 
         dt = None
         for i, (ch, w) in enumerate(zip(chans, weights)):
-            y_c = yD_ref[0, i, 0]
+            y_c = yD_ref[0, 0, i]
             if ch.axis == AXIS_ROW:
-                c = _plane_dt(y_c, 0, ch.kind)
+                c = _row_dt(ch.kind, y_c, nb_row(i, -1), nb_row(i, 1), r, sp.R)
             elif ch.axis == AXIS_COL:
-                c = _plane_dt(y_c, 1, ch.kind)
+                c = _col_dt(y_c, ch.kind)
             elif ch.axis == AXIS_Z:
-                c = _cross_dt(ch.kind, y_c, nb_plane(i, -1, 0), nb_plane(i, 1, 0),
-                              z, Nz)
+                c = _cross_dt(ch.kind, y_c, nb_tile(i, "z", -1),
+                              nb_tile(i, "z", 1), z, sp.Nz)
             else:
-                c = _cross_dt(ch.kind, y_c, nb_plane(i, 0, -1), nb_plane(i, 0, 1),
-                              m, M)
+                c = _cross_dt(ch.kind, y_c, nb_tile(i, "t", -1),
+                              nb_tile(i, "t", 1), m, sp.M)
             c = c * w
             dt = c if dt is None else dt + c
 
@@ -353,12 +478,12 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
     fn = pl.pallas_call(
         kernel,
-        grid=(Nz, M),
-        in_specs=[vol(), vol(), vol(), dvol()] + nb_specs,
-        out_specs=(vol(), part),
+        grid=sp.grid,
+        in_specs=[sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs,
+        out_specs=(sp.vol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, dtype),
-            _part_shape(Nz, M, dtype),
+            sp.part_shape(dtype),
         ),
         interpret=interpret,
     )
@@ -369,22 +494,43 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     return call
 
 
-def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
-                  cfg: TVConfig, interpret=False):
-    """Drop-in fused replacement for ``solvers.cp.cp_step`` (identical
-    semantics incl. the loss line's pre-update ``D_x``)."""
-    x, y_A, y_D = state
+def to_internal_layout(y_D):
+    """Public (Nz, Nd, M, Nr, Nc) -> internal fused (Nz, M, Nd, Nr, Nc)."""
+    return jnp.transpose(y_D, (0, 2, 1, 3, 4))
+
+
+def from_internal_layout(y_D_int):
+    return jnp.transpose(y_D_int, (0, 2, 1, 3, 4))
+
+
+def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
+                           tau, cfg: TVConfig, interpret=False):
+    """One fused CP iteration with y_D in the internal channel-contiguous
+    layout; use inside scans (transpose once outside)."""
     shape = tuple(x.shape)
     dt_name = jnp.dtype(x.dtype).name
     dual = make_cp_dual_kernel(cfg, shape, dt_name, sigma_D, sigma_A, reg,
                                interpret)
     primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret)
-    y_A, y_D, l21_parts = dual(x, x_noisy, y_A, y_D)
-    x, fid_parts = primal(x, x_noisy, y_A, y_D)
+    y_A, y_D_int, l21_parts = dual(x, x_noisy, y_A, y_D_int)
+    x, fid_parts = primal(x, x_noisy, y_A, y_D_int)
     loss = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
+    return x, y_A, y_D_int, loss
+
+
+def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
+                  cfg: TVConfig, interpret=False):
+    """Drop-in fused replacement for ``solvers.cp.cp_step`` (identical
+    semantics incl. the loss line's pre-update ``D_x``); converts y_D layout
+    per call — inside scans prefer :func:`cp_step_fused_internal`."""
+    x, y_A, y_D = state
+    x, y_A, y_D_int, loss = cp_step_fused_internal(
+        x, y_A, to_internal_layout(y_D), x_noisy, reg=reg, sigma_D=sigma_D,
+        sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
+    )
     from ..solvers.cp import CPState
 
-    return CPState(x, y_A, y_D), loss
+    return CPState(x, y_A, from_internal_layout(y_D_int)), loss
 
 
 # ---------------------------------------------------------------------------
@@ -396,50 +542,50 @@ def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
 def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
                          interpret=False):
     """Pass 1 of the fused tv/subgradient: per-pixel gradient norms (with the
-    inf convention baked in) + per-plane tv partials, from x alone."""
-    Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
-    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
-    Nd = len(chans)
-    weights = [channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
-               for ch in chans]
-    vol, dvol, part = _make_specs(Nz, M, Nr, Nc, Nd)
+    inf convention baked in) + per-tile tv partials, from x alone."""
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
 
-    def kernel(x_ref, x_zm, x_zp, x_tm, x_tp, norms_out, tv_out):
-        z = pl.program_id(0)
-        m = pl.program_id(1)
+    def kernel(*refs):
+        if sp.R == 1:
+            x_ref, x_zm, x_zp, x_tm, x_tp, norms_out, tv_out = refs
+            x_up = x_dn = None
+        else:
+            (x_ref, x_zm, x_zp, x_tm, x_tp, x_up, x_dn,
+             norms_out, tv_out) = refs
+        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
-        norms_sq = None
-        for ch, w in zip(chans, weights):
-            if ch.axis == AXIS_ROW:
-                d = _plane_d(x, 0, ch.kind)
-            elif ch.axis == AXIS_COL:
-                d = _plane_d(x, 1, ch.kind)
-            elif ch.axis == AXIS_Z:
-                d = _cross_d(ch.kind, x, x_zm[0, 0], x_zp[0, 0], z, Nz)
-            else:
-                d = _cross_d(ch.kind, x, x_tm[0, 0], x_tp[0, 0], m, M)
-            d = d * w
-            norms_sq = d * d if norms_sq is None else norms_sq + d * d
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
+        ds = _d_channels(chans, weights, x, up_row, dn_row,
+                         x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
+                         z, m, r, sp)
+        norms_sq = ds[0] * ds[0]
+        for d in ds[1:]:
+            norms_sq = norms_sq + d * d
         norms = jnp.sqrt(norms_sq)
         _write_part(tv_out, jnp.sum(norms), dtype)
-        # inf-convention (tv_CPU.py:85-86): zero-norm pixels contribute 0
+        # inf convention (tv_CPU.py:85-86): zero-norm pixels contribute 0
         norms_out[0, 0] = jnp.where(norms == 0, jnp.inf, norms)
+
+    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
+                sp.vol(0, 1)]
+    if sp.R > 1:
+        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
 
     fn = pl.pallas_call(
         kernel,
-        grid=(Nz, M),
-        in_specs=[vol(), vol(-1, 0), vol(1, 0), vol(0, -1), vol(0, 1)],
-        out_specs=(vol(), part),
+        grid=sp.grid,
+        in_specs=in_specs,
+        out_specs=(sp.vol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, dtype),
-            _part_shape(Nz, M, dtype),
+            sp.part_shape(dtype),
         ),
         interpret=interpret,
     )
 
     def call(x):
-        return fn(x, x, x, x, x)
+        xs = [x] * (7 if sp.R > 1 else 5)
+        return fn(*xs)
 
     return call
 
@@ -447,67 +593,129 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
 @functools.lru_cache(maxsize=None)
 def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                            interpret=False):
-    """Pass 2: G from (x + neighbor planes, norms + neighbor planes) — the
-    unweighted adjoint of ``D_x / norms`` (``tv_CPU.py:92-124`` algebra),
-    recomputing D_x in-registers instead of reading an Nd-channel volume."""
-    Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
-    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)
-    Nd = len(chans)
-    weights = [channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
-               for ch in chans]
-    vol, dvol, part = _make_specs(Nz, M, Nr, Nc, Nd)
+    """Pass 2: G from (x, norms) — the unweighted adjoint of ``D_x / norms``
+    (``tv_CPU.py:92-124`` algebra), recomputing D_x in-registers instead of
+    reading an Nd-channel volume from HBM.
 
-    def kernel(x_ref, x_zm, x_zp, x_tm, x_tp, x_zm2, x_zp2, x_tm2, x_tp2,
-               n_ref, n_zm, n_zp, n_tm, n_tp, g_out):
-        z = pl.program_id(0)
-        m = pl.program_id(1)
-        inv_n = 1.0 / n_ref[0, 0]
+    Needs x and norms at +-1 z/t tiles (and +-2 for the recomputed neighbor
+    channels), plus 8-row thin blocks across row-tile seams.
+    """
+    sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name)
 
-        def d_at(ch, w, x_c, x_p, x_n, idx, n_axis):
-            """Weighted channel value at an arbitrary plane given its own
-            center/prev/next planes."""
-            if ch.axis == AXIS_ROW:
-                return _plane_d(x_c, 0, ch.kind) * w
-            if ch.axis == AXIS_COL:
-                return _plane_d(x_c, 1, ch.kind) * w
-            return _cross_d(ch.kind, x_c, x_p, x_n, idx, n_axis) * w
+    n_xs = 9  # center, z-1, z+1, t-1, t+1, z-2, z+2, t-2, t+2
+    n_ns = 5  # center, z-1, z+1, t-1, t+1
+
+    def kernel(*refs):
+        xs = refs[:n_xs]
+        if sp.R > 1:
+            x_up, x_dn = refs[n_xs:n_xs + 2]
+            ns = refs[n_xs + 2:n_xs + 2 + n_ns]
+            n_up, n_dn = refs[n_xs + 2 + n_ns:n_xs + 2 + n_ns + 2]
+        else:
+            x_up = x_dn = n_up = n_dn = None
+            ns = refs[n_xs:n_xs + n_ns]
+        g_out = refs[-1]
+
+        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        (x_c, x_zm, x_zp, x_tm, x_tp, x_zm2, x_zp2, x_tm2, x_tp2) = (
+            ref[0, 0] for ref in xs)
+        n_c, n_zm, n_zp, n_tm, n_tp = (ref[0, 0] for ref in ns)
+        inv_n = 1.0 / n_c
+
+        zero_row = jnp.zeros((1, sp.Nc), dtype)
+        if sp.R > 1:
+            xu = x_up[0, 0]     # 8 rows just above the tile
+            xd = x_dn[0, 0]     # 8 rows just below
+            nu_row = n_up[0, 0][-1:]
+            nd_row = n_dn[0, 0][:1]
+        else:
+            xu = xd = None
+            nu_row = nd_row = None
+
+        def row_of(tile, up, dn, offset):
+            """Row at tile-relative ``offset`` (-1, -2 above; TR, TR+1 below),
+            pulled from the thin blocks."""
+            if offset < 0:
+                src = up if up is not None else None
+                return zero_row if src is None else src[offset + 8:offset + 9] \
+                    if offset + 8 + 1 <= 8 else zero_row
+            src = dn if dn is not None else None
+            k = offset - sp.TR
+            return zero_row if src is None else src[k:k + 1]
 
         G = None
         for ch, w in zip(chans, weights):
-            if ch.axis in (AXIS_ROW, AXIS_COL):
-                y = d_at(ch, w, x_ref[0, 0], None, None, 0, 0) * inv_n
-                c = _plane_dt(y, 0 if ch.axis == AXIS_ROW else 1, ch.kind)
+            if ch.axis == AXIS_COL:
+                y = _col_d(x_c, ch.kind) * w * inv_n
+                c = _col_dt(y, ch.kind)
+            elif ch.axis == AXIS_ROW:
+                up_row = row_of(x_c, xu, xd, -1)
+                dn_row = row_of(x_c, xu, xd, sp.TR)
+                y_c = _row_d(ch.kind, x_c, up_row, dn_row, r, sp.R) * w * inv_n
+                # channel value at the seam rows themselves (for the adjoint):
+                # D at row -1 needs rows -2..0; at row TR needs TR-1..TR+1
+                if sp.R > 1:
+                    up2 = row_of(x_c, xu, xd, -2)
+                    ext_u = jnp.concatenate([up2, up_row, x_c[:1]], axis=0)
+                    dn2 = row_of(x_c, xu, xd, sp.TR + 1)
+                    ext_d = jnp.concatenate([x_c[-1:], dn_row, dn2], axis=0)
+                    if ch.kind == FWD:
+                        y_up = (ext_u[2] - ext_u[1])[None] * w
+                        y_dn = (ext_d[2] - ext_d[1])[None] * w
+                        # FWD slot at row -1 valid unless it's the global last
+                        # row (impossible for r > 0); slot TR valid unless
+                        # global last (r == R-1, gated in _row_dt)
+                    elif ch.kind == BWD:
+                        y_up = (ext_u[1] - ext_u[0])[None] * w
+                        y_dn = (ext_d[1] - ext_d[0])[None] * w
+                    else:
+                        y_up = (ext_u[2] - ext_u[0])[None] * w
+                        y_dn = (ext_d[2] - ext_d[0])[None] * w
+                    y_up = y_up / nu_row
+                    y_dn = y_dn / nd_row
+                else:
+                    y_up = y_dn = zero_row
+                c = _row_dt(ch.kind, y_c, y_up, y_dn, r, sp.R)
             elif ch.axis == AXIS_Z:
-                y_c = d_at(ch, w, x_ref[0, 0], x_zm[0, 0], x_zp[0, 0], z, Nz) * inv_n
-                y_p = d_at(ch, w, x_zm[0, 0], x_zm2[0, 0], x_ref[0, 0],
-                           jnp.maximum(z - 1, 0), Nz) / n_zm[0, 0]
-                y_n = d_at(ch, w, x_zp[0, 0], x_ref[0, 0], x_zp2[0, 0],
-                           jnp.minimum(z + 1, Nz - 1), Nz) / n_zp[0, 0]
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, z, Nz)
+                y_c = _cross_d(ch.kind, x_c, x_zm, x_zp, z, sp.Nz) * w * inv_n
+                y_p = _cross_d(ch.kind, x_zm, x_zm2, x_c,
+                               jnp.maximum(z - 1, 0), sp.Nz) * w / n_zm
+                y_n = _cross_d(ch.kind, x_zp, x_c, x_zp2,
+                               jnp.minimum(z + 1, sp.Nz - 1), sp.Nz) * w / n_zp
+                c = _cross_dt(ch.kind, y_c, y_p, y_n, z, sp.Nz)
             else:
-                y_c = d_at(ch, w, x_ref[0, 0], x_tm[0, 0], x_tp[0, 0], m, M) * inv_n
-                y_p = d_at(ch, w, x_tm[0, 0], x_tm2[0, 0], x_ref[0, 0],
-                           jnp.maximum(m - 1, 0), M) / n_tm[0, 0]
-                y_n = d_at(ch, w, x_tp[0, 0], x_ref[0, 0], x_tp2[0, 0],
-                           jnp.minimum(m + 1, M - 1), M) / n_tp[0, 0]
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, m, M)
+                y_c = _cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M) * w * inv_n
+                y_p = _cross_d(ch.kind, x_tm, x_tm2, x_c,
+                               jnp.maximum(m - 1, 0), sp.M) * w / n_tm
+                y_n = _cross_d(ch.kind, x_tp, x_c, x_tp2,
+                               jnp.minimum(m + 1, sp.M - 1), sp.M) * w / n_tp
+                c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M)
             G = c if G is None else G + c
         g_out[0, 0] = G * norm
 
+    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
+                sp.vol(0, 1), sp.vol(-2, 0), sp.vol(2, 0), sp.vol(0, -2),
+                sp.vol(0, 2)]
+    if sp.R > 1:
+        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+    in_specs += [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
+                 sp.vol(0, 1)]
+    if sp.R > 1:
+        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+
     fn = pl.pallas_call(
         kernel,
-        grid=(Nz, M),
-        in_specs=[vol(), vol(-1, 0), vol(1, 0), vol(0, -1), vol(0, 1),
-                  vol(-2, 0), vol(2, 0), vol(0, -2), vol(0, 2),
-                  vol(), vol(-1, 0), vol(1, 0), vol(0, -1), vol(0, 1)],
-        out_specs=vol(),
+        grid=sp.grid,
+        in_specs=in_specs,
+        out_specs=sp.vol(),
         out_shape=jax.ShapeDtypeStruct(shape, dtype),
         interpret=interpret,
     )
 
     def call(x, norms):
-        return fn(x, x, x, x, x, x, x, x, x, norms, norms, norms, norms, norms)
+        if sp.R > 1:
+            return fn(*([x] * 11), *([norms] * 7))
+        return fn(*([x] * 9), *([norms] * 5))
 
     return call
 

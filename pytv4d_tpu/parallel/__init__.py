@@ -1,4 +1,4 @@
-from . import halo, mesh
+from . import halo, mesh, multihost
 from .halo import (
     make_sharded_cp_solver,
     sharded_cp_step,

@@ -107,19 +107,36 @@ def chambolle_pock(
             tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
         )
 
-    def body(st, _):
-        if fused:
-            from ..kernels.fused import cp_step_fused
+    if fused:
+        # y_D rides the scan in the kernel-internal channel-contiguous layout
+        # (one transpose in, one out — not per iteration)
+        from ..kernels.fused import (
+            cp_step_fused_internal,
+            from_internal_layout,
+            to_internal_layout,
+        )
 
-            st, loss = cp_step_fused(
-                st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
-                tau=tau, cfg=cfg, interpret=default_interpret(),
+        interpret = default_interpret()
+
+        def body_fused(carry, _):
+            x, y_A, y_D_int = carry
+            x, y_A, y_D_int, loss = cp_step_fused_internal(
+                x, y_A, y_D_int, x_noisy, reg=reg, sigma_D=sigma_D,
+                sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
             )
-        else:
-            st, loss = cp_step(
-                st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
-                tau=tau, cfg=cfg, mask_static=mask_static,
-            )
+            return (x, y_A, y_D_int), loss
+
+        carry = (state.x, state.y_A, to_internal_layout(state.y_D))
+        (x, y_A, y_D_int), losses = jax.lax.scan(body_fused, carry,
+                                                 length=n_iter)
+        final = CPState(x, y_A, from_internal_layout(y_D_int))
+        return CPResult(x=final.x, state=final, loss=losses)
+
+    def body(st, _):
+        st, loss = cp_step(
+            st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
+            tau=tau, cfg=cfg, mask_static=mask_static,
+        )
         return st, loss
 
     final, losses = jax.lax.scan(body, state, length=n_iter)

@@ -1,2 +1,4 @@
-from . import images
+from . import checks, images, profiling
+from .checks import assert_finite, checkified
 from .images import as_volume, cameraman, has_real_cameraman, synthetic_phantom
+from .profiling import IterationTimer, cp_traffic_model, roofline_fraction, trace

@@ -1,0 +1,97 @@
+"""Tracing / profiling / roofline helpers (SURVEY.md section 5: the reference
+has only ad-hoc ``time.time()`` deltas inside tests, ``pytv/tests.py:261-285``).
+
+- :func:`trace` — context manager around ``jax.profiler`` producing a
+  TensorBoard-loadable trace directory.
+- :class:`IterationTimer` — latency-robust iterations/s measurement (times a
+  whole device-resident scan, not per-call dispatch, which on tunneled or
+  remote backends is dominated by round-trip latency).
+- :func:`cp_traffic_model` / :func:`roofline_fraction` — bytes-moved model of
+  the fused CP step for GB/s and fraction-of-HBM-roofline reporting.
+"""
+
+from __future__ import annotations
+
+import contextlib
+import time
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+# Peak HBM bandwidth per chip, GB/s (public figures; override per deployment).
+HBM_PEAK_GBPS = {
+    "v4": 1228.0,
+    "v5e": 819.0,
+    "v5p": 2765.0,
+    "v6e": 1640.0,
+    "cpu": 50.0,
+}
+
+
+@contextlib.contextmanager
+def trace(log_dir: str):
+    """``with profiling.trace('/tmp/trace'): run()`` then inspect with
+    TensorBoard / xprof."""
+    jax.profiler.start_trace(log_dir)
+    try:
+        yield
+    finally:
+        jax.profiler.stop_trace()
+
+
+class IterationTimer:
+    """Measure steady-state iterations/s of ``run_n(n) -> arrays``.
+
+    ``run_n`` must execute n device-resident iterations (e.g. a jitted
+    ``lax.scan``) and return something whose materialization forces the work.
+    """
+
+    def __init__(self, run_n: Callable[[int], object], warmup_iters: int = 5):
+        self.run_n = run_n
+        self.warmup_iters = warmup_iters
+
+    def measure(self, n_iter: int, repeats: int = 3) -> float:
+        out = self.run_n(self.warmup_iters)
+        self._force(out)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = self.run_n(n_iter)
+            self._force(out)
+            best = min(best, time.perf_counter() - t0)
+        return n_iter / best
+
+    @staticmethod
+    def _force(out):
+        leaves = jax.tree_util.tree_leaves(out)
+        jax.block_until_ready(leaves)
+        # host round-trip defeats async queues that outlive block_until_ready
+        float(jnp.sum(jnp.ravel(leaves[0])[:8]))
+
+
+def device_kind() -> str:
+    kind = jax.devices()[0].device_kind.lower()
+    for key in ("v6e", "v5p", "v5e", "v5 lite", "v4"):
+        if key in kind:
+            return "v5e" if key == "v5 lite" else key
+    return "cpu" if jax.default_backend() == "cpu" else "v5e"
+
+
+def cp_traffic_model(shape, Nd: int, dtype=jnp.float32, fused: bool = True) -> int:
+    """Bytes moved per CP iteration.  Fused two-pass model: pass A reads
+    5x+x0+yA+yD(Nd), writes yA+yD(Nd); pass B reads x,x0,yA,yD(Nd + 4 planes),
+    writes x (kernels/fused.py docstring)."""
+    vox = int(np.prod(shape))
+    bpe = jnp.dtype(dtype).itemsize
+    if fused:
+        vols = (5 + 2 + Nd) + (1 + Nd) + (3 + Nd + 4 / max(shape[0], 1)) + 1
+    else:
+        vols = 6 * 2 + 3 * Nd  # unfused jnp-path estimate
+    return int(vols * vox * bpe)
+
+
+def roofline_fraction(bytes_per_iter: int, iters_per_s: float) -> float:
+    peak = HBM_PEAK_GBPS.get(device_kind(), 819.0) * 1e9
+    return bytes_per_iter * iters_per_s / peak

@@ -89,5 +89,7 @@ def test_solver_fused_flag_end_to_end(x0):
 def test_can_fuse_guard():
     cfg = TVConfig(scheme="hybrid", reg_time=0.5)
     assert can_fuse((8, 4, 256, 256), cfg)
-    assert not can_fuse((8, 4, 2048, 2048), cfg)        # too big for VMEM
+    # row tiling keeps arbitrarily tall planes within VMEM
+    assert can_fuse((8, 4, 2048, 2048), cfg)
+    assert not can_fuse((8, 4, 256, 256), cfg, dtype="float64")  # f32 only
     assert not can_fuse((8, 4, 256, 256), cfg, mask_static=np.ones((1, 1, 256, 256), bool))
