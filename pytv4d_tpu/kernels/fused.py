@@ -55,11 +55,13 @@ from ..core.schemes import (
 _TILE_BYTES_TARGET = 2 * 1024 * 1024
 
 
-def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4) -> int:
-    """Halve the row tile (keeping TR | Nr, TR % 8 == 0) until the
-    Nd-channel tile is ~1 MB; small images keep the full plane."""
+def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4,
+                    min_rows: int = 8) -> int:
+    """Halve the row tile (keeping TR | Nr, TR % min_rows == 0) until the
+    Nd-channel tile is ~2 MB; small images keep the full plane.  min_rows is
+    the sublane tile of the narrowest dtype in play (8 f32, 16 bf16)."""
     tr = Nr
-    while (tr % 2 == 0 and (tr // 2) % 8 == 0
+    while (tr % 2 == 0 and (tr // 2) % min_rows == 0
            and Nd * tr * Nc * bpe > _TILE_BYTES_TARGET):
         tr //= 2
     return tr
@@ -185,9 +187,10 @@ def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n):
 
 
 class _Specs:
-    def __init__(self, Nz, M, Nr, Nc, Nd, TR):
+    def __init__(self, Nz, M, Nr, Nc, Nd, TR, dthin=8):
         self.Nz, self.M, self.Nr, self.Nc, self.Nd, self.TR = Nz, M, Nr, Nc, Nd, TR
         self.R = Nr // TR
+        self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
 
     def vol(self, shift_z=0, shift_t=0):
         """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
@@ -240,16 +243,17 @@ class _Specs:
                             memory_space=pltpu.VMEM)
 
     def dvol_chan_rows(self, chan, direction: int):
-        """8-row thin block of one channel adjacent to the tile seam."""
-        blocks_per_tile = self.TR // 8
-        last = self.Nr // 8 - 1
+        """Thin block (dthin rows) of one channel adjacent to the tile seam."""
+        thin = self.dthin
+        blocks_per_tile = self.TR // thin
+        last = self.Nr // thin - 1
 
         def index_map(z, m, r):
             if direction < 0:
                 return (z, m, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
             return (z, m, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-        return pl.BlockSpec((1, 1, 1, 8, self.Nc), index_map,
+        return pl.BlockSpec((1, 1, 1, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
     def part(self):
@@ -276,17 +280,19 @@ def _sum_parts(parts):
     return jnp.sum(parts[..., 0, 0])
 
 
-def _build(cfg: TVConfig, shape, dtype_name):
+def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None):
     Nz, M, Nr, Nc = shape
     dtype = jnp.dtype(dtype_name)
+    dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg,
                                   cfg.reg_time)
     weights = tuple(
         channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
         for ch in chans
     )
-    TR = choose_row_tile(Nr, Nc, len(chans), dtype.itemsize)
-    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR)
+    dthin = 16 if dual_dtype.itemsize < 4 else 8
+    TR = choose_row_tile(Nr, Nc, len(chans), dtype.itemsize, min_rows=dthin)
+    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin)
     return sp, chans, weights, norm, dtype
 
 
@@ -323,14 +329,21 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
 
 @functools.lru_cache(maxsize=None)
 def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                        sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False):
+                        sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
+                        dual_dtype_name=None):
     """Pass A: (x, x0, y_A, y_D) -> (y_A', y_D', l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
     (``README.md:148-151`` with keepdims semantics) and the L21 partial
     reduction of ``D_x`` for the loss line.
+
+    ``dual_dtype_name='bfloat16'`` stores y_D in bf16 (the dominant HBM
+    traffic term; compute stays f32) — a speed/precision trade for long
+    production runs.
     """
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
+                                          dual_dtype_name)
+    dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
 
     def kernel(*refs):
@@ -359,12 +372,12 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         ps = []
         p_sq = None
         for i, d in enumerate(ds):
-            p = yD_ref[0, 0, i] + sigma_D * d
+            p = yD_ref[0, 0, i].astype(dtype) + sigma_D * d
             ps.append(p)
             p_sq = p * p if p_sq is None else p_sq + p * p
         inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
         for i, p in enumerate(ps):
-            yD_out[0, 0, i] = p * inv_scale
+            yD_out[0, 0, i] = (p * inv_scale).astype(dual_dtype)
 
     in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
                 sp.vol(0, 1)]
@@ -379,7 +392,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         out_specs=(sp.vol(), sp.dvol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, dtype),
-            jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dtype),
+            jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dual_dtype),
             sp.part_shape(dtype),
         ),
         interpret=interpret,
@@ -426,7 +439,7 @@ def _plan_spec(sp, key):
 
 @functools.lru_cache(maxsize=None)
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                          tau=0.1, interpret=False):
+                          tau=0.1, interpret=False, dual_dtype_name=None):
     """Pass B: (x, x0, y_A', y_D') -> (x', fid_parts).
 
     Fuses D^T of the dual with the primal update and the fidelity partial of
@@ -434,7 +447,8 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     channel-sliced: full tiles for z/t channels, thin row blocks for row-tile
     seams.
     """
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
+                                          dual_dtype_name)
     plan = _neighbor_plan(chans, sp)
     nb_specs = [_plan_spec(sp, key) for key in plan]
 
@@ -446,18 +460,19 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         def nb_tile(i, axis, d):
             ref = nb_refs.get((i, axis, d))
-            return yD_ref[0, 0, i] if ref is None else ref[0, 0, 0]
+            out = yD_ref[0, 0, i] if ref is None else ref[0, 0, 0]
+            return out.astype(dtype)
 
         def nb_row(i, d):
             ref = nb_refs.get((i, "r", d))
             if ref is None:  # R == 1: gated off in _row_dt
                 return jnp.zeros((1, sp.Nc), dtype)
-            block = ref[0, 0, 0]
+            block = ref[0, 0, 0].astype(dtype)
             return block[-1:] if d < 0 else block[:1]
 
         dt = None
         for i, (ch, w) in enumerate(zip(chans, weights)):
-            y_c = yD_ref[0, 0, i]
+            y_c = yD_ref[0, 0, i].astype(dtype)
             if ch.axis == AXIS_ROW:
                 c = _row_dt(ch.kind, y_c, nb_row(i, -1), nb_row(i, 1), r, sp.R)
             elif ch.axis == AXIS_COL:
@@ -506,12 +521,15 @@ def from_internal_layout(y_D_int):
 def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
                            tau, cfg: TVConfig, interpret=False):
     """One fused CP iteration with y_D in the internal channel-contiguous
-    layout; use inside scans (transpose once outside)."""
+    layout (any supported dual dtype); use inside scans (transpose once
+    outside)."""
     shape = tuple(x.shape)
     dt_name = jnp.dtype(x.dtype).name
+    dual_name = jnp.dtype(y_D_int.dtype).name
     dual = make_cp_dual_kernel(cfg, shape, dt_name, sigma_D, sigma_A, reg,
-                               interpret)
-    primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret)
+                               interpret, dual_dtype_name=dual_name)
+    primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret,
+                                   dual_dtype_name=dual_name)
     y_A, y_D_int, l21_parts = dual(x, x_noisy, y_A, y_D_int)
     x, fid_parts = primal(x, x_noisy, y_A, y_D_int)
     loss = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
@@ -720,13 +738,18 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     return call
 
 
-def tv_and_subgrad_fused(x, cfg: TVConfig, interpret=False):
-    """Fused (tv, G): two passes, no Nd-channel volume in HBM.  Semantics
-    identical to ``ops.tv.tv_and_subgrad`` (tested to fp round-off)."""
+def tv_and_subgrad_fused(x, cfg: TVConfig, interpret=False,
+                         return_grad_norms=False):
+    """Fused (tv, G[, grad_norms]): two passes, no Nd-channel volume in HBM.
+    Semantics identical to ``ops.tv.tv_and_subgrad`` (tested to fp round-off);
+    grad_norms comes back with the inf convention applied, like the reference
+    (``tv_CPU.py:86,127``)."""
     shape = tuple(x.shape)
     dt_name = jnp.dtype(x.dtype).name
     norms_k = make_tv_norms_kernel(cfg, shape, dt_name, interpret)
     sub_k = make_tv_subgrad_kernel(cfg, shape, dt_name, interpret)
     norms, tv_parts = norms_k(x)
     G = sub_k(x, norms)
+    if return_grad_norms:
+        return _sum_parts(tv_parts), G, norms
     return _sum_parts(tv_parts), G

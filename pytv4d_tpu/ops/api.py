@@ -9,6 +9,8 @@ and data stays device-resident.
 
 from __future__ import annotations
 
+import functools
+
 import jax
 
 from . import operators as _ops
@@ -20,7 +22,47 @@ _STATIC_TV = _STATIC_D + ("return_grad_norms",)
 D = jax.jit(_ops.D, static_argnames=_STATIC_D)
 D_T = jax.jit(_ops.D_T, static_argnames=_STATIC_D)
 compute_L21_norm = jax.jit(_ops.compute_L21_norm, static_argnames=("return_array",))
-tv_and_subgrad = jax.jit(_tv.tv_and_subgrad, static_argnames=_STATIC_TV)
+_tv_jnp = jax.jit(_tv.tv_and_subgrad, static_argnames=_STATIC_TV)
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("scheme", "reg_z_over_reg", "reg_time",
+                     "return_grad_norms", "interpret"),
+)
+def _tv_fused(img, scheme, reg_z_over_reg, reg_time, return_grad_norms,
+              interpret):
+    from ..core.config import TVConfig
+    from ..kernels.fused import tv_and_subgrad_fused
+
+    cfg = TVConfig(scheme=scheme, reg_z_over_reg=reg_z_over_reg,
+                   reg_time=reg_time)
+    return tv_and_subgrad_fused(img, cfg, interpret=interpret,
+                                return_grad_norms=return_grad_norms)
+
+
+def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
+                   reg_time=0.0, mask_static=None, factor_reg_static=0.0,
+                   return_grad_norms=False):
+    """tv + subgradient, auto-dispatched to the fused Pallas kernels on TPU
+    when the instance supports them (no masks, plane fits VMEM), else the
+    jnp path — numerics identical either way."""
+    from ..core.config import TVConfig
+    from ..kernels.dispatch import can_fuse, default_interpret
+
+    cfg = TVConfig(scheme=scheme, reg_z_over_reg=reg_z_over_reg,
+                   reg_time=reg_time)
+    if (mask is None and mask_static is None and hasattr(img, "shape")
+            and len(img.shape) == 4 and jax.default_backend() == "tpu"
+            and can_fuse(tuple(img.shape), cfg,
+                         dtype=jax.numpy.asarray(img).dtype.name)):
+        return _tv_fused(jax.numpy.asarray(img), scheme, reg_z_over_reg,
+                         reg_time, return_grad_norms, default_interpret())
+    return _tv_jnp(img, scheme=scheme, mask=mask,
+                   reg_z_over_reg=reg_z_over_reg, reg_time=reg_time,
+                   mask_static=mask_static,
+                   factor_reg_static=factor_reg_static,
+                   return_grad_norms=return_grad_norms)
 
 
 def normalize_mask(mask_static):

@@ -73,7 +73,8 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
 
 @functools.partial(
     jax.jit,
-    static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau", "fused"),
+    static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
+                     "fused", "dual_dtype"),
 )
 def chambolle_pock(
     x_noisy,
@@ -86,6 +87,7 @@ def chambolle_pock(
     state: CPState = None,
     mask_static=None,
     fused: bool = None,
+    dual_dtype: str = None,
 ) -> CPResult:
     """Run ``n_iter`` Chambolle-Pock iterations on device.
 
@@ -95,6 +97,8 @@ def chambolle_pock(
 
     ``fused=None`` auto-selects the fused Pallas step (kernels/fused.py) when
     the problem supports it; ``fused=False`` forces the jnp path.
+    ``dual_dtype='bfloat16'`` (fused path only) stores the TV dual y_D in
+    bf16 — ~30% less HBM traffic per iteration at a small precision cost.
     """
     from ..kernels.dispatch import can_fuse, default_interpret
 
@@ -126,10 +130,14 @@ def chambolle_pock(
             )
             return (x, y_A, y_D_int), loss
 
-        carry = (state.x, state.y_A, to_internal_layout(state.y_D))
+        y_D_int = to_internal_layout(state.y_D)
+        if dual_dtype is not None:
+            y_D_int = y_D_int.astype(dual_dtype)
+        carry = (state.x, state.y_A, y_D_int)
         (x, y_A, y_D_int), losses = jax.lax.scan(body_fused, carry,
                                                  length=n_iter)
-        final = CPState(x, y_A, from_internal_layout(y_D_int))
+        final = CPState(x, y_A,
+                        from_internal_layout(y_D_int).astype(state.y_D.dtype))
         return CPResult(x=final.x, state=final, loss=losses)
 
     def body(st, _):

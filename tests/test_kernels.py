@@ -93,3 +93,17 @@ def test_can_fuse_guard():
     assert can_fuse((8, 4, 2048, 2048), cfg)
     assert not can_fuse((8, 4, 256, 256), cfg, dtype="float64")  # f32 only
     assert not can_fuse((8, 4, 256, 256), cfg, mask_static=np.ones((1, 1, 256, 256), bool))
+
+
+def test_bf16_dual_storage(x0):
+    """dual_dtype='bfloat16' (fused-only): same trajectory within bf16
+    tolerance, big HBM traffic cut (measured 1.5x on TPU v5e)."""
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    a = chambolle_pock(x0, n_iter=15, reg=0.3, cfg=cfg, fused=True)
+    b = chambolle_pock(x0, n_iter=15, reg=0.3, cfg=cfg, fused=True,
+                       dual_dtype="bfloat16")
+    np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
+                               rtol=2e-2)
+    assert b.state.y_D.dtype == a.state.y_D.dtype  # public state stays f32

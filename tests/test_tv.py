@@ -72,9 +72,10 @@ def test_make_tv_grad_finite_on_flat_image():
 def test_jit_cache_reuse():
     """Repeated calls with the same config must not retrace (SURVEY.md 3.2:
     the reference re-pays dispatch per call; we hit the executable cache)."""
+    from pytv4d_tpu.ops import api
+
     img = jnp.asarray(np.random.default_rng(1).random((2, 1, 8, 8)))
-    f = ptv.tv_and_subgrad
-    f(img, "hybrid")
-    misses0 = f._cache_size()
-    f(img, "hybrid")
-    assert f._cache_size() == misses0
+    api.tv_and_subgrad(img, "hybrid")
+    misses0 = api._tv_jnp._cache_size()
+    api.tv_and_subgrad(img, "hybrid")
+    assert api._tv_jnp._cache_size() == misses0
