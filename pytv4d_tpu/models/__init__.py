@@ -1,2 +1,3 @@
-from . import denoise
+from . import ct, denoise
+from .ct import cp_reconstruct, make_projector, radon
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

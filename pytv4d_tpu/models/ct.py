@@ -1,0 +1,191 @@
+"""Tomographic reconstruction: parallel-beam projector + TV-regularized
+primal-dual reconstruction.
+
+The reference library exists to regularize iterative CT reconstruction
+(``README.md:2``, Boigne et al. IEEE TCI 2022, doi 10.1109/TCI.2022.3215096)
+but ships no projector — users bring their own.  This module completes the
+workflow TPU-natively:
+
+- :func:`radon` / :func:`make_projector` — differentiable parallel-beam
+  forward projector over the canonical ``(Nz, M, N, N)`` volume (bilinear
+  sampling, linear in the image), with the **exact adjoint** obtained by
+  ``jax.linear_transpose`` — the pair passes the dot-product test to fp
+  precision, so primal-dual solvers converge as theory says.
+- per-frame angle sets: dynamic CT interleaves projection angles across time
+  frames (the paper's setting); ``angles`` may be ``(n_angles,)`` shared or
+  ``(M, n_angles)`` per-frame.
+- :func:`cp_reconstruct` — Chambolle-Pock for
+  ``min_x 1/2 ||A x - b||^2 + reg * TV(x)`` with both duals, device-resident
+  ``lax.scan``, step sizes from a power-method estimate of ``||A||``.
+
+The z axis decomposes trivially (parallel beam) — the same (z, t) mesh
+sharding as denoising applies, which is exactly why the reference chose the
+``(Nz, M, N, N)`` layout (``README.md:235``).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import TVConfig
+from ..core.schemes import num_channels, operator_norm_bound_sq
+from ..ops.operators import D, D_T, compute_L21_norm
+
+
+def _slice_radon(img2d, thetas, n_det: int):
+    """Parallel-beam Radon transform of one (N, N) slice for all angles.
+
+    Line integral along direction theta: detector coordinate s runs across
+    the beam, integration coordinate t along it.  Bilinear sampling keeps the
+    map linear in ``img2d``.
+    """
+    N = img2d.shape[-1]
+    c = (N - 1) / 2.0
+    s_axis = jnp.arange(n_det, dtype=img2d.dtype) - (n_det - 1) / 2.0
+    t_axis = jnp.arange(N, dtype=img2d.dtype) - (N - 1) / 2.0
+
+    def one_angle(theta):
+        cos, sin = jnp.cos(theta), jnp.sin(theta)
+        S, T = jnp.meshgrid(s_axis, t_axis, indexing="ij")
+        rows = c + S * cos + T * sin
+        cols = c - S * sin + T * cos
+        vals = jax.scipy.ndimage.map_coordinates(
+            img2d, [rows, cols], order=1, mode="constant", cval=0.0
+        )
+        return jnp.sum(vals, axis=-1)
+
+    return jax.vmap(one_angle)(thetas)  # (n_angles, n_det)
+
+
+def radon(vol, angles, n_det: Optional[int] = None):
+    """Forward-project a ``(Nz, M, N, N)`` volume.
+
+    angles: ``(n_angles,)`` shared across frames, or ``(M, n_angles)`` with a
+    distinct angle set per time frame (dynamic CT).  Returns a sinogram
+    ``(Nz, M, n_angles, n_det)``.
+    """
+    vol = jnp.asarray(vol)
+    angles = jnp.asarray(angles, vol.dtype)
+    N = vol.shape[-1]
+    n_det = n_det or N
+    per_frame = angles.ndim == 2
+
+    slice_fn = functools.partial(_slice_radon, n_det=n_det)
+    if per_frame:
+        # vmap over z (shared angles) then over m (per-frame angles)
+        over_m = jax.vmap(slice_fn, in_axes=(0, 0))          # (M,N,N),(M,A)
+        over_zm = jax.vmap(over_m, in_axes=(0, None))        # (Nz,...)
+        return over_zm(vol, angles)
+    over_m = jax.vmap(slice_fn, in_axes=(0, None))
+    over_zm = jax.vmap(over_m, in_axes=(0, None))
+    return over_zm(vol, angles)
+
+
+def make_projector(vol_shape, angles, n_det: Optional[int] = None,
+                   dtype=jnp.float32):
+    """Build ``(A, A_T)`` for a fixed geometry.  ``A_T`` is the exact
+    transpose of the linear map ``A`` (via ``jax.linear_transpose``), so
+    ``<y, A x> == <A_T y, x>`` holds to fp precision — the same adjointness
+    contract the TV operators satisfy (SURVEY.md section 4 oracle 1)."""
+    angles = jnp.asarray(angles, dtype)
+    n_det = n_det or vol_shape[-1]
+
+    def A(x):
+        return radon(x, angles, n_det=n_det)
+
+    primal = jax.ShapeDtypeStruct(tuple(vol_shape), dtype)
+    transpose = jax.linear_transpose(A, primal)
+
+    def A_T(y):
+        (x_bar,) = transpose(y)
+        return x_bar
+
+    return A, A_T
+
+
+def estimate_op_norm(A, A_T, vol_shape, n_iter: int = 12, seed: int = 0,
+                     dtype=jnp.float32):
+    """Power-method estimate of ||A||_2 (for primal-dual step sizes)."""
+    x = jnp.asarray(
+        np.random.default_rng(seed).standard_normal(vol_shape), dtype
+    )
+
+    def body(x, _):
+        y = A_T(A(x))
+        n = jnp.sqrt(jnp.sum(jnp.square(y)))
+        return y / jnp.maximum(n, 1e-30), n
+
+    _, norms = jax.lax.scan(body, x / jnp.sqrt(jnp.sum(jnp.square(x))),
+                            length=n_iter)
+    return jnp.sqrt(norms[-1])
+
+
+class CPReconResult(NamedTuple):
+    x: jax.Array       # reconstructed volume (Nz, M, N, N)
+    loss: jax.Array    # per-iteration 1/2||Ax-b||^2 + reg*TV history
+
+
+def cp_reconstruct(
+    sino,
+    angles,
+    vol_shape,
+    n_iter: int = 100,
+    reg: float = 1.0,
+    cfg: TVConfig = TVConfig(),
+    n_det: Optional[int] = None,
+    op_norm: Optional[float] = None,
+    x_init=None,
+):
+    """TV-regularized reconstruction ``min_x 1/2||A x - b||^2 + reg TV(x)``
+    with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
+    (step rule ``tau * sigma * (||A||^2 + ||D||^2) <= 1``)."""
+    sino = jnp.asarray(sino)
+    dtype = sino.dtype
+    A, A_T = make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
+    if op_norm is None:
+        op_norm = float(estimate_op_norm(A, A_T, vol_shape, dtype=dtype))
+    L_sq = op_norm ** 2 + operator_norm_bound_sq(
+        cfg.scheme, vol_shape[0], vol_shape[1], cfg.reg_z_over_reg, cfg.reg_time
+    )
+    sigma = tau = float(1.0 / np.sqrt(L_sq))
+    kw = cfg.kwargs()
+
+    Nd = num_channels(cfg.scheme, vol_shape[0], vol_shape[1],
+                      cfg.reg_z_over_reg, cfg.reg_time)
+    x0 = jnp.zeros(vol_shape, dtype) if x_init is None else jnp.asarray(x_init, dtype)
+
+    @functools.partial(jax.jit, static_argnames=())
+    def run(sino, x0):
+        y_A = jnp.zeros_like(sino)
+        y_D = jnp.zeros((vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]),
+                        dtype)
+
+        def step(carry, _):
+            x, x_bar, y_A, y_D = carry
+            # dual ascent on the fidelity: prox of (1/2||.-b||^2)*
+            y_A = (y_A + sigma * (A(x_bar) - sino)) / (1.0 + sigma)
+            # dual ascent on TV: project onto the reg-ball (README.md:150-151)
+            p = y_D + sigma * D(x_bar, cfg.scheme, **kw)
+            p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+            y_D = p / jnp.maximum(1.0, p_norms / reg)
+            # primal descent + over-relaxation (theta = 1)
+            x_new = x - tau * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
+            x_bar = 2.0 * x_new - x
+            resid = A(x_new) - sino
+            loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * compute_L21_norm(
+                D(x_new, cfg.scheme, **kw)
+            )
+            return (x_new, x_bar, y_A, y_D), loss
+
+        (x, _, _, _), losses = jax.lax.scan(
+            step, (x0, x0, y_A, y_D), length=n_iter
+        )
+        return x, losses
+
+    x, losses = run(sino, x0)
+    return CPReconResult(x=x, loss=losses)

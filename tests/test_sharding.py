@@ -136,3 +136,43 @@ def test_gspmd_auto_sharding_matches():
     tv_l, G_l = ptv.tv_and_subgrad(jnp.asarray(img), "hybrid")
     assert float(tv_s) == pytest.approx(float(tv_l), rel=1e-12)
     np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_l), rtol=1e-11)
+
+
+def test_gspmd_full_solvers_sharded():
+    """Whole jitted solvers (scan included) run on sharded inputs — XLA
+    partitions the entire iteration loop; results match unsharded."""
+    rng = np.random.default_rng(37)
+    shape = (8, 2, 16, 16)
+    noisy = jnp.asarray(rng.random(shape) + 5.0)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    mesh = make_mesh(z=8, t=1)
+    noisy_sh = shard_volume(noisy, mesh, shard_time=False)
+
+    from pytv4d_tpu.solvers import admm, subgradient_descent
+
+    ref_cp = chambolle_pock(noisy, n_iter=15, reg=0.4, cfg=cfg)
+    got_cp = chambolle_pock(noisy_sh, n_iter=15, reg=0.4, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got_cp.loss), np.asarray(ref_cp.loss),
+                               rtol=1e-10)
+
+    ref_gd = subgradient_descent(noisy, n_iter=15, reg=0.4, step_size=1e-2, cfg=cfg)
+    got_gd = subgradient_descent(noisy_sh, n_iter=15, reg=0.4, step_size=1e-2, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got_gd.loss), np.asarray(ref_gd.loss),
+                               rtol=1e-10)
+
+    ref_ad = admm(noisy, n_iter=8, reg=0.4, cfg=cfg)
+    got_ad = admm(noisy_sh, n_iter=8, reg=0.4, cfg=cfg)
+    np.testing.assert_allclose(np.asarray(got_ad.loss), np.asarray(ref_ad.loss),
+                               rtol=1e-8)
+
+
+def test_weak_scaling_harness_runs():
+    """The weak-scaling sweep executes on the virtual CPU mesh and reports
+    sane efficiencies (no perf assertion on CPU)."""
+    from pytv4d_tpu.bench import weak_scaling
+
+    res = weak_scaling(base_shape=(2, 2, 16, 16), n_iter=3, repeats=1,
+                       device_counts=[1, 2, 4])
+    assert set(res) == {1, 2, 4}
+    for n, row in res.items():
+        assert row["it_per_s"] > 0 and np.isfinite(row["efficiency"])
