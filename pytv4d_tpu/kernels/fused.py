@@ -163,22 +163,37 @@ def _row_dt(kind, y, y_up_row, y_dn_row, r, R):
     )
 
 
-def _cross_d(kind, center, prev_tile, nxt_tile, idx, n):
-    """Difference channel along a grid axis (z or t) at the current tile."""
+def _cross_d(kind, center, prev_tile, nxt_tile, idx, n, gate=True):
+    """Difference channel along a grid axis (z or t) at the current tile.
+    ``gate=False`` (sharded halo mode): ghost neighbor planes already encode
+    the one-sided boundary (edge ghost -> 0 for FWD/BWD, reflect for CTR)."""
     if kind == FWD:
-        return _gate(idx == n - 1, nxt_tile - center)
+        d = nxt_tile - center
+        return _gate(idx == n - 1, d) if gate else d
     if kind == BWD:
-        return _gate(idx == 0, center - prev_tile)
-    return _gate(jnp.logical_or(idx == 0, idx == n - 1), nxt_tile - prev_tile)
+        d = center - prev_tile
+        return _gate(idx == 0, d) if gate else d
+    d = nxt_tile - prev_tile
+    if gate:
+        return _gate(jnp.logical_or(idx == 0, idx == n - 1), d)
+    return d
 
 
-def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n):
-    """Adjoint contribution of a grid-axis channel at the current tile."""
+def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n, gate=True):
+    """Adjoint contribution of a grid-axis channel at the current tile.
+    ``gate=False`` (sharded halo mode): relies on zero halos plus the
+    zero-at-invalid-slot invariant of CP dual variables."""
     if kind == FWD:
-        return _gate(idx == 0, y_prev) - _gate(idx == n - 1, y_center)
+        if gate:
+            return _gate(idx == 0, y_prev) - _gate(idx == n - 1, y_center)
+        return y_prev - y_center
     if kind == BWD:
-        return _gate(idx == 0, y_center) - _gate(idx == n - 1, y_nxt)
-    return _gate(idx <= 1, y_prev) - _gate(idx >= n - 2, y_nxt)
+        if gate:
+            return _gate(idx == 0, y_center) - _gate(idx == n - 1, y_nxt)
+        return y_center - y_nxt
+    if gate:
+        return _gate(idx <= 1, y_prev) - _gate(idx >= n - 2, y_nxt)
+    return y_prev - y_nxt
 
 
 # ---------------------------------------------------------------------------
@@ -192,15 +207,21 @@ class _Specs:
         self.R = Nr // TR
         self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
 
-    def vol(self, shift_z=0, shift_t=0):
+    def vol(self, shift_z=0, shift_t=0, ext=False):
         """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
-        clamped neighbor plane."""
+        clamped neighbor plane.  ``ext=True`` reads a halo-extended
+        (Nz+2, M+2, Nr, Nc) array with unclamped shifted maps (sharded halo
+        mode: ghost planes encode the boundary conditions)."""
         Nz, M = self.Nz, self.M
 
-        def index_map(z, m, r):
-            zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
-            mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-            return (zi, mi, r, 0)
+        if ext:
+            def index_map(z, m, r):
+                return (z + 1 + shift_z, m + 1 + shift_t, r, 0)
+        else:
+            def index_map(z, m, r):
+                zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
+                mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
+                return (zi, mi, r, 0)
 
         return pl.BlockSpec((1, 1, self.TR, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
@@ -230,14 +251,19 @@ class _Specs:
         return pl.BlockSpec((1, 1, self.Nd, self.TR, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
-    def dvol_chan(self, chan, shift_z=0, shift_t=0):
-        """Single-channel neighbor tile of the internal D-volume."""
+    def dvol_chan(self, chan, shift_z=0, shift_t=0, ext=False):
+        """Single-channel neighbor tile of the internal D-volume (``ext``:
+        read a zero-halo-extended (Nz+2, M+2, Nd, Nr, Nc) array)."""
         Nz, M = self.Nz, self.M
 
-        def index_map(z, m, r):
-            zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
-            mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-            return (zi, mi, chan, r, 0)
+        if ext:
+            def index_map(z, m, r):
+                return (z + 1 + shift_z, m + 1 + shift_t, chan, r, 0)
+        else:
+            def index_map(z, m, r):
+                zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
+                mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
+                return (zi, mi, chan, r, 0)
 
         return pl.BlockSpec((1, 1, 1, self.TR, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
@@ -280,11 +306,15 @@ def _sum_parts(parts):
     return jnp.sum(parts[..., 0, 0])
 
 
-def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None):
+def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
+           table_dims=None):
     Nz, M, Nr, Nc = shape
     dtype = jnp.dtype(dtype_name)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
-    chans, norm = scheme_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg,
+    # channel gating/kinds come from the GLOBAL volume dims under sharding
+    # (a 2-plane shard of a central-scheme volume must keep CTR channels)
+    tNz, tM = table_dims if table_dims is not None else (Nz, M)
+    chans, norm = scheme_channels(cfg.scheme, tNz, tM, cfg.reg_z_over_reg,
                                   cfg.reg_time)
     weights = tuple(
         channel_weight(ch, cfg.reg_z_over_reg, cfg.reg_time) * norm
@@ -294,6 +324,19 @@ def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None):
     TR = choose_row_tile(Nr, Nc, len(chans), dtype.itemsize, min_rows=dthin)
     sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin)
     return sp, chans, weights, norm, dtype
+
+
+def _ext_rows(sp, direction: int):
+    """Thin row block of the halo-extended x array's *center* plane."""
+    blocks_per_tile = sp.TR // 8
+    last = sp.Nr // 8 - 1
+
+    def index_map(z, m, r):
+        if direction < 0:
+            return (z + 1, m + 1, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+        return (z + 1, m + 1, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+
+    return pl.BlockSpec((1, 1, 8, sp.Nc), index_map, memory_space=pltpu.VMEM)
 
 
 def _seam_rows(sp, x_up_ref, x_dn_ref, view):
@@ -311,7 +354,7 @@ def _seam_rows(sp, x_up_ref, x_dn_ref, view):
 
 
 def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
-                z, m, r, sp):
+                z, m, r, sp, gate_zt=True):
     """All weighted D channels of the current tile (VMEM-resident only)."""
     ds = []
     for ch, w in zip(chans, weights):
@@ -320,9 +363,9 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
         elif ch.axis == AXIS_COL:
             d = _col_d(x, ch.kind)
         elif ch.axis == AXIS_Z:
-            d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz)
+            d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz, gate=gate_zt)
         else:
-            d = _cross_d(ch.kind, x, x_tm, x_tp, m, sp.M)
+            d = _cross_d(ch.kind, x, x_tm, x_tp, m, sp.M, gate=gate_zt)
         ds.append(d * w)
     return ds
 
@@ -330,7 +373,8 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
 @functools.lru_cache(maxsize=None)
 def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                         sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
-                        dual_dtype_name=None):
+                        dual_dtype_name=None, halo_mode=False,
+                        table_dims=None):
     """Pass A: (x, x0, y_A, y_D) -> (y_A', y_D', l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
@@ -340,9 +384,14 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     ``dual_dtype_name='bfloat16'`` stores y_D in bf16 (the dominant HBM
     traffic term; compute stays f32) — a speed/precision trade for long
     production runs.
+
+    ``halo_mode=True`` (sharded execution inside shard_map): ``shape`` is the
+    *local* block; x arrives halo-extended to (Nz+2, M+2, Nr, Nc) with ghost
+    planes encoding the global boundary (parallel/fused_halo.py), and z/t
+    boundary gating is disabled.
     """
     sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
-                                          dual_dtype_name)
+                                          dual_dtype_name, table_dims)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
 
@@ -362,7 +411,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         ds = _d_channels(chans, weights, x, up_row, dn_row,
                          x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
-                         z, m, r, sp)
+                         z, m, r, sp, gate_zt=not halo_mode)
 
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
@@ -379,10 +428,13 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         for i, p in enumerate(ps):
             yD_out[0, 0, i] = (p * inv_scale).astype(dual_dtype)
 
-    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
-                sp.vol(0, 1)]
+    ext = halo_mode
+    in_specs = [sp.vol(ext=ext), sp.vol(-1, 0, ext=ext), sp.vol(1, 0, ext=ext),
+                sp.vol(0, -1, ext=ext), sp.vol(0, 1, ext=ext)]
     if sp.R > 1:
-        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+        # thin row blocks always read the unextended rows of the center plane
+        in_specs += [_ext_rows(sp, -1) if ext else sp.vol_rows(-1),
+                     _ext_rows(sp, 1) if ext else sp.vol_rows(1)]
     in_specs += [sp.vol(), sp.vol(), sp.dvol()]
 
     fn = pl.pallas_call(
@@ -428,18 +480,20 @@ def _neighbor_plan(chans, sp):
     return tuple(plan)
 
 
-def _plan_spec(sp, key):
+def _plan_spec(sp, key, ext=False):
     i, axis, d = key
     if axis == "z":
-        return sp.dvol_chan(i, shift_z=d)
+        return sp.dvol_chan(i, shift_z=d, ext=ext)
     if axis == "t":
-        return sp.dvol_chan(i, shift_t=d)
+        return sp.dvol_chan(i, shift_t=d, ext=ext)
+    # row-seam thin blocks always read the (unextended) local y_D
     return sp.dvol_chan_rows(i, d)
 
 
 @functools.lru_cache(maxsize=None)
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                          tau=0.1, interpret=False, dual_dtype_name=None):
+                          tau=0.1, interpret=False, dual_dtype_name=None,
+                          halo_mode=False, table_dims=None):
     """Pass B: (x, x0, y_A', y_D') -> (x', fid_parts).
 
     Fuses D^T of the dual with the primal update and the fidelity partial of
@@ -448,9 +502,9 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     seams.
     """
     sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
-                                          dual_dtype_name)
+                                          dual_dtype_name, table_dims)
     plan = _neighbor_plan(chans, sp)
-    nb_specs = [_plan_spec(sp, key) for key in plan]
+    nb_specs = [_plan_spec(sp, key, ext=halo_mode) for key in plan]
 
     def kernel(*refs):
         x_ref, x0_ref, yA_ref, yD_ref = refs[:4]
@@ -479,10 +533,12 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 c = _col_dt(y_c, ch.kind)
             elif ch.axis == AXIS_Z:
                 c = _cross_dt(ch.kind, y_c, nb_tile(i, "z", -1),
-                              nb_tile(i, "z", 1), z, sp.Nz)
+                              nb_tile(i, "z", 1), z, sp.Nz,
+                              gate=not halo_mode)
             else:
                 c = _cross_dt(ch.kind, y_c, nb_tile(i, "t", -1),
-                              nb_tile(i, "t", 1), m, sp.M)
+                              nb_tile(i, "t", 1), m, sp.M,
+                              gate=not halo_mode)
             c = c * w
             dt = c if dt is None else dt + c
 
@@ -503,8 +559,14 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
         interpret=interpret,
     )
 
-    def call(x, x0, y_A, y_D):
-        return fn(x, x0, y_A, y_D, *([y_D] * len(plan)))
+    if halo_mode:
+        def call(x, x0, y_A, y_D, y_D_ext):
+            args = [y_D_ext if axis in ("z", "t") else y_D
+                    for (_, axis, _d) in plan]
+            return fn(x, x0, y_A, y_D, *args)
+    else:
+        def call(x, x0, y_A, y_D):
+            return fn(x, x0, y_A, y_D, *([y_D] * len(plan)))
 
     return call
 

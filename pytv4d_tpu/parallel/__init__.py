@@ -1,4 +1,5 @@
-from . import halo, mesh, multihost
+from . import fused_halo, halo, mesh, multihost
+from .fused_halo import internal_d_sharding, make_sharded_cp_solver_fused
 from .halo import (
     make_sharded_cp_solver,
     sharded_cp_step,

@@ -1,0 +1,195 @@
+"""Sharded fused CP: the Pallas kernels running inside shard_map over the
+(z, t) mesh — multi-chip execution with single-chip kernel efficiency.
+
+Halo strategy ("ghost planes"): before each fused pass, one boundary plane
+per direction is exchanged with ``lax.ppermute``; shards at the *global*
+boundary substitute a ghost plane chosen so that the ungated stencil
+reproduces the reference's one-sided zero boundary exactly:
+
+- FWD/BWD channels (upwind/downwind/hybrid): ghost = edge plane
+  (``d = ghost - edge = 0`` at the invalid slot);
+- CTR channels (central): ghost = reflected plane (``d = x[1] - ghost = 0``).
+
+The kernels then run with z/t gating disabled (``halo_mode=True`` in
+kernels/fused.py) and shifted index maps into the extended array.  The
+adjoint pass uses zero halos and relies on the CP invariant that dual
+variables are zero at globally-invalid slots (maintained by the forward pass
+and the zero initialization) — this module is a *solver* internal, not a
+general sharded D_T (use ``parallel.halo`` for that).
+
+Verified slot-exact against the unsharded fused path and the jnp solver on
+the virtual CPU mesh (tests/test_sharding.py).
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax, shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+from ..core.config import TVConfig
+from ..core.schemes import AXIS_T, AXIS_Z, CTR, scheme_channels
+from ..kernels.fused import (
+    _sum_parts,
+    make_cp_dual_kernel,
+    make_cp_primal_kernel,
+)
+from ..ops.operators import _sl
+from .halo import _ShardCtx, _mesh_axes, _plane_from_left, _plane_from_right
+from .mesh import T_AXIS, Z_AXIS
+
+
+def _axis_ghost_kind(chans, axis):
+    """'reflect' when the axis carries a CTR channel, else 'edge' (the
+    central scheme's small-axis fallback makes this per-axis uniform)."""
+    kinds = {ch.kind for ch in chans if ch.axis == axis}
+    if not kinds:
+        return "edge"
+    return "reflect" if CTR in kinds else "edge"
+
+
+def _extend_axis(x, axis, axis_name, n, ghost_kind):
+    """Concatenate one halo plane per side along ``axis``; boundary shards
+    substitute the ghost plane.  ``ghost_kind='zero'`` keeps the ppermute
+    zeros (used for dual-variable halos)."""
+    nd = x.ndim
+    if axis_name is None or n == 1:
+        lo = jnp.zeros_like(x[_sl(nd, axis, 0, 1)])
+        hi = jnp.zeros_like(lo)
+        is_first = is_last = True
+    else:
+        lo = _plane_from_left(x, axis, axis_name, n)
+        hi = _plane_from_right(x, axis, axis_name, n)
+        is_first = lax.axis_index(axis_name) == 0
+        is_last = lax.axis_index(axis_name) == n - 1
+
+    if ghost_kind != "zero":
+        L = x.shape[axis]
+        if ghost_kind == "edge":
+            g_lo = x[_sl(nd, axis, 0, 1)]
+            g_hi = x[_sl(nd, axis, -1, None)]
+        else:  # reflect: globally x[1] / x[L-2]; with a 1-plane shard those
+            # live on the neighbor — which is exactly the exchanged halo
+            g_lo = x[_sl(nd, axis, 1, 2)] if L > 1 else hi
+            g_hi = x[_sl(nd, axis, -2, -1)] if L > 1 else lo
+        if isinstance(is_first, bool):
+            lo, hi = g_lo, g_hi
+        else:
+            lo = jnp.where(is_first, g_lo, lo)
+            hi = jnp.where(is_last, g_hi, hi)
+    return jnp.concatenate([lo, x, hi], axis=axis)
+
+
+def make_sharded_cp_solver_fused(
+    mesh: Mesh,
+    cfg: TVConfig,
+    global_shape,
+    *,
+    reg,
+    n_iter,
+    sigma_D=0.5,
+    sigma_A=1.0,
+    tau=None,
+    shard_time: bool = True,
+    dual_dtype=None,
+    interpret: bool = None,
+):
+    """jit(lax.scan(fused CP step under shard_map)).
+
+    Same call convention as ``parallel.halo.make_sharded_cp_solver`` but the
+    per-shard compute runs the fused Pallas kernels; y_D is carried in the
+    kernel-internal channel-contiguous layout and optionally bf16.
+    Channel gating uses the GLOBAL Nz/M (the kernels are built for the local
+    block shape but the channel table must not change per shard).
+    """
+    from ..kernels.dispatch import default_interpret
+    from ..solvers.cp import default_tau
+
+    if tau is None:
+        tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
+    if interpret is None:
+        interpret = default_interpret()
+
+    ctx = _ShardCtx(mesh, shard_time)
+    Nz_g, M_g = global_shape[0], global_shape[1]
+    if Nz_g % ctx.nz or M_g % ctx.nt:
+        raise ValueError(
+            f"global shape {global_shape} not divisible by mesh "
+            f"(z={ctx.nz}, t={ctx.nt})"
+        )
+    local_shape = (Nz_g // ctx.nz, M_g // ctx.nt) + tuple(global_shape[2:])
+
+    # channel table from GLOBAL dims; the kernels get a cfg whose gating
+    # reproduces it on the local block (reg flags are global properties)
+    chans, _ = scheme_channels(cfg.scheme, Nz_g, M_g, cfg.reg_z_over_reg,
+                               cfg.reg_time)
+    dt_name = "float32"
+    dual_name = dual_dtype or dt_name
+    table_dims = (Nz_g, M_g)
+    dual = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D, sigma_A,
+                               reg, interpret, dual_dtype_name=dual_name,
+                               halo_mode=True, table_dims=table_dims)
+    primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau, interpret,
+                                   dual_dtype_name=dual_name, halo_mode=True,
+                                   table_dims=table_dims)
+
+    ghost_z = _axis_ghost_kind(chans, AXIS_Z)
+    ghost_t = _axis_ghost_kind(chans, AXIS_T)
+    z_name = Z_AXIS if ctx.nz > 1 else None
+    t_name = T_AXIS if ctx.nt > 1 else None
+    axes = _mesh_axes(ctx)
+
+    t_spec = T_AXIS if ctx.nt > 1 else None
+    vol = P(Z_AXIS if ctx.nz > 1 else None, t_spec, None, None)
+    dvol_int = P(Z_AXIS if ctx.nz > 1 else None, t_spec, None, None, None)
+
+    def _extend_x(x):
+        x = _extend_axis(x, 0, z_name, ctx.nz, ghost_z)
+        return _extend_axis(x, 1, t_name, ctx.nt, ghost_t)
+
+    def _extend_y(y):  # (nz, m, Nd, Nr, Nc): zero halos
+        y = _extend_axis(y, 0, z_name, ctx.nz, "zero")
+        return _extend_axis(y, 1, t_name, ctx.nt, "zero")
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(vol, vol, dvol_int, vol),
+        out_specs=(vol, vol, dvol_int, P()),
+        check_vma=False,
+    )
+    def step(x, y_A, y_D_int, x_noisy):
+        x_ext = _extend_x(x)
+        y_A, y_D_int, l21_parts = dual(x_ext, x_noisy, y_A, y_D_int)
+        y_ext = _extend_y(y_D_int)
+        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext)
+        loss_local = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
+        loss = lax.psum(loss_local, axes) if axes else loss_local
+        return x, y_A, y_D_int, loss
+
+    @jax.jit
+    def solve(x_noisy, x, y_A, y_D_int):
+        def body(carry, _):
+            x, y_A, y_D_int = carry
+            x, y_A, y_D_int, loss = step(x, y_A, y_D_int, x_noisy)
+            return (x, y_A, y_D_int), loss
+
+        (x, y_A, y_D_int), losses = lax.scan(
+            body, (x, y_A, y_D_int), length=n_iter
+        )
+        return x, y_A, y_D_int, losses
+
+    return solve
+
+
+def internal_d_sharding(mesh: Mesh, shard_time: bool = True):
+    """NamedSharding for the internal-layout (Nz, M, Nd, Nr, Nc) dual."""
+    from jax.sharding import NamedSharding
+
+    t_spec = T_AXIS if (shard_time and mesh.shape[T_AXIS] > 1) else None
+    return NamedSharding(
+        mesh, P(Z_AXIS if mesh.shape[Z_AXIS] > 1 else None, t_spec,
+                None, None, None)
+    )

@@ -176,3 +176,59 @@ def test_weak_scaling_harness_runs():
     assert set(res) == {1, 2, 4}
     for n, row in res.items():
         assert row["it_per_s"] > 0 and np.isfinite(row["efficiency"])
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_sharded_fused_cp_tracks_unsharded(scheme):
+    """Fused Pallas CP under shard_map (ghost-plane halos) must track the
+    unsharded jnp solver for every scheme, including central's reflect
+    ghosts and 1-plane-per-shard cases."""
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import internal_d_sharding, make_sharded_cp_solver_fused
+
+    rng = np.random.default_rng(38)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme=scheme, reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+    mesh = _mesh42()
+
+    ref = chambolle_pock(noisy, n_iter=20, reg=0.4, cfg=cfg, fused=False)
+    solve = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4, n_iter=20)
+    st = init_state(noisy, cfg)
+    x, _, _, losses = solve(
+        shard_volume(noisy, mesh),
+        shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(to_internal_layout(st.y_D), internal_d_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_fused_cp_one_plane_shards():
+    """z=8 mesh over Nz=8: every shard holds ONE z-plane — all z stencil
+    reads cross shards, and central's reflect ghost comes from the halo."""
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import internal_d_sharding, make_sharded_cp_solver_fused
+
+    rng = np.random.default_rng(39)
+    shape = (8, 2, 16, 16)
+    cfg = TVConfig(scheme="central", reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+    mesh = make_mesh(z=8, t=1)
+
+    ref = chambolle_pock(noisy, n_iter=15, reg=0.4, cfg=cfg, fused=False)
+    solve = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4, n_iter=15,
+                                         shard_time=False)
+    st = init_state(noisy, cfg)
+    x, _, _, losses = solve(
+        shard_volume(noisy, mesh, shard_time=False),
+        shard_volume(st.x, mesh, shard_time=False),
+        shard_volume(st.y_A, mesh, shard_time=False),
+        jax.device_put(to_internal_layout(st.y_D),
+                       internal_d_sharding(mesh, shard_time=False)),
+    )
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-5)
