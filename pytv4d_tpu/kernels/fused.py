@@ -440,6 +440,8 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.dvol(), sp.part()),
         out_shape=(
@@ -550,6 +552,8 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel")),
         in_specs=[sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(
