@@ -437,11 +437,17 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                      _ext_rows(sp, 1) if ext else sp.vol_rows(1)]
     in_specs += [sp.vol(), sp.vol(), sp.dvol()]
 
+    # y_A / y_D update in place (no neighbor reads; block-aligned writes):
+    # halves the transient HBM footprint so pod-scale volumes fit one chip
+    n_x = 7 if sp.R > 1 else 5
+    aliases = {n_x + 1: 0, n_x + 2: 1}  # y_A and y_D (same dtype in/out)
+
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
+        input_output_aliases=aliases,
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.dvol(), sp.part()),
         out_shape=(
@@ -554,6 +560,7 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
         grid=sp.grid,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
+        input_output_aliases={0: 0},  # x updates in place (center-only read)
         in_specs=[sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(

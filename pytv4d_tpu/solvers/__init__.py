@@ -3,4 +3,10 @@ from . import cp, gd, state
 from .admm import ADMMResult, ADMMState, admm, admm_step, group_soft_threshold
 from .cp import CPResult, CPState, chambolle_pock, cp_step, default_tau
 from .gd import GDResult, gd_step, subgradient_descent
-from .state import load_state, run_checkpointed, save_state
+from .state import (
+    load_state,
+    load_state_orbax,
+    run_checkpointed,
+    save_state,
+    save_state_orbax,
+)

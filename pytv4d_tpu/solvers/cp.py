@@ -74,7 +74,7 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
 @functools.partial(
     jax.jit,
     static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
-                     "fused", "dual_dtype"),
+                     "fused", "dual_dtype", "return_dual"),
 )
 def chambolle_pock(
     x_noisy,
@@ -88,6 +88,7 @@ def chambolle_pock(
     mask_static=None,
     fused: bool = None,
     dual_dtype: str = None,
+    return_dual: bool = True,
 ) -> CPResult:
     """Run ``n_iter`` Chambolle-Pock iterations on device.
 
@@ -99,13 +100,14 @@ def chambolle_pock(
     the problem supports it; ``fused=False`` forces the jnp path.
     ``dual_dtype='bfloat16'`` (fused path only) stores the TV dual y_D in
     bf16 — ~30% less HBM traffic per iteration at a small precision cost.
+    ``return_dual=False`` drops y_D from the result (state.y_D is None) —
+    needed when the volume is so large that converting the dual back to the
+    public layout would not fit HBM.
     """
     from ..kernels.dispatch import can_fuse, default_interpret
 
     if tau is None:
         tau = default_tau(cfg, x_noisy.shape[0], x_noisy.shape[1], sigma_A)
-    if state is None:
-        state = init_state(x_noisy, cfg)
     if fused is None:
         fused = mask_static is None and can_fuse(
             tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
@@ -113,7 +115,10 @@ def chambolle_pock(
 
     if fused:
         # y_D rides the scan in the kernel-internal channel-contiguous layout
-        # (one transpose in, one out — not per iteration)
+        # (one transpose in, one out — not per iteration); for a fresh run
+        # it is allocated directly in its storage dtype so pod-scale volumes
+        # never materialize the f32 dual (12.9 GB for the (96,16,512,512)
+        # north-star case)
         from ..kernels.fused import (
             cp_step_fused_internal,
             from_internal_layout,
@@ -121,6 +126,21 @@ def chambolle_pock(
         )
 
         interpret = default_interpret()
+        out_dual_dtype = x_noisy.dtype
+
+        if state is None:
+            Nz, M = x_noisy.shape[0], x_noisy.shape[1]
+            Nd = num_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg,
+                              cfg.reg_time)
+            y_D_int = jnp.zeros((Nz, M, Nd) + x_noisy.shape[2:],
+                                dtype=dual_dtype or x_noisy.dtype)
+            x, y_A = x_noisy, jnp.zeros_like(x_noisy)
+        else:
+            out_dual_dtype = state.y_D.dtype
+            y_D_int = to_internal_layout(state.y_D)
+            if dual_dtype is not None:
+                y_D_int = y_D_int.astype(dual_dtype)
+            x, y_A = state.x, state.y_A
 
         def body_fused(carry, _):
             x, y_A, y_D_int = carry
@@ -130,15 +150,18 @@ def chambolle_pock(
             )
             return (x, y_A, y_D_int), loss
 
-        y_D_int = to_internal_layout(state.y_D)
-        if dual_dtype is not None:
-            y_D_int = y_D_int.astype(dual_dtype)
-        carry = (state.x, state.y_A, y_D_int)
-        (x, y_A, y_D_int), losses = jax.lax.scan(body_fused, carry,
-                                                 length=n_iter)
-        final = CPState(x, y_A,
-                        from_internal_layout(y_D_int).astype(state.y_D.dtype))
+        (x, y_A, y_D_int), losses = jax.lax.scan(
+            body_fused, (x, y_A, y_D_int), length=n_iter
+        )
+        y_D_out = (
+            from_internal_layout(y_D_int).astype(out_dual_dtype)
+            if return_dual else None
+        )
+        final = CPState(x, y_A, y_D_out)
         return CPResult(x=final.x, state=final, loss=losses)
+
+    if state is None:
+        state = init_state(x_noisy, cfg)
 
     def body(st, _):
         st, loss = cp_step(

@@ -39,6 +39,26 @@ def load_state(path: str, like: Any) -> Any:
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 
+def save_state_orbax(path: str, pytree: Any) -> None:
+    """Save a solver-state pytree with orbax (async-capable, multi-host-safe
+    for sharded arrays — use this for pod runs; :func:`save_state` for simple
+    single-host npz snapshots)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(os.path.abspath(path), pytree, force=True)
+    ckptr.wait_until_finished()
+
+
+def load_state_orbax(path: str, like: Any) -> Any:
+    """Restore a pytree saved by :func:`save_state_orbax`; ``like`` supplies
+    structure/shapes/shardings (e.g. a freshly-initialized state)."""
+    import orbax.checkpoint as ocp
+
+    ckptr = ocp.StandardCheckpointer()
+    return ckptr.restore(os.path.abspath(path), like)
+
+
 def run_checkpointed(
     solver: Callable[..., Any],
     x_noisy,

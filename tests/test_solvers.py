@@ -102,3 +102,14 @@ def test_checkpoint_roundtrip(tmp_path, noisy_small):
     # save/load preserves the pytree exactly
     loaded = load_state(path, full.state)
     np.testing.assert_allclose(np.asarray(loaded.x), np.asarray(res.state.x))
+
+
+def test_orbax_checkpoint_roundtrip(tmp_path, noisy_small):
+    from pytv4d_tpu.solvers import load_state_orbax, save_state_orbax
+
+    res = chambolle_pock(noisy_small, n_iter=5)
+    path = str(tmp_path / "orbax_ckpt")
+    save_state_orbax(path, res.state)
+    loaded = load_state_orbax(path, res.state)
+    np.testing.assert_allclose(np.asarray(loaded.x), np.asarray(res.state.x))
+    np.testing.assert_allclose(np.asarray(loaded.y_D), np.asarray(res.state.y_D))
