@@ -159,12 +159,22 @@ def D(
     reg_time: float = 0.0,
     mask_static=False,
     factor_reg_static: float = 0.0,
+    weight_time=None,
     *,
     xp=jnp,
 ):
     """Discrete gradient operator; output ``(Nz, Nd, M, N_row, N_col)``.
 
     Parity: ``pytv/tv_operators_CPU.py:76-358`` (all four ``D_<scheme>``).
+
+    ``weight_time``: per-pixel weight matrix (broadcastable to
+    ``(Nz, M, N_row, N_col)``) multiplying the time channels — the
+    reference's own to-do (``README.md:258``: "replace mask_static,
+    factor_reg_static with a weight matrix ... passed directly onto all
+    functions").  Applied symmetrically in :func:`D_T` (pre-scatter) so
+    D/D_T stay exactly adjoint for ANY weight field, unlike the
+    mask_static path which replicates the reference's post-scatter
+    ordering.
     """
     check_volume(img)
     Nz, M = img.shape[0], img.shape[1]
@@ -178,8 +188,11 @@ def D(
         w = channel_weight(ch, reg_z_over_reg, reg_time)
         if w != 1.0:
             d = d * w
-        if use_mask and ch.weight == "t":
-            d = xp.where(mask_static, d * sqrt_factor, d)
+        if ch.weight == "t":
+            if use_mask:
+                d = xp.where(mask_static, d * sqrt_factor, d)
+            if weight_time is not None:
+                d = d * weight_time
         outs.append(d)
     D_img = xp.stack(outs, axis=1)
     if norm != 1.0:
@@ -194,6 +207,7 @@ def D_T(
     reg_time: float = 0.0,
     mask_static=False,
     factor_reg_static: float = 0.0,
+    weight_time=None,
     *,
     xp=jnp,
 ):
@@ -222,6 +236,9 @@ def D_T(
         w = channel_weight(ch, reg_z_over_reg, reg_time)
         if w != 1.0:
             y = y * w
+        if ch.weight == "t" and weight_time is not None:
+            # pre-scatter (exact transpose of D's weighting)
+            y = y * weight_time
         contrib = dt_channel(xp, y, ch.axis, ch.kind)
         if use_mask and ch.weight == "t":
             out_time = contrib if out_time is None else out_time + contrib

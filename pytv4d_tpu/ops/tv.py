@@ -64,6 +64,7 @@ def tv_and_subgrad(
     reg_time: float = 0.0,
     mask_static=False,
     factor_reg_static: float = 0.0,
+    weight_time=None,
     return_grad_norms: bool = False,
     *,
     xp=jnp,
@@ -89,6 +90,7 @@ def tv_and_subgrad(
         reg_time=reg_time,
         mask_static=mask_static,
         factor_reg_static=factor_reg_static,
+        weight_time=weight_time,
         xp=xp,
     )
     tv, grad_norms = compute_L21_norm(D_img, return_array=True, xp=xp)

@@ -106,3 +106,36 @@ def test_boundary_slots_are_zero():
     assert np.all(D[0, 5] == 0)             # z bwd
     assert np.all(D[:, 6, -1] == 0)         # t fwd
     assert np.all(D[:, 7, 0] == 0)          # t bwd
+
+
+def test_weight_time_matrix_adjoint_and_semantics():
+    """The reference's to-do (README.md:258): full per-pixel time-weight
+    matrix. Must (a) keep exact adjointness for arbitrary weight fields,
+    (b) reduce to the mask_static path for (1,1,N,N)-uniform masks."""
+    from pytv4d_tpu.ops import operators as O
+
+    rng = np.random.default_rng(12)
+    shape = (4, 3, 10, 10)
+    W = rng.random((4, 3, 10, 10)) + 0.5
+    kw = dict(reg_time=0.7, weight_time=W)
+    Nd = num_channels("hybrid", 4, 3, 1.0, 0.7)
+    X = rng.random(shape)
+    Y = rng.random((4, Nd, 3, 10, 10))
+    lhs = np.sum(Y * np.asarray(O.D(X, "hybrid", xp=np, **kw)))
+    rhs = np.sum(np.asarray(O.D_T(Y, "hybrid", xp=np, **kw)) * X)
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    # equivalence with mask_static for a z/t-uniform boolean mask
+    mask = np.zeros((1, 1, 10, 10), bool)
+    mask[0, 0, 2:7, 3:9] = True
+    factor = 0.3
+    W_eq = np.where(mask, np.sqrt(factor), 1.0)
+    D_mask = O.D(X, "hybrid", reg_time=0.7, mask_static=mask,
+                 factor_reg_static=factor, xp=np)
+    D_w = O.D(X, "hybrid", reg_time=0.7, weight_time=W_eq, xp=np)
+    np.testing.assert_allclose(D_w, D_mask, rtol=1e-14)
+
+    # tv layer accepts it too
+    from pytv4d_tpu.ops.tv import tv_and_subgrad
+    tv, G = tv_and_subgrad(X, "hybrid", reg_time=0.7, weight_time=W, xp=np)
+    assert np.isfinite(tv) and G.shape == X.shape
