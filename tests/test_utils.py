@@ -1,0 +1,76 @@
+"""Utility-layer tests: images, profiling models, finiteness checks,
+multihost no-op bootstrap, and example scripts."""
+
+import runpy
+import sys
+
+import numpy as np
+import pytest
+
+from pytv4d_tpu.utils import (
+    IterationTimer,
+    as_volume,
+    assert_finite,
+    cameraman,
+    cp_traffic_model,
+    roofline_fraction,
+    synthetic_phantom,
+)
+
+
+def test_cameraman_contract():
+    """Reference contract (``pytv/utils.py:46-55``): 256x256 integer image."""
+    img = cameraman()
+    assert img.shape == (256, 256)
+    assert img.dtype == np.int64
+    assert 0 <= img.min() and img.max() <= 255
+
+
+def test_synthetic_phantom_deterministic():
+    a, b = synthetic_phantom(64), synthetic_phantom(64)
+    np.testing.assert_array_equal(a, b)
+    assert a.min() >= 7 and a.max() <= 253
+
+
+def test_as_volume():
+    v = as_volume(np.ones((8, 8)), Nz=3, M=2)
+    assert v.shape == (3, 2, 8, 8)
+    v[0, 0, 0, 0] = 5  # must be writable (a copy, not a broadcast view)
+
+
+def test_traffic_model_and_roofline():
+    b = cp_traffic_model((8, 4, 64, 64), Nd=8)
+    assert b > 0
+    frac = roofline_fraction(b, 100.0)
+    assert 0 < frac < 10
+
+
+def test_assert_finite():
+    assert_finite({"a": np.ones(3)}, "state")
+    with pytest.raises(FloatingPointError, match="state"):
+        assert_finite({"a": np.array([1.0, np.inf])}, "state")
+
+
+def test_iteration_timer():
+    import jax.numpy as jnp
+
+    def run_n(n):
+        return jnp.arange(n, dtype=jnp.float32) if n else jnp.zeros(1)
+
+    its = IterationTimer(run_n, warmup_iters=1).measure(4, repeats=1)
+    assert its > 0
+
+
+def test_multihost_initialize_single_process():
+    from pytv4d_tpu.parallel import multihost
+
+    multihost.initialize()  # must no-op cleanly in a single process
+    assert multihost._initialized
+
+
+def test_example_scripts_run():
+    """The scheme-math and sharded examples must execute end to end (the
+    getting-started one is exercised via the solver tests; it just takes
+    longer)."""
+    for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py"):
+        runpy.run_path(script, run_name="__main__")
