@@ -207,16 +207,17 @@ class _Specs:
         self.R = Nr // TR
         self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
 
-    def vol(self, shift_z=0, shift_t=0, ext=False):
+    def vol(self, shift_z=0, shift_t=0, ext=0):
         """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
-        clamped neighbor plane.  ``ext=True`` reads a halo-extended
-        (Nz+2, M+2, Nr, Nc) array with unclamped shifted maps (sharded halo
-        mode: ghost planes encode the boundary conditions)."""
+        clamped neighbor plane.  ``ext=k`` (k > 0) reads a halo-extended
+        (Nz+2k, M+2k, Nr, Nc) array with unclamped shifted maps (sharded
+        halo mode: ghost planes encode the boundary conditions)."""
         Nz, M = self.Nz, self.M
+        ext = int(ext)
 
         if ext:
             def index_map(z, m, r):
-                return (z + 1 + shift_z, m + 1 + shift_t, r, 0)
+                return (z + ext + shift_z, m + ext + shift_t, r, 0)
         else:
             def index_map(z, m, r):
                 zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
@@ -326,15 +327,17 @@ def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
     return sp, chans, weights, norm, dtype
 
 
-def _ext_rows(sp, direction: int):
+def _ext_rows(sp, direction: int, ext: int = 1):
     """Thin row block of the halo-extended x array's *center* plane."""
     blocks_per_tile = sp.TR // 8
     last = sp.Nr // 8 - 1
 
     def index_map(z, m, r):
         if direction < 0:
-            return (z + 1, m + 1, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
-        return (z + 1, m + 1, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+            return (z + ext, m + ext,
+                    jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+        return (z + ext, m + ext,
+                jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
     return pl.BlockSpec((1, 1, 8, sp.Nc), index_map, memory_space=pltpu.VMEM)
 
@@ -631,10 +634,15 @@ def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
 
 @functools.lru_cache(maxsize=None)
 def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                         interpret=False):
+                         interpret=False, halo_mode=False, table_dims=None):
     """Pass 1 of the fused tv/subgradient: per-pixel gradient norms (with the
-    inf convention baked in) + per-tile tv partials, from x alone."""
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name)
+    inf convention baked in) + per-tile tv partials, from x alone.
+
+    ``halo_mode``: sharded execution — x arrives extended by 1 ghost plane
+    per side along z and t; z/t gating is disabled (the ghosts encode the
+    boundary; parallel/fused_halo.py)."""
+    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
+                                          table_dims=table_dims)
 
     def kernel(*refs):
         if sp.R == 1:
@@ -648,7 +656,7 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
         ds = _d_channels(chans, weights, x, up_row, dn_row,
                          x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
-                         z, m, r, sp)
+                         z, m, r, sp, gate_zt=not halo_mode)
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
             norms_sq = norms_sq + d * d
@@ -657,10 +665,12 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         # inf convention (tv_CPU.py:85-86): zero-norm pixels contribute 0
         norms_out[0, 0] = jnp.where(norms == 0, jnp.inf, norms)
 
-    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
-                sp.vol(0, 1)]
+    e = 1 if halo_mode else 0
+    in_specs = [sp.vol(ext=e), sp.vol(-1, 0, ext=e), sp.vol(1, 0, ext=e),
+                sp.vol(0, -1, ext=e), sp.vol(0, 1, ext=e)]
     if sp.R > 1:
-        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+        in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
+                     _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
 
     fn = pl.pallas_call(
         kernel,
@@ -683,15 +693,22 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
 @functools.lru_cache(maxsize=None)
 def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                           interpret=False):
+                           interpret=False, halo_mode=False, table_dims=None):
     """Pass 2: G from (x, norms) — the unweighted adjoint of ``D_x / norms``
     (``tv_CPU.py:92-124`` algebra), recomputing D_x in-registers instead of
     reading an Nd-channel volume from HBM.
 
     Needs x and norms at +-1 z/t tiles (and +-2 for the recomputed neighbor
     channels), plus 8-row thin blocks across row-tile seams.
+
+    ``halo_mode``: sharded execution — x arrives extended by TWO ghost
+    planes per side along z/t (clamp padding, or the central scheme's
+    zero-difference mirror), norms by ONE (safe-divisor ghosts); all z/t
+    gating is disabled (parallel/fused_halo.py).
     """
-    sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name)
+    sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name,
+                                             table_dims=table_dims)
+    gate = not halo_mode
 
     n_xs = 9  # center, z-1, z+1, t-1, t+1, z-2, z+2, t-2, t+2
     n_ns = 5  # center, z-1, z+1, t-1, t+1
@@ -768,31 +785,42 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                     y_up = y_dn = zero_row
                 c = _row_dt(ch.kind, y_c, y_up, y_dn, r, sp.R)
             elif ch.axis == AXIS_Z:
-                y_c = _cross_d(ch.kind, x_c, x_zm, x_zp, z, sp.Nz) * w * inv_n
+                y_c = _cross_d(ch.kind, x_c, x_zm, x_zp, z, sp.Nz,
+                               gate=gate) * w * inv_n
                 y_p = _cross_d(ch.kind, x_zm, x_zm2, x_c,
-                               jnp.maximum(z - 1, 0), sp.Nz) * w / n_zm
+                               jnp.maximum(z - 1, 0), sp.Nz,
+                               gate=gate) * w / n_zm
                 y_n = _cross_d(ch.kind, x_zp, x_c, x_zp2,
-                               jnp.minimum(z + 1, sp.Nz - 1), sp.Nz) * w / n_zp
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, z, sp.Nz)
+                               jnp.minimum(z + 1, sp.Nz - 1), sp.Nz,
+                               gate=gate) * w / n_zp
+                c = _cross_dt(ch.kind, y_c, y_p, y_n, z, sp.Nz, gate=gate)
             else:
-                y_c = _cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M) * w * inv_n
+                y_c = _cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M,
+                               gate=gate) * w * inv_n
                 y_p = _cross_d(ch.kind, x_tm, x_tm2, x_c,
-                               jnp.maximum(m - 1, 0), sp.M) * w / n_tm
+                               jnp.maximum(m - 1, 0), sp.M,
+                               gate=gate) * w / n_tm
                 y_n = _cross_d(ch.kind, x_tp, x_c, x_tp2,
-                               jnp.minimum(m + 1, sp.M - 1), sp.M) * w / n_tp
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M)
+                               jnp.minimum(m + 1, sp.M - 1), sp.M,
+                               gate=gate) * w / n_tp
+                c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M, gate=gate)
             G = c if G is None else G + c
         g_out[0, 0] = G * norm
 
-    in_specs = [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
-                sp.vol(0, 1), sp.vol(-2, 0), sp.vol(2, 0), sp.vol(0, -2),
-                sp.vol(0, 2)]
+    ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
+    en = 1 if halo_mode else 0   # norms extended by 1
+    in_specs = [sp.vol(ext=ex), sp.vol(-1, 0, ext=ex), sp.vol(1, 0, ext=ex),
+                sp.vol(0, -1, ext=ex), sp.vol(0, 1, ext=ex),
+                sp.vol(-2, 0, ext=ex), sp.vol(2, 0, ext=ex),
+                sp.vol(0, -2, ext=ex), sp.vol(0, 2, ext=ex)]
     if sp.R > 1:
-        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
-    in_specs += [sp.vol(), sp.vol(-1, 0), sp.vol(1, 0), sp.vol(0, -1),
-                 sp.vol(0, 1)]
+        in_specs += [_ext_rows(sp, -1, 2) if halo_mode else sp.vol_rows(-1),
+                     _ext_rows(sp, 1, 2) if halo_mode else sp.vol_rows(1)]
+    in_specs += [sp.vol(ext=en), sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en),
+                 sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
     if sp.R > 1:
-        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+        in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
+                     _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
 
     fn = pl.pallas_call(
         kernel,

@@ -1,5 +1,9 @@
 from . import fused_halo, halo, mesh, multihost
-from .fused_halo import internal_d_sharding, make_sharded_cp_solver_fused
+from .fused_halo import (
+    internal_d_sharding,
+    make_sharded_cp_solver_fused,
+    make_sharded_gd_solver_fused,
+)
 from .halo import (
     make_sharded_cp_solver,
     sharded_cp_step,

@@ -193,3 +193,173 @@ def internal_d_sharding(mesh: Mesh, shard_time: bool = True):
         mesh, P(Z_AXIS if mesh.shape[Z_AXIS] > 1 else None, t_spec,
                 None, None, None)
     )
+
+
+def _extend_axis2(x, axis, axis_name, n, ghost_kind):
+    """Two-plane halo + ghosts along ``axis`` (for the G pass, which
+    recomputes D channels at +-1 neighbor planes and therefore reads x at
+    +-2).  Ghosts are chosen so every D channel at a globally-invalid slot
+    evaluates to exactly zero:
+
+    - 'edge' (fwd/bwd schemes): clamp padding — ghost(-1)=ghost(-2)=x[0];
+    - 'reflect' (central): ghost(-1)=x[1], ghost(-2)=x[0] (and mirrored on
+      the high side), the unique choice with d_ctr(-1)=d_ctr(0)=0.
+
+    Handles 1-plane shards (the second halo comes from two ring hops, and
+    mirror ghosts from the opposite-direction halo).
+    """
+    nd = x.ndim
+    L = x.shape[axis]
+
+    def first(arr):
+        return arr[_sl(nd, axis, 0, 1)]
+
+    def last(arr):
+        return arr[_sl(nd, axis, -1, None)]
+
+    if axis_name is None or n == 1:
+        if ghost_kind == "edge" or L == 1:
+            lo1 = lo2 = first(x)
+            hi1 = hi2 = last(x)
+        else:
+            lo1 = x[_sl(nd, axis, 1, 2)]
+            lo2 = first(x)
+            hi1 = x[_sl(nd, axis, -2, -1)]
+            hi2 = last(x)
+        return jnp.concatenate([lo2, lo1, x, hi1, hi2], axis=axis)
+
+    idx = lax.axis_index(axis_name)
+    h1l = _plane_from_left(x, axis, axis_name, n)
+    h1r = _plane_from_right(x, axis, axis_name, n)
+    if L >= 2:
+        h2l = lax.ppermute(x[_sl(nd, axis, -2, -1)], axis_name,
+                           [(i, i + 1) for i in range(n - 1)])
+        h2r = lax.ppermute(x[_sl(nd, axis, 1, 2)], axis_name,
+                           [(i + 1, i) for i in range(n - 1)])
+    else:
+        h2l = _plane_from_left(h1l, axis, axis_name, n)
+        h2r = _plane_from_right(h1r, axis, axis_name, n)
+
+    if ghost_kind == "edge":
+        g_lo1, g_hi1 = first(x), last(x)
+        g_lo2_first, g_hi2_last = first(x), last(x)
+        g_lo2_second, g_hi2_secondlast = h1l, h1r  # = global edge plane
+    else:  # reflect
+        g_lo1 = x[_sl(nd, axis, 1, 2)] if L >= 2 else h1r
+        g_hi1 = x[_sl(nd, axis, -2, -1)] if L >= 2 else h1l
+        g_lo2_first, g_hi2_last = first(x), last(x)
+        # the shard whose 2-back plane is global -1 needs mirror(-1) =
+        # x_global[1], which with a 1-plane shard is its OWN plane
+        g_lo2_second, g_hi2_secondlast = first(x), last(x)
+
+    lo1 = jnp.where(idx == 0, g_lo1, h1l)
+    hi1 = jnp.where(idx == n - 1, g_hi1, h1r)
+    if L == 1:
+        lo2 = jnp.where(idx == 0, g_lo2_first,
+                        jnp.where(idx == 1, g_lo2_second, h2l))
+        hi2 = jnp.where(idx == n - 1, g_hi2_last,
+                        jnp.where(idx == n - 2, g_hi2_secondlast, h2r))
+    else:
+        lo2 = jnp.where(idx == 0, g_lo2_first, h2l)
+        hi2 = jnp.where(idx == n - 1, g_hi2_last, h2r)
+    return jnp.concatenate([lo2, lo1, x, hi1, hi2], axis=axis)
+
+
+def make_sharded_gd_solver_fused(
+    mesh: Mesh,
+    cfg: TVConfig,
+    global_shape,
+    *,
+    reg,
+    n_iter,
+    step_size=5e-3,
+    shard_time: bool = True,
+    interpret: bool = None,
+):
+    """jit(lax.scan(fused subgradient-descent step under shard_map)): the
+    fused tv-norms and subgradient kernels per shard, ghost-plane halos
+    (1-deep for the norms pass, 2-deep for the G pass), psum for the loss.
+    ``solve(x_noisy, x) -> (x, losses)``; inputs sharded with
+    ``parallel.mesh.shard_volume``."""
+    from ..kernels.dispatch import default_interpret
+    from ..kernels.fused import make_tv_norms_kernel, make_tv_subgrad_kernel
+
+    if interpret is None:
+        interpret = default_interpret()
+
+    ctx = _ShardCtx(mesh, shard_time)
+    Nz_g, M_g = global_shape[0], global_shape[1]
+    if Nz_g % ctx.nz or M_g % ctx.nt:
+        raise ValueError(
+            f"global shape {global_shape} not divisible by mesh "
+            f"(z={ctx.nz}, t={ctx.nt})"
+        )
+    local_shape = (Nz_g // ctx.nz, M_g // ctx.nt) + tuple(global_shape[2:])
+    table_dims = (Nz_g, M_g)
+    chans, _ = scheme_channels(cfg.scheme, Nz_g, M_g, cfg.reg_z_over_reg,
+                               cfg.reg_time)
+
+    norms_k = make_tv_norms_kernel(cfg, local_shape, "float32", interpret,
+                                   halo_mode=True, table_dims=table_dims)
+    sub_k = make_tv_subgrad_kernel(cfg, local_shape, "float32", interpret,
+                                   halo_mode=True, table_dims=table_dims)
+
+    ghost_z = _axis_ghost_kind(chans, AXIS_Z)
+    ghost_t = _axis_ghost_kind(chans, AXIS_T)
+    z_name = Z_AXIS if ctx.nz > 1 else None
+    t_name = T_AXIS if ctx.nt > 1 else None
+    axes = _mesh_axes(ctx)
+    t_spec = T_AXIS if ctx.nt > 1 else None
+    vol = P(Z_AXIS if ctx.nz > 1 else None, t_spec, None, None)
+
+    def _ext1_x(x):
+        x1 = _extend_axis(x, 0, z_name, ctx.nz, ghost_z)
+        return _extend_axis(x1, 1, t_name, ctx.nt, ghost_t)
+
+    def _ext2_x(x):
+        x2 = _extend_axis2(x, 0, z_name, ctx.nz, ghost_z)
+        return _extend_axis2(x2, 1, t_name, ctx.nt, ghost_t)
+
+    def _ext1_norms(norms):
+        # safe-divisor ghosts: the numerators at ghost planes are zero by
+        # x-ghost construction, so any finite nonzero divisor works
+        n1 = _extend_axis(norms, 0, z_name, ctx.nz, "zero")
+        n1 = n1.at[_sl(4, 0, 0, 1)].set(
+            jnp.where(n1[_sl(4, 0, 0, 1)] == 0, 1.0, n1[_sl(4, 0, 0, 1)]))
+        n1 = n1.at[_sl(4, 0, -1, None)].set(
+            jnp.where(n1[_sl(4, 0, -1, None)] == 0, 1.0,
+                      n1[_sl(4, 0, -1, None)]))
+        n1 = _extend_axis(n1, 1, t_name, ctx.nt, "zero")
+        n1 = n1.at[_sl(4, 1, 0, 1)].set(
+            jnp.where(n1[_sl(4, 1, 0, 1)] == 0, 1.0, n1[_sl(4, 1, 0, 1)]))
+        n1 = n1.at[_sl(4, 1, -1, None)].set(
+            jnp.where(n1[_sl(4, 1, -1, None)] == 0, 1.0,
+                      n1[_sl(4, 1, -1, None)]))
+        return n1
+
+    @functools.partial(
+        shard_map, mesh=mesh, in_specs=(vol, vol), out_specs=(vol, P()),
+        check_vma=False,
+    )
+    def step(x, x_noisy):
+        norms, tv_parts = norms_k(_ext1_x(x))
+        tv = _sum_parts(tv_parts)
+        if axes:
+            tv = lax.psum(tv, axes)
+        G = sub_k(_ext2_x(x), _ext1_norms(norms))
+        x_new = x - step_size * ((x - x_noisy) + reg * G)
+        fid = 0.5 * jnp.sum(jnp.square(x_new - x_noisy))
+        if axes:
+            fid = lax.psum(fid, axes)
+        return x_new, fid + reg * tv
+
+    @jax.jit
+    def solve(x_noisy, x):
+        def body(x, _):
+            x, loss = step(x, x_noisy)
+            return x, loss
+
+        x, losses = lax.scan(body, x, length=n_iter)
+        return x, losses
+
+    return solve

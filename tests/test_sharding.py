@@ -232,3 +232,36 @@ def test_sharded_fused_cp_one_plane_shards():
     )
     np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
                                rtol=1e-5)
+
+
+@pytest.mark.parametrize("scheme,mesh_zt,shape", [
+    ("hybrid", (4, 2), (8, 4, 16, 16)),
+    ("central", (4, 2), (8, 4, 16, 16)),
+    ("central", (8, 1), (8, 2, 16, 16)),   # 1-plane shards, reflect ghosts
+    ("central", (2, 4), (4, 8, 16, 16)),   # 1-frame time shards
+    ("upwind", (8, 1), (8, 2, 16, 16)),
+    ("downwind", (4, 2), (8, 4, 16, 16)),
+])
+def test_sharded_fused_gd_tracks_unsharded(scheme, mesh_zt, shape):
+    """Fused norms+subgradient kernels under shard_map (2-deep ghost planes
+    for the G pass) must track the unsharded GD solver."""
+    from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+    from pytv4d_tpu.solvers.gd import subgradient_descent
+
+    rng = np.random.default_rng(40)
+    cfg = TVConfig(scheme=scheme, reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+    st_time = mesh_zt[1] > 1
+    mesh = make_mesh(z=mesh_zt[0], t=mesh_zt[1])
+    ref = subgradient_descent(noisy, n_iter=15, reg=0.4, step_size=1e-2,
+                              cfg=cfg, fused=False)
+    solve = make_sharded_gd_solver_fused(
+        mesh, cfg, shape, reg=0.4, n_iter=15, step_size=1e-2,
+        shard_time=st_time,
+    )
+    x, losses = solve(shard_volume(noisy, mesh, shard_time=st_time),
+                      shard_volume(noisy, mesh, shard_time=st_time))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               atol=1e-5, rtol=1e-4)
