@@ -31,10 +31,13 @@ def initialize(coordinator_address: Optional[str] = None,
                process_id: Optional[int] = None) -> None:
     """Bring up the jax distributed runtime.  On TPU pods all arguments are
     discovered from the environment; on CPU/GPU clusters pass them explicitly
-    (or set JAX_COORDINATOR_ADDRESS etc.).  Safe to call twice."""
+    (or set JAX_COORDINATOR_ADDRESS etc.).  Safe to call twice.
+
+    Must run before any backend use — do NOT query jax.devices()/
+    process_count() first (that would initialize a single-process backend
+    and the distributed bootstrap would be ignored)."""
     global _initialized
-    if _initialized or jax.process_count() > 1:
-        _initialized = True
+    if _initialized:
         return
     kwargs = {}
     if coordinator_address is not None:
@@ -43,8 +46,13 @@ def initialize(coordinator_address: Optional[str] = None,
     try:
         jax.distributed.initialize(**kwargs)
         _initialized = True
-    except (ValueError, RuntimeError):
-        # single-process environment: nothing to initialize
+    except (ValueError, RuntimeError) as e:
+        if "already" in str(e).lower():
+            _initialized = True
+            return
+        if coordinator_address is not None:
+            raise
+        # single-process environment without cluster env vars
         _initialized = True
 
 
@@ -53,19 +61,25 @@ def global_mesh(z: int = 0, t: int = 1):
     return make_mesh(z=z, t=t, devices=jax.devices())
 
 
-def host_local_to_global(mesh, x_local):
-    """Assemble per-host volume blocks (split along z) into one global sharded
-    array.  Each host passes its own z-contiguous block."""
+def host_local_to_global(mesh, x_local, spec=None):
+    """Assemble per-host blocks (split along z) into one global sharded
+    array.  Each host passes its own z-contiguous block.  ``spec`` defaults
+    to the canonical volume PartitionSpec; pass e.g.
+    ``d_volume_sharding(mesh).spec`` for difference volumes."""
     from jax.experimental import multihost_utils
 
+    if spec is None:
+        spec = volume_sharding(mesh).spec
     return multihost_utils.host_local_array_to_global_array(
-        x_local, mesh, volume_sharding(mesh).spec
+        x_local, mesh, spec
     )
 
 
-def global_to_host_local(mesh, x_global):
+def global_to_host_local(mesh, x_global, spec=None):
     from jax.experimental import multihost_utils
 
+    if spec is None:
+        spec = volume_sharding(mesh).spec
     return multihost_utils.global_array_to_host_local_array(
-        x_global, mesh, volume_sharding(mesh).spec
+        x_global, mesh, spec
     )
