@@ -107,3 +107,38 @@ def test_bf16_dual_storage(x0):
     np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
                                rtol=2e-2)
     assert b.state.y_D.dtype == a.state.y_D.dtype  # public state stays f32
+
+
+def test_resident_solvers_match_jnp(x0):
+    """Whole-solve-in-VMEM kernels (kernels/resident.py) are bit-identical
+    to the jnp scan path (the kernel body runs the same cp_step/tv code)."""
+    from pytv4d_tpu.kernels.resident import (
+        make_resident_cp_solver,
+        make_resident_gd_solver,
+        resident_fits,
+    )
+    from pytv4d_tpu.solvers.cp import chambolle_pock, default_tau, init_state
+
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    shape = tuple(x0.shape)
+    assert resident_fits(shape, cfg)
+    tau = default_tau(cfg, shape[0], shape[1])
+
+    ref = chambolle_pock(x0, n_iter=15, reg=0.4, cfg=cfg, fused=False)
+    solve = make_resident_cp_solver(cfg, shape, 15, "float32", reg=0.4,
+                                    sigma_D=0.5, sigma_A=1.0, tau=tau,
+                                    interpret=True)
+    st = init_state(x0, cfg)
+    x, yA, yD, losses = jax.jit(solve)(x0, st.x, st.y_A, st.y_D)
+    np.testing.assert_array_equal(np.asarray(losses), np.asarray(ref.loss))
+    np.testing.assert_array_equal(np.asarray(x), np.asarray(ref.x))
+
+    gref = subgradient_descent(x0, n_iter=15, reg=0.4, step_size=1e-2,
+                               cfg=cfg, fused=False)
+    gsolve = make_resident_gd_solver(cfg, shape, 15, "float32", reg=0.4,
+                                     step_size=1e-2, interpret=True)
+    gx, glosses = jax.jit(gsolve)(x0, x0)
+    np.testing.assert_array_equal(np.asarray(glosses), np.asarray(gref.loss))
+
+    # guard rejects what cannot fit
+    assert not resident_fits((64, 16, 512, 512), cfg)
