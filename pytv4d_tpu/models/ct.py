@@ -146,6 +146,15 @@ def cp_reconstruct(
     (step rule ``tau * sigma * (||A||^2 + ||D||^2) <= 1``)."""
     sino = jnp.asarray(sino)
     dtype = sino.dtype
+    angles_arr = jnp.asarray(angles)
+    n_angles = angles_arr.shape[-1]
+    want = (vol_shape[0], vol_shape[1], n_angles, n_det or vol_shape[-1])
+    if tuple(sino.shape) != want:
+        raise ValueError(
+            f"sinogram shape {tuple(sino.shape)} does not match vol_shape "
+            f"{tuple(vol_shape)} with {n_angles} angles — expected {want} "
+            f"(layout (Nz, M, n_angles, n_det))"
+        )
     A, A_T = make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
     if op_norm is None:
         op_norm = float(estimate_op_norm(A, A_T, vol_shape, dtype=dtype))

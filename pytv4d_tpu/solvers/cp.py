@@ -112,6 +112,12 @@ def chambolle_pock(
         fused = mask_static is None and can_fuse(
             tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
         )
+    if dual_dtype is not None and not fused:
+        raise ValueError(
+            "dual_dtype requires the fused kernel path (fused=True), which "
+            "this problem instance does not support (see kernels.dispatch."
+            "can_fuse: f32 volumes without static masks)"
+        )
 
     if fused:
         # y_D rides the scan in the kernel-internal channel-contiguous layout
