@@ -16,6 +16,7 @@ import numpy as np
 from ..core.config import TVConfig
 from ..solvers.admm import admm
 from ..solvers.cp import chambolle_pock
+from ..solvers.fista import fista
 from ..solvers.gd import subgradient_descent
 
 
@@ -73,6 +74,11 @@ class TVDenoiser:
     def admm(self, noisy, n_iter: int = 100, **kw):
         x, ndim = _to_volume(noisy)
         res = admm(x, n_iter=n_iter, reg=self.reg, cfg=self.cfg, **kw)
+        return res._replace(x=_from_volume(res.x, ndim))
+
+    def fista(self, noisy, n_iter: int = 100, **kw):
+        x, ndim = _to_volume(noisy)
+        res = fista(x, n_iter=n_iter, reg=self.reg, cfg=self.cfg, **kw)
         return res._replace(x=_from_volume(res.x, ndim))
 
 

@@ -113,3 +113,28 @@ def test_orbax_checkpoint_roundtrip(tmp_path, noisy_small):
     loaded = load_state_orbax(path, res.state)
     np.testing.assert_allclose(np.asarray(loaded.x), np.asarray(res.state.x))
     np.testing.assert_allclose(np.asarray(loaded.y_D), np.asarray(res.state.y_D))
+
+
+def test_fista_converges_fast(noisy_small):
+    """Dual FISTA (O(1/k^2)) should reach CP's 300-iteration loss in far
+    fewer iterations on pure denoising."""
+    from pytv4d_tpu.solvers import fista
+
+    cp300 = chambolle_pock(noisy_small, n_iter=300)
+    fi = fista(noisy_small, n_iter=100)
+    assert np.all(np.isfinite(np.asarray(fi.loss)))
+    assert float(fi.loss[-1]) <= float(cp300.loss[-1]) * 1.0005
+    # model front-end
+    m = TVDenoiser(reg=25.0)
+    out = m.fista(noisy_small[0, 0], n_iter=20)
+    assert out.x.shape == noisy_small.shape[2:]
+
+
+def test_fista_4d_with_time():
+    from pytv4d_tpu.solvers import fista
+
+    rng = np.random.default_rng(17)
+    vol = rng.random((4, 3, 16, 16))
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    res = fista(vol, n_iter=40, reg=0.3, cfg=cfg)
+    assert float(res.loss[-1]) < float(res.loss[0])
