@@ -156,45 +156,10 @@ def cp_reconstruct(
             f"(layout (Nz, M, n_angles, n_det))"
         )
     A, A_T = make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
-    if op_norm is None:
-        op_norm = float(estimate_op_norm(A, A_T, vol_shape, dtype=dtype))
-    L_sq = op_norm ** 2 + operator_norm_bound_sq(
-        cfg.scheme, vol_shape[0], vol_shape[1], cfg.reg_z_over_reg, cfg.reg_time
+    from ..solvers.inverse import cp_inverse
+
+    res = cp_inverse(
+        A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
+        op_norm=op_norm, x_init=x_init,
     )
-    sigma = tau = float(1.0 / np.sqrt(L_sq))
-    kw = cfg.kwargs()
-
-    Nd = num_channels(cfg.scheme, vol_shape[0], vol_shape[1],
-                      cfg.reg_z_over_reg, cfg.reg_time)
-    x0 = jnp.zeros(vol_shape, dtype) if x_init is None else jnp.asarray(x_init, dtype)
-
-    @functools.partial(jax.jit, static_argnames=())
-    def run(sino, x0):
-        y_A = jnp.zeros_like(sino)
-        y_D = jnp.zeros((vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]),
-                        dtype)
-
-        def step(carry, _):
-            x, x_bar, y_A, y_D = carry
-            # dual ascent on the fidelity: prox of (1/2||.-b||^2)*
-            y_A = (y_A + sigma * (A(x_bar) - sino)) / (1.0 + sigma)
-            # dual ascent on TV: project onto the reg-ball (README.md:150-151)
-            p = y_D + sigma * D(x_bar, cfg.scheme, **kw)
-            p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
-            y_D = p / jnp.maximum(1.0, p_norms / reg)
-            # primal descent + over-relaxation (theta = 1)
-            x_new = x - tau * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
-            x_bar = 2.0 * x_new - x
-            resid = A(x_new) - sino
-            loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * compute_L21_norm(
-                D(x_new, cfg.scheme, **kw)
-            )
-            return (x_new, x_bar, y_A, y_D), loss
-
-        (x, _, _, _), losses = jax.lax.scan(
-            step, (x0, x0, y_A, y_D), length=n_iter
-        )
-        return x, losses
-
-    x, losses = run(sino, x0)
-    return CPReconResult(x=x, loss=losses)
+    return CPReconResult(x=res.x, loss=res.loss)

@@ -3,6 +3,13 @@ from . import cp, fista as fista_mod, gd, state
 from .admm import ADMMResult, ADMMState, admm, admm_step, group_soft_threshold
 from .cp import CPResult, CPState, chambolle_pock, cp_step, default_tau
 from .fista import FISTAResult, fista
+from .inverse import (
+    InverseResult,
+    cp_inverse,
+    exact_transpose,
+    gaussian_blur_operator,
+    power_iteration,
+)
 from .gd import GDResult, gd_step, subgradient_descent
 from .state import (
     load_state,

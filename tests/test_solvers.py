@@ -138,3 +138,41 @@ def test_fista_4d_with_time():
     cfg = TVConfig(scheme="hybrid", reg_time=0.5)
     res = fista(vol, n_iter=40, reg=0.3, cfg=cfg)
     assert float(res.loss[-1]) < float(res.loss[0])
+
+
+def test_generic_inverse_deblurring():
+    """cp_inverse with a Gaussian-blur forward operator: TV deblurring
+    recovers a piecewise-constant image substantially better than the
+    blurred observation."""
+    from pytv4d_tpu.solvers import cp_inverse, gaussian_blur_operator
+
+    truth = np.zeros((1, 1, 32, 32), np.float32)
+    truth[0, 0, 8:24, 10:26] = 1.0
+    truth[0, 0, 14:18, 2:8] = 0.7
+    A = gaussian_blur_operator(truth.shape, sigma_px=1.5, radius=4)
+    b = A(truth)
+    res = cp_inverse(A, b, truth.shape, n_iter=400, reg=2e-4, x_init=b)
+    err_blur = float(np.mean((np.asarray(b) - truth) ** 2))
+    err_rec = float(np.mean((np.asarray(res.x) - truth) ** 2))
+    # TV deblurring at sigma=1.5px: >2x MSE reduction is a solid recovery
+    assert err_rec < 0.5 * err_blur, (err_rec, err_blur)
+    assert float(res.loss[-1]) < float(res.loss[0])
+
+
+def test_inverse_inpainting():
+    """Masking operator: TV inpainting fills the hole."""
+    from pytv4d_tpu.solvers import cp_inverse
+    import jax.numpy as jnp
+
+    truth = np.ones((1, 1, 16, 16), np.float32) * 2.0
+    mask = np.ones_like(truth)
+    mask[0, 0, 6:10, 6:10] = 0.0
+    mask_j = jnp.asarray(mask)
+
+    def A(x):
+        return x * mask_j
+
+    b = A(jnp.asarray(truth))
+    res = cp_inverse(A, b, truth.shape, n_iter=600, reg=0.2, x_init=b)
+    hole = np.asarray(res.x)[0, 0, 6:10, 6:10]
+    np.testing.assert_allclose(hole, 2.0, atol=0.05)
