@@ -136,6 +136,65 @@ def dt_channel(xp, y, axis: int, kind: str):
     return _pad(xp, t, axis, 2, 0) - _pad(xp, t, axis, 0, 2)
 
 
+def abs_d_channel(xp, img, axis: int, kind: str):
+    """|D| row pattern: like :func:`d_channel` but summing |entries|
+    (x[i+1] + x[i] instead of the difference) — used for diagonal
+    preconditioning (Pock & Chambolle 2011, doi 10.1109/ICCV.2011.6126441)."""
+    nd = img.ndim
+    if kind == CTR:
+        s = img[_sl(nd, axis, 2, None)] + img[_sl(nd, axis, None, -2)]
+        return _pad(xp, s, axis, 1, 1)
+    s = img[_sl(nd, axis, 1, None)] + img[_sl(nd, axis, None, -1)]
+    if kind == FWD:
+        return _pad(xp, s, axis, 0, 1)
+    return _pad(xp, s, axis, 1, 0)
+
+
+def abs_dt_channel(xp, y, axis: int, kind: str):
+    """|D^T| column pattern: scatter of |entries| (both signs +)."""
+    nd = y.ndim
+    if kind == FWD:
+        t = y[_sl(nd, axis, None, -1)]
+        return _pad(xp, t, axis, 1, 0) + _pad(xp, t, axis, 0, 1)
+    if kind == BWD:
+        t = y[_sl(nd, axis, 1, None)]
+        return _pad(xp, t, axis, 1, 0) + _pad(xp, t, axis, 0, 1)
+    t = y[_sl(nd, axis, 1, -1)]
+    return _pad(xp, t, axis, 2, 0) + _pad(xp, t, axis, 0, 2)
+
+
+def precond_maps(
+    shape,
+    scheme: str = "hybrid",
+    reg_z_over_reg: float = 1.0,
+    reg_time: float = 0.0,
+    sigma_A_rows: float = 1.0,
+    *,
+    xp=jnp,
+):
+    """Diagonal preconditioners for CP on ``K = [I; D]`` (alpha = 1):
+    per-dual-slot ``sigma = 1/sum_i |K_ji|`` and per-pixel
+    ``tau = 1/sum_j |K_ji|`` — dead dual slots get sigma = 0 (they carry
+    no information and stay at zero).  Returns (sigma_D_map, tau_map)."""
+    Nz, M = shape[0], shape[1]
+    chans, norm = scheme_channels(scheme, Nz, M, reg_z_over_reg, reg_time)
+    ones = xp.ones(shape)
+    row_sums = []
+    col_sum = None
+    for ch in chans:
+        w = abs(channel_weight(ch, reg_z_over_reg, reg_time)) * norm
+        rs = abs_d_channel(xp, ones, ch.axis, ch.kind) * w
+        row_sums.append(rs)
+        # |D^T| column contribution: scatter |w| over the channel's valid slots
+        valid = xp.where(rs > 0, xp.ones_like(rs), xp.zeros_like(rs))
+        cs = abs_dt_channel(xp, valid, ch.axis, ch.kind) * w
+        col_sum = cs if col_sum is None else col_sum + cs
+    rows = xp.stack(row_sums, axis=1)
+    sigma_D = xp.where(rows > 0, 1.0 / xp.where(rows > 0, rows, 1.0), 0.0)
+    tau = 1.0 / (col_sum + sigma_A_rows)
+    return sigma_D, tau
+
+
 def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):
     """L2,1 norm of a difference image: sum_i sqrt(sum_j D[i,j]^2).
 

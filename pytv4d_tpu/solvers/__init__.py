@@ -1,7 +1,14 @@
 from . import admm as admm_mod
 from . import cp, fista as fista_mod, gd, state
 from .admm import ADMMResult, ADMMState, admm, admm_step, group_soft_threshold
-from .cp import CPResult, CPState, chambolle_pock, cp_step, default_tau
+from .cp import (
+    CPResult,
+    CPState,
+    chambolle_pock,
+    chambolle_pock_precond,
+    cp_step,
+    default_tau,
+)
 from .fista import FISTAResult, fista
 from .inverse import (
     InverseResult,

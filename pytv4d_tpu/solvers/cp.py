@@ -62,6 +62,62 @@ def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfi
     return CPState(x, y_A, y_D), loss
 
 
+def cp_step_precond(state_and_bar, x_noisy, *, reg, sigma_D_map, tau_map,
+                    sigma_A, cfg: TVConfig):
+    """One diagonally-preconditioned CP iteration (Pock & Chambolle 2011)
+    with over-relaxation: per-slot dual steps, per-pixel primal steps —
+    no operator-norm tuning needed, and faster on anisotropic configs
+    (reg_z/reg_time far from 1)."""
+    kw = cfg.kwargs()
+    x, x_bar, y_A, y_D = state_and_bar
+    y_A = (y_A + sigma_A * (x_bar - x_noisy)) / (1.0 + sigma_A)
+    D_x = D(x_bar, cfg.scheme, **kw)
+    p = y_D + sigma_D_map * D_x
+    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+    y_D = p / jnp.maximum(1.0, p_norms / reg)
+    x_new = x - tau_map * (y_A + D_T(y_D, cfg.scheme, **kw))
+    x_bar = 2.0 * x_new - x
+    loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * compute_L21_norm(
+        D(x_new, cfg.scheme, **kw)
+    )
+    return (x_new, x_bar, y_A, y_D), loss
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "cfg", "reg", "sigma_A")
+)
+def chambolle_pock_precond(
+    x_noisy,
+    n_iter: int = 300,
+    reg: float = 25.0,
+    sigma_A: float = 1.0,
+    cfg: TVConfig = TVConfig(),
+) -> CPResult:
+    """Diagonally-preconditioned Chambolle-Pock: parameter-free step sizes
+    from the stencil table (``ops.operators.precond_maps``)."""
+    from ..ops.operators import precond_maps
+
+    sigma_D_map, tau_map = precond_maps(
+        x_noisy.shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
+        sigma_A_rows=1.0,
+    )
+    sigma_D_map = sigma_D_map.astype(x_noisy.dtype)
+    tau_map = tau_map.astype(x_noisy.dtype)
+    st = init_state(x_noisy, cfg)
+
+    def body(carry, _):
+        carry, loss = cp_step_precond(
+            carry, x_noisy, reg=reg, sigma_D_map=sigma_D_map,
+            tau_map=tau_map, sigma_A=sigma_A, cfg=cfg,
+        )
+        return carry, loss
+
+    (x, _, y_A, y_D), losses = jax.lax.scan(
+        body, (st.x, st.x, st.y_A, st.y_D), length=n_iter
+    )
+    return CPResult(x=x, state=CPState(x, y_A, y_D), loss=losses)
+
+
 def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
     Nz, M = x_noisy.shape[0], x_noisy.shape[1]
     Nd = num_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)

@@ -176,3 +176,24 @@ def test_inverse_inpainting():
     res = cp_inverse(A, b, truth.shape, n_iter=600, reg=0.2, x_init=b)
     hole = np.asarray(res.x)[0, 0, 6:10, 6:10]
     np.testing.assert_allclose(hole, 2.0, atol=0.05)
+
+
+def test_preconditioned_cp(noisy_small):
+    """Diagonal preconditioning (Pock-Chambolle 2011): converges without
+    operator-norm tuning and at least matches vanilla CP at equal iteration
+    count on an anisotropic config."""
+    from pytv4d_tpu.solvers import chambolle_pock_precond
+
+    cfg = TVConfig(scheme="hybrid")
+    van = chambolle_pock(noisy_small, n_iter=100, reg=25.0, cfg=cfg)
+    pre = chambolle_pock_precond(noisy_small, n_iter=100, reg=25.0, cfg=cfg)
+    assert np.all(np.isfinite(np.asarray(pre.loss)))
+    assert float(pre.loss[-1]) <= float(van.loss[-1]) * 1.001
+
+    # strongly anisotropic 4D config — where preconditioning matters
+    rng = np.random.default_rng(23)
+    vol = rng.random((4, 3, 16, 16))
+    cfg4 = TVConfig(scheme="hybrid", reg_time=4.0, reg_z_over_reg=0.1)
+    van4 = chambolle_pock(vol, n_iter=150, reg=0.3, cfg=cfg4)
+    pre4 = chambolle_pock_precond(vol, n_iter=150, reg=0.3, cfg=cfg4)
+    assert float(pre4.loss[-1]) <= float(van4.loss[-1]) * 1.001
