@@ -10,7 +10,7 @@ pod slice or a virtual CPU mesh to be meaningful).
 from __future__ import annotations
 
 import time
-from typing import Dict, Optional
+from typing import Dict
 
 import jax
 import jax.numpy as jnp

@@ -76,11 +76,6 @@ class Channel:
     kind: str
     weight: str = ""
 
-    @property
-    def halo(self) -> int:
-        """Stencil reach (needed halo width) on each side along ``axis``."""
-        return 1
-
 
 def _nan_to_zero(value: float) -> float:
     # The reference *intends* to zero a NaN reg (``tv_operators_CPU.py:100``:

@@ -740,16 +740,13 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
             xu = xd = None
             nu_row = nd_row = None
 
-        def row_of(tile, up, dn, offset):
-            """Row at tile-relative ``offset`` (-1, -2 above; TR, TR+1 below),
-            pulled from the thin blocks."""
+        def row_of(offset):
+            """Row at tile-relative ``offset`` (-1/-2 above the tile,
+            TR/TR+1 below), pulled from the 8-row thin blocks; zeros when
+            the plane is a single tile (R == 1, always gated)."""
             if offset < 0:
-                src = up if up is not None else None
-                return zero_row if src is None else src[offset + 8:offset + 9] \
-                    if offset + 8 + 1 <= 8 else zero_row
-            src = dn if dn is not None else None
-            k = offset - sp.TR
-            return zero_row if src is None else src[k:k + 1]
+                return zero_row if xu is None else xu[offset + 8:offset + 9]
+            return zero_row if xd is None else xd[offset - sp.TR:offset - sp.TR + 1]
 
         G = None
         for ch, w in zip(chans, weights):
@@ -757,15 +754,15 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 y = _col_d(x_c, ch.kind) * w * inv_n
                 c = _col_dt(y, ch.kind)
             elif ch.axis == AXIS_ROW:
-                up_row = row_of(x_c, xu, xd, -1)
-                dn_row = row_of(x_c, xu, xd, sp.TR)
+                up_row = row_of(-1)
+                dn_row = row_of(sp.TR)
                 y_c = _row_d(ch.kind, x_c, up_row, dn_row, r, sp.R) * w * inv_n
                 # channel value at the seam rows themselves (for the adjoint):
                 # D at row -1 needs rows -2..0; at row TR needs TR-1..TR+1
                 if sp.R > 1:
-                    up2 = row_of(x_c, xu, xd, -2)
+                    up2 = row_of(-2)
                     ext_u = jnp.concatenate([up2, up_row, x_c[:1]], axis=0)
-                    dn2 = row_of(x_c, xu, xd, sp.TR + 1)
+                    dn2 = row_of(sp.TR + 1)
                     ext_d = jnp.concatenate([x_c[-1:], dn_row, dn2], axis=0)
                     if ch.kind == FWD:
                         y_up = (ext_u[2] - ext_u[1])[None] * w

@@ -33,8 +33,6 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..core.config import TVConfig
-from ..core.schemes import num_channels, operator_norm_bound_sq
-from ..ops.operators import D, D_T, compute_L21_norm
 
 
 def _slice_radon(img2d, thetas, n_det: int):

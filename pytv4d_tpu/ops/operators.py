@@ -39,7 +39,6 @@ from ..core.schemes import (
     BWD,
     CTR,
     FWD,
-    Channel,
     channel_weight,
     scheme_channels,
 )

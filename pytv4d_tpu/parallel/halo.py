@@ -30,12 +30,12 @@ from typing import Optional
 import jax
 import jax.numpy as jnp
 from jax import lax
-from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax.sharding import Mesh, PartitionSpec as P
 from jax import shard_map
 
 from ..core.config import TVConfig
-from ..core.schemes import BWD, CTR, FWD, channel_weight, scheme_channels
-from ..ops.operators import _pad, _sl, d_channel, dt_channel
+from ..core.schemes import BWD, FWD, channel_weight, scheme_channels
+from ..ops.operators import _sl, d_channel, dt_channel
 from .mesh import T_AXIS, Z_AXIS
 
 __all__ = [

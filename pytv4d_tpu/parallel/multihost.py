@@ -18,9 +18,8 @@ from __future__ import annotations
 from typing import Optional
 
 import jax
-import numpy as np
 
-from .mesh import T_AXIS, Z_AXIS, make_mesh, volume_sharding
+from .mesh import make_mesh, volume_sharding
 
 
 _initialized = False

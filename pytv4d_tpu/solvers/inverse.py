@@ -11,7 +11,6 @@ this solver specialized to the Radon projector.
 
 from __future__ import annotations
 
-import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax

@@ -8,8 +8,6 @@ device-native API (``pytv4d_tpu.ops.api`` / ``tv_TPU``) for performance.
 
 from __future__ import annotations
 
-import functools
-
 import numpy as np
 
 from .ops import operators as _ops
