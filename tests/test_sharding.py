@@ -265,3 +265,57 @@ def test_sharded_fused_gd_tracks_unsharded(scheme, mesh_zt, shape):
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_fused_with_row_tiling(monkeypatch):
+    """Row tiling (R > 1) combined with shard_map halo mode: tile-seam thin
+    blocks must read the halo-extended arrays at the right offsets."""
+    import pytv4d_tpu.kernels.fused as F
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import (
+        internal_d_sharding,
+        make_sharded_cp_solver_fused,
+        make_sharded_gd_solver_fused,
+    )
+    from pytv4d_tpu.solvers.gd import subgradient_descent
+
+    monkeypatch.setattr(F, "_TILE_BYTES_TARGET", 64 * 1024)  # force R > 1
+    F.make_cp_dual_kernel.cache_clear()
+    F.make_cp_primal_kernel.cache_clear()
+    F.make_tv_norms_kernel.cache_clear()
+    F.make_tv_subgrad_kernel.cache_clear()
+    try:
+        rng = np.random.default_rng(41)
+        shape = (8, 2, 32, 128)   # local rows 32 -> TR 8/16 under tiny target
+        cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+        noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+        mesh = make_mesh(z=8, t=1)
+
+        ref = chambolle_pock(noisy, n_iter=10, reg=0.4, cfg=cfg, fused=False)
+        solve = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4,
+                                             n_iter=10, shard_time=False)
+        st = init_state(noisy, cfg)
+        x, _, _, losses = solve(
+            shard_volume(noisy, mesh, shard_time=False),
+            shard_volume(st.x, mesh, shard_time=False),
+            shard_volume(st.y_A, mesh, shard_time=False),
+            jax.device_put(to_internal_layout(st.y_D),
+                           internal_d_sharding(mesh, shard_time=False)),
+        )
+        np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                                   rtol=1e-5)
+
+        gref = subgradient_descent(noisy, n_iter=10, reg=0.4, step_size=1e-2,
+                                   cfg=cfg, fused=False)
+        gsolve = make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4,
+                                              n_iter=10, step_size=1e-2,
+                                              shard_time=False)
+        gx, glosses = gsolve(shard_volume(noisy, mesh, shard_time=False),
+                             shard_volume(noisy, mesh, shard_time=False))
+        np.testing.assert_allclose(np.asarray(glosses), np.asarray(gref.loss),
+                                   rtol=1e-5)
+    finally:
+        F.make_cp_dual_kernel.cache_clear()
+        F.make_cp_primal_kernel.cache_clear()
+        F.make_tv_norms_kernel.cache_clear()
+        F.make_tv_subgrad_kernel.cache_clear()
