@@ -91,6 +91,35 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
     return it_s
 
 
+def bench_bf16_4d(shape=(32, 8, 256, 256), n_iter=50):
+    """Secondary: the bf16-dual fused path (diagnostic only)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+
+    def run():
+        res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
+                             dual_dtype="bfloat16")
+        jax.block_until_ready(res.loss)
+        return float(jnp.sum(res.x))
+
+    run()
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    it_s = n_iter / best
+    log(f"cp 4D {shape} bf16-dual: {it_s:.1f} it/s "
+        f"({it_s * float(np.prod(shape)) / 1e9:.2f} Gvox-it/s)")
+
+
 def main():
     import jax
 
@@ -98,6 +127,7 @@ def main():
     it_per_s, final_loss = bench_cp_cameraman()
     try:
         bench_cp_4d()
+        bench_bf16_4d()
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
 

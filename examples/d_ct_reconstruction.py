@@ -1,0 +1,38 @@
+"""TV-regularized CT reconstruction — the workflow the reference library was
+built to serve (Boigne et al., IEEE TCI 2022) but left to the user.
+
+Static 2D reconstruction, then a dynamic (time-resolved) 4D reconstruction
+with per-frame angle subsets — the motion-artifact setting of the paper.
+"""
+
+import numpy as np
+import jax.numpy as jnp
+
+from pytv4d_tpu.core.config import TVConfig
+from pytv4d_tpu.models.ct import cp_reconstruct, radon
+from pytv4d_tpu.utils import synthetic_phantom
+
+# ---- static 2D: project a phantom, reconstruct from 45 views -------------
+truth = (synthetic_phantom(64).astype(np.float32) / 255.0)[None, None]
+angles = jnp.linspace(0, np.pi, 45, endpoint=False)
+sino = radon(truth, angles)
+res = cp_reconstruct(sino, angles, truth.shape, n_iter=120, reg=0.01)
+corr = np.corrcoef(np.asarray(res.x).ravel(), truth.ravel())[0, 1]
+print(f"static 2D: {len(angles)} views, loss {float(res.loss[0]):.2e} -> "
+      f"{float(res.loss[-1]):.2e}, corr(truth) = {corr:.3f}")
+
+# ---- dynamic 4D: each time frame sees a DIFFERENT sparse angle subset ----
+M, n_per_frame = 4, 12
+moving = np.stack([np.roll(truth[0, 0], 2 * m, axis=1) for m in range(M)])
+vol = moving[None]  # (1, M, N, N)
+frame_angles = jnp.stack([
+    jnp.linspace(0, np.pi, n_per_frame, endpoint=False) + m * np.pi / (M * n_per_frame)
+    for m in range(M)
+])
+sino4d = radon(vol, frame_angles)
+cfg = TVConfig(scheme="hybrid", reg_time=0.3)  # time coupling regularizes sparse views
+res4d = cp_reconstruct(sino4d, frame_angles, vol.shape, n_iter=150, reg=0.01,
+                       cfg=cfg)
+corr4d = np.corrcoef(np.asarray(res4d.x).ravel(), vol.ravel())[0, 1]
+print(f"dynamic 4D: {M} frames x {n_per_frame} views each, time-coupled TV, "
+      f"corr(truth) = {corr4d:.3f}")
