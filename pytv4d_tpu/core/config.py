@@ -24,17 +24,25 @@ class TVConfig:
                         opt-in via reg_time > 0 (``tv_operators_CPU.py:113``)
     factor_reg_static : extra sqrt-factor applied to time channels under the
                         static mask (``tv_operators_CPU.py:148-151``)
+    norm              : 'iso' = isotropic L2,1 TV (the reference's definition);
+                        'aniso' = anisotropic L1,1 TV (sum of |differences| —
+                        a framework extension, not in the reference)
     """
 
     scheme: str = "hybrid"
     reg_z_over_reg: float = 1.0
     reg_time: float = 0.0
     factor_reg_static: float = 0.0
+    norm: str = "iso"  # 'iso' (L2,1 — the reference's TV) or 'aniso' (L1,1)
 
     def __post_init__(self):
         if self.scheme not in SCHEMES:
             raise ValueError(
                 f"unknown scheme {self.scheme!r}; expected one of {SCHEMES}"
+            )
+        if self.norm not in ("iso", "aniso"):
+            raise ValueError(
+                f"unknown norm {self.norm!r}; expected 'iso' or 'aniso'"
             )
 
     def kwargs(self) -> dict:

@@ -416,6 +416,17 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                          x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
                          z, m, r, sp, gate_zt=not halo_mode)
 
+        if cfg.norm == "aniso":
+            # L1,1 TV: sum |d| and a box-projection prox (solvers.cp.dual_prox)
+            tv_part = jnp.abs(ds[0])
+            for d in ds[1:]:
+                tv_part = tv_part + jnp.abs(d)
+            _write_part(l21_out, jnp.sum(tv_part), dtype)
+            for i, d in enumerate(ds):
+                p = yD_ref[0, 0, i].astype(dtype) + sigma_D * d
+                yD_out[0, 0, i] = jnp.clip(p, -reg, reg).astype(dual_dtype)
+            return
+
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
             norms_sq = norms_sq + d * d

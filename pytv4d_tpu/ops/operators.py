@@ -194,6 +194,24 @@ def precond_maps(
     return sigma_D, tau
 
 
+def compute_L11_norm(D_img, return_array: bool = False, *, xp=jnp):
+    """Anisotropic L1,1 norm of a difference image: sum |D| (framework
+    extension; the reference is isotropic-only).  ``return_array`` gives the
+    per-pixel sum of |channels| for symmetry with :func:`compute_L21_norm`."""
+    out = xp.sum(xp.abs(D_img), axis=1)
+    total = xp.sum(out)
+    if return_array:
+        return total, out
+    return total
+
+
+def tv_norm(D_img, norm: str = "iso", return_array: bool = False, *, xp=jnp):
+    """The TV reduction for either norm type."""
+    if norm == "aniso":
+        return compute_L11_norm(D_img, return_array=return_array, xp=xp)
+    return compute_L21_norm(D_img, return_array=return_array, xp=xp)
+
+
 def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):
     """L2,1 norm of a difference image: sum_i sqrt(sum_j D[i,j]^2).
 

@@ -24,7 +24,7 @@ import jax
 import jax.numpy as jnp
 
 from ..core.schemes import scheme_channels
-from .operators import D, compute_L21_norm, dt_channel, mask_enabled
+from .operators import D, D_T, compute_L11_norm, compute_L21_norm, dt_channel, mask_enabled
 
 __all__ = [
     "tv_and_subgrad",
@@ -66,6 +66,7 @@ def tv_and_subgrad(
     factor_reg_static: float = 0.0,
     weight_time=None,
     return_grad_norms: bool = False,
+    norm_type: str = "iso",
     *,
     xp=jnp,
 ):
@@ -78,21 +79,30 @@ def tv_and_subgrad(
     reference's ``mask`` kwarg is unusable with a real array — ``tv_CPU.py:77``
     raises on ndarray input, SURVEY.md section 2.4.2 — implemented correctly
     here as ``img = where(mask, img, 0)``.)
+
+    ``norm_type='aniso'`` computes the anisotropic L1,1 TV (a framework
+    extension): ``tv = sum |D x|`` and the TRUE subgradient
+    ``G = D^T sign(D x)`` (full weights — unlike the isotropic path, which
+    reproduces the reference's unweighted-scatter convention).
     """
     if mask_enabled(mask):
         img = xp.where(mask, img, xp.zeros_like(img))
     Nz, M = img.shape[0], img.shape[1]
 
-    D_img = D(
-        img,
-        scheme,
+    kw = dict(
         reg_z_over_reg=reg_z_over_reg,
         reg_time=reg_time,
         mask_static=mask_static,
         factor_reg_static=factor_reg_static,
         weight_time=weight_time,
-        xp=xp,
     )
+    D_img = D(img, scheme, xp=xp, **kw)
+    if norm_type == "aniso":
+        tv, abs_sums = compute_L11_norm(D_img, return_array=True, xp=xp)
+        G = D_T(xp.sign(D_img), scheme, xp=xp, **kw)
+        if return_grad_norms:
+            return tv, G, abs_sums
+        return tv, G
     tv, grad_norms = compute_L21_norm(D_img, return_array=True, xp=xp)
     grad_norms = xp.where(grad_norms == 0, xp.inf, grad_norms)
     G = _subgrad_from_D(

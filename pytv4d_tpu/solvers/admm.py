@@ -22,7 +22,7 @@ import jax.numpy as jnp
 
 from ..core.config import TVConfig
 from ..core.schemes import num_channels
-from ..ops.operators import D, D_T, compute_L21_norm
+from ..ops.operators import D, D_T, tv_norm
 
 
 class ADMMState(NamedTuple):
@@ -56,9 +56,11 @@ def _cg_solve(apply_A, b, x0, n_iter: int):
     return x
 
 
-def group_soft_threshold(v, thresh):
-    """Prox of ``thresh * ||.||_{2,1}``: shrink each pixel's Nd-vector
-    (channel axis 1) toward zero by ``thresh`` in L2 length."""
+def group_soft_threshold(v, thresh, norm: str = "iso"):
+    """Prox of ``thresh * TV-norm``: group (L2,1) shrinkage per pixel for
+    isotropic TV, elementwise soft threshold for anisotropic L1,1."""
+    if norm == "aniso":
+        return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0)
     norms = jnp.sqrt(jnp.sum(jnp.square(v), axis=1, keepdims=True))
     scale = jnp.maximum(0.0, 1.0 - thresh / jnp.maximum(norms, 1e-30))
     return v * scale
@@ -75,9 +77,9 @@ def admm_step(state: ADMMState, x_noisy, *, reg, rho, cg_iter, cfg: TVConfig,
     b = x_noisy + rho * D_T(z - u, cfg.scheme, **kw)
     x = _cg_solve(apply_A, b, x, cg_iter)
     D_x = D(x, cfg.scheme, **kw)
-    z = group_soft_threshold(D_x + u, reg / rho)
+    z = group_soft_threshold(D_x + u, reg / rho, cfg.norm)
     u = u + D_x - z
-    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * compute_L21_norm(D_x)
+    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(D_x, cfg.norm)
     return ADMMState(x, z, u), loss
 
 

@@ -17,7 +17,7 @@ import jax.numpy as jnp
 
 from ..core.config import TVConfig
 from ..core.schemes import num_channels, operator_norm_bound_sq
-from ..ops.operators import D, D_T, compute_L21_norm
+from ..ops.operators import D, D_T, compute_L21_norm, tv_norm
 
 
 class CPState(NamedTuple):
@@ -40,6 +40,16 @@ def default_tau(cfg: TVConfig, Nz: int, M: int, sigma_A: float = 1.0) -> float:
     return 1.0 / (L2 + sigma_A)
 
 
+def dual_prox(p, reg, norm: str):
+    """Projection onto the dual ball of the TV norm: the L2 reg-ball per
+    pixel for isotropic TV (``README.md:150-151``), the [-reg, reg] box for
+    anisotropic L1,1 TV."""
+    if norm == "aniso":
+        return jnp.clip(p, -reg, reg)
+    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+    return p / jnp.maximum(1.0, p_norms / reg)
+
+
 def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfig,
             mask_static=None):
     """One CP iteration, exactly the reference recipe (``README.md:146-157``):
@@ -55,10 +65,9 @@ def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfi
     y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
     D_x = D(x, cfg.scheme, **kw)
     p = y_D + sigma_D * D_x
-    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
-    y_D = p / jnp.maximum(1.0, p_norms / reg)
+    y_D = dual_prox(p, reg, cfg.norm)
     x = x - tau * y_A - tau * D_T(y_D, cfg.scheme, **kw)
-    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * compute_L21_norm(D_x)
+    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(D_x, cfg.norm)
     return CPState(x, y_A, y_D), loss
 
 
@@ -73,12 +82,11 @@ def cp_step_precond(state_and_bar, x_noisy, *, reg, sigma_D_map, tau_map,
     y_A = (y_A + sigma_A * (x_bar - x_noisy)) / (1.0 + sigma_A)
     D_x = D(x_bar, cfg.scheme, **kw)
     p = y_D + sigma_D_map * D_x
-    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
-    y_D = p / jnp.maximum(1.0, p_norms / reg)
+    y_D = dual_prox(p, reg, cfg.norm)
     x_new = x - tau_map * (y_A + D_T(y_D, cfg.scheme, **kw))
     x_bar = 2.0 * x_new - x
-    loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * compute_L21_norm(
-        D(x_new, cfg.scheme, **kw)
+    loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv_norm(
+        D(x_new, cfg.scheme, **kw), cfg.norm
     )
     return (x_new, x_bar, y_A, y_D), loss
 

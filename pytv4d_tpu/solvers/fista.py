@@ -20,7 +20,7 @@ import jax.numpy as jnp
 
 from ..core.config import TVConfig
 from ..core.schemes import operator_norm_bound_sq
-from ..ops.operators import D, D_T, compute_L21_norm
+from ..ops.operators import D, D_T, tv_norm
 
 
 class FISTAResult(NamedTuple):
@@ -29,8 +29,11 @@ class FISTAResult(NamedTuple):
     loss: jax.Array  # primal objective history (n_iter,)
 
 
-def _project_ball(y, radius):
-    """Project each pixel's Nd-vector onto the L2 ball of ``radius``."""
+def _project_dual(y, radius, norm: str):
+    """Projection onto the TV-norm dual ball: per-pixel L2 ball (isotropic)
+    or the [-radius, radius] box (anisotropic)."""
+    if norm == "aniso":
+        return jnp.clip(y, -radius, radius)
     norms = jnp.sqrt(jnp.sum(jnp.square(y), axis=1, keepdims=True))
     return y / jnp.maximum(1.0, norms / radius)
 
@@ -67,12 +70,13 @@ def fista(
         y, w, t = carry
         # gradient of the dual: -D(x0 - D^T w); step 1/L; ball projection
         x_w = x_noisy - D_T(w, cfg.scheme, **kw)
-        y_new = _project_ball(w + inv_L * D(x_w, cfg.scheme, **kw), reg)
+        y_new = _project_dual(w + inv_L * D(x_w, cfg.scheme, **kw), reg,
+                              cfg.norm)
         t_new = 0.5 * (1.0 + jnp.sqrt(1.0 + 4.0 * t * t))
         w_new = y_new + ((t - 1.0) / t_new) * (y_new - y)
         x = x_noisy - D_T(y_new, cfg.scheme, **kw)
-        loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * compute_L21_norm(
-            D(x, cfg.scheme, **kw)
+        loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
+            D(x, cfg.scheme, **kw), cfg.norm
         )
         return (y_new, w_new, t_new), loss
 

@@ -33,7 +33,8 @@ def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None):
     the reference loop records it.
     """
     tv, G = tv_and_subgrad(
-        x, cfg.scheme, mask_static=mask_static, **cfg.kwargs()
+        x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
+        **cfg.kwargs()
     )
     x_new = x - step_size * ((x - x_noisy) + reg * G)
     loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv
@@ -65,9 +66,9 @@ def subgradient_descent(
     x0 = x_noisy
     x = x0 if x_init is None else x_init
     if fused is None:
-        fused = mask_static is None and can_fuse(
+        fused = (mask_static is None and cfg.norm == "iso" and can_fuse(
             tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
-        )
+        ))
 
     def body(x, _):
         if fused:
@@ -76,7 +77,8 @@ def subgradient_descent(
             tv, G = tv_and_subgrad_fused(x, cfg, interpret=default_interpret())
         else:
             tv, G = tv_and_subgrad(
-                x, cfg.scheme, mask_static=mask_static, **cfg.kwargs()
+                x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
+                **cfg.kwargs()
             )
         x_new = x - step_size * ((x - x0) + reg * G)
         loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv

@@ -19,7 +19,7 @@ import numpy as np
 
 from ..core.config import TVConfig
 from ..core.schemes import num_channels, operator_norm_bound_sq
-from ..ops.operators import D, D_T, compute_L21_norm
+from ..ops.operators import D, D_T, tv_norm
 
 
 class InverseResult(NamedTuple):
@@ -101,14 +101,15 @@ def cp_inverse(
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
             y_A = (y_A + sigma * (A(x_bar) - b)) / (1.0 + sigma)
+            from .cp import dual_prox
+
             p = y_D + sigma * D(x_bar, cfg.scheme, **kw)
-            p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
-            y_D = p / jnp.maximum(1.0, p_norms / reg)
+            y_D = dual_prox(p, reg, cfg.norm)
             x_new = x - tau * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
             x_bar = 2.0 * x_new - x
             resid = A(x_new) - b
-            loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * compute_L21_norm(
-                D(x_new, cfg.scheme, **kw)
+            loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * tv_norm(
+                D(x_new, cfg.scheme, **kw), cfg.norm
             )
             return (x_new, x_bar, y_A, y_D), loss
 
