@@ -17,7 +17,7 @@ from . import operators as _ops
 from . import tv as _tv
 
 _STATIC_D = ("scheme", "reg_z_over_reg", "reg_time", "factor_reg_static")
-_STATIC_TV = _STATIC_D + ("return_grad_norms",)
+_STATIC_TV = _STATIC_D + ("return_grad_norms", "norm_type")
 
 D = jax.jit(_ops.D, static_argnames=_STATIC_D)
 D_T = jax.jit(_ops.D_T, static_argnames=_STATIC_D)
@@ -43,16 +43,17 @@ def _tv_fused(img, scheme, reg_z_over_reg, reg_time, return_grad_norms,
 
 def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
                    reg_time=0.0, mask_static=None, factor_reg_static=0.0,
-                   return_grad_norms=False):
+                   return_grad_norms=False, norm_type="iso"):
     """tv + subgradient, auto-dispatched to the fused Pallas kernels on TPU
-    when the instance supports them (no masks, plane fits VMEM), else the
-    jnp path — numerics identical either way."""
+    when the instance supports them (no masks, isotropic, plane fits VMEM),
+    else the jnp path — numerics identical either way."""
     from ..core.config import TVConfig
     from ..kernels.dispatch import can_fuse, default_interpret
 
     cfg = TVConfig(scheme=scheme, reg_z_over_reg=reg_z_over_reg,
                    reg_time=reg_time)
-    if (mask is None and mask_static is None and hasattr(img, "shape")
+    if (mask is None and mask_static is None and norm_type == "iso"
+            and hasattr(img, "shape")
             and len(img.shape) == 4 and jax.default_backend() == "tpu"
             and can_fuse(tuple(img.shape), cfg,
                          dtype=jax.numpy.asarray(img).dtype.name)):
@@ -62,7 +63,8 @@ def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
                    reg_z_over_reg=reg_z_over_reg, reg_time=reg_time,
                    mask_static=mask_static,
                    factor_reg_static=factor_reg_static,
-                   return_grad_norms=return_grad_norms)
+                   return_grad_norms=return_grad_norms,
+                   norm_type=norm_type)
 
 
 def normalize_mask(mask_static):

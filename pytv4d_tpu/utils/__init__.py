@@ -1,4 +1,5 @@
-from . import checks, images, profiling
+from . import checks, images, profiling, runlog
 from .checks import assert_finite, checkified
 from .images import as_volume, cameraman, has_real_cameraman, synthetic_phantom
 from .profiling import IterationTimer, cp_traffic_model, roofline_fraction, trace
+from .runlog import log_run

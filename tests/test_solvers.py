@@ -251,3 +251,41 @@ def test_aniso_subgradient_definition():
     want = np.asarray(D_T(np.sign(Dx), "hybrid", reg_time=0.5, xp=np))
     np.testing.assert_allclose(G, want, rtol=1e-12)
     assert tv == pytest.approx(np.abs(Dx).sum(), rel=1e-12)
+
+
+def test_long_run_stability():
+    """5000 iterations must stay finite with a flat (converged) tail."""
+    rng = np.random.default_rng(51)
+    noisy = jnp.asarray(rng.random((2, 2, 24, 24)) * 1e4)
+    res = chambolle_pock(noisy, n_iter=5000, reg=100.0)
+    loss = np.asarray(res.loss)
+    assert np.all(np.isfinite(loss))
+    tail = loss[-500:]
+    assert (tail.max() - tail.min()) / tail.mean() < 1e-6
+
+
+def test_extreme_scales():
+    """Tiny and huge intensity scales must not produce NaN/inf."""
+    from pytv4d_tpu.solvers import fista
+
+    rng = np.random.default_rng(52)
+    base = rng.random((2, 1, 16, 16))
+    for scale in (1e-8, 1.0, 1e8):
+        noisy = jnp.asarray(base * scale)
+        res = chambolle_pock(noisy, n_iter=30, reg=0.1 * scale)
+        assert np.all(np.isfinite(np.asarray(res.loss))), scale
+        rf = fista(noisy, n_iter=30, reg=0.1 * scale)
+        assert np.all(np.isfinite(np.asarray(rf.loss))), scale
+
+
+def test_run_logging(tmp_path, noisy_small):
+    from pytv4d_tpu.utils import log_run
+
+    res = chambolle_pock(noisy_small, n_iter=10)
+    path = str(tmp_path / "runs.jsonl")
+    rec = log_run(path, "cp", TVConfig(scheme="hybrid"), res.loss, wall_s=0.1)
+    assert rec["n_iter"] == 10 and rec["config"]["scheme"] == "hybrid"
+    import json
+
+    lines = [json.loads(l) for l in open(path)]
+    assert len(lines) == 1 and lines[0]["loss_last"] == rec["loss_last"]
