@@ -142,3 +142,16 @@ def test_resident_solvers_match_jnp(x0):
 
     # guard rejects what cannot fit
     assert not resident_fits((64, 16, 512, 512), cfg)
+
+
+def test_fused_cp_long_horizon_parity(x0):
+    """North-star contract (BASELINE.md): the fused path must track the jnp
+    path to <=1e-4 relative loss over a full 300-iteration production run,
+    not just a few steps."""
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    a = chambolle_pock(x0, n_iter=300, reg=0.4, cfg=cfg, fused=False)
+    b = chambolle_pock(x0, n_iter=300, reg=0.4, cfg=cfg, fused=True)
+    rel = np.abs(np.asarray(b.loss) - np.asarray(a.loss)) / np.asarray(a.loss)
+    assert float(rel.max()) < 1e-4, float(rel.max())
