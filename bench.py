@@ -23,7 +23,7 @@ def log(*a):
     print(*a, file=sys.stderr, flush=True)
 
 
-def bench_cp_cameraman(n_iter=300, repeats=3):
+def bench_cp_cameraman(n_iter=300, repeats=8):
     import jax
     import jax.numpy as jnp
 
@@ -74,7 +74,7 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
 
     run()
     best = float("inf")
-    for _ in range(3):
+    for _ in range(5):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
