@@ -289,3 +289,26 @@ def test_run_logging(tmp_path, noisy_small):
 
     lines = [json.loads(l) for l in open(path)]
     assert len(lines) == 1 and lines[0]["loss_last"] == rec["loss_last"]
+
+
+def test_4d_solver_trajectory_parity():
+    """Full 150-iteration GD and CP loss trajectories on a seeded 4D
+    time-coupled problem must match the reference implementation's loops
+    (fixtures from tools/make_golden_solver.py, run against /root/reference)."""
+    import os
+
+    golden = np.load(os.path.join(os.path.dirname(__file__), "golden",
+                                  "golden_solver4d.npz"))
+    noisy = golden["noisy"]
+    reg = float(golden["reg"])
+    cfg = TVConfig(scheme="hybrid", reg_time=float(golden["reg_time"]))
+
+    gd = subgradient_descent(noisy, n_iter=150, reg=reg, step_size=5e-3,
+                             cfg=cfg)
+    np.testing.assert_allclose(np.asarray(gd.loss), golden["gd_losses"],
+                               rtol=1e-9)
+
+    cp = chambolle_pock(noisy, n_iter=150, reg=reg, cfg=cfg,
+                        tau=float(golden["tau"]))
+    np.testing.assert_allclose(np.asarray(cp.loss), golden["cp_losses"],
+                               rtol=1e-9)
