@@ -6,24 +6,38 @@ iteration touches ~70 volume-equivalents of HBM traffic.  These kernels fuse
 the stencil, the channel reduction and the prox into two passes over the
 volume, never materializing ``D_x`` or the prox argument in HBM:
 
-- pass A (:func:`make_cp_dual_kernel`): reads x (+neighbors), x0, y_A, y_D;
-  writes y_A', y_D' and per-tile L21 partials.
+- pass A (:func:`make_cp_dual_kernel`): reads x (+neighbor tiles), x0, y_A,
+  y_D; writes y_A', y_D' (in place via input_output_aliases) and per-tile
+  L21 partials.
 - pass B (:func:`make_cp_primal_kernel`): reads x, x0, y_A', y_D'
-  (+ channel-sliced neighbors); writes x' and fidelity partials.
+  (+ channel-sliced neighbor tiles); writes x' in place + fidelity partials.
+
+Measured on one TPU v5e (hybrid 4D (32,8,256,256) f32): 79 it/s for the
+XLA-fused jnp path -> 235 it/s fused (the in-place aliasing alone is 1.5x:
+without it XLA copies the Nd-channel dual every scan iteration) -> 324 it/s
+with bf16 dual storage; ~69% of the HBM roofline on the f32 traffic model.
 
 Grid/tiling: programs cover row tiles of (z, t) planes — grid
-``(Nz, M, R)`` with tiles ``(TR, N_col)`` where ``TR`` is chosen so a
-program's working set stays ~2 MB and double buffering fits VMEM
-(:func:`choose_row_tile`); arbitrarily large in-plane sizes are supported.
-Neighbors arrive as extra input refs: full tiles for z/t planes (clamped
-index maps + ``pl.program_id`` gating reproduce the reference's one-sided
-zero boundary, ``pytv/tv_operators_CPU.py:115-127``), 8-row thin blocks for
-the row-tile seams.  ``y_D`` uses the internal channel-contiguous layout
-``(Nz, M, Nd, N_row, N_col)`` inside fused solvers (one DMA per tile).
+``(Nz, M, R)`` with tiles ``(TR, N_col)`` where ``TR`` is chosen so the
+Nd-channel tile stays ~2 MB (:func:`choose_row_tile`); arbitrarily large
+in-plane sizes are supported.  Neighbors arrive as extra input refs: full
+tiles for z/t planes (clamped index maps + ``pl.program_id`` gating
+reproduce the reference's one-sided zero boundary,
+``pytv/tv_operators_CPU.py:115-127``), 8-row thin blocks for the row-tile
+seams.  ``y_D`` uses the internal channel-contiguous layout
+``(Nz, M, Nd, N_row, N_col)`` inside fused solvers (one DMA per tile),
+optionally stored in bf16.
 
-All stencil math is generated from the same declarative channel table as the
-jnp path (core/schemes.py), so numerics are identical (tested to fp32
-round-off).
+Sharded execution (``halo_mode=True``, driven by parallel/fused_halo.py):
+the kernels run inside shard_map on ghost-plane-extended local blocks with
+z/t gating disabled — the ghosts encode the global boundary, so per-shard
+numerics stay slot-exact with the single-device path.
+
+Both TV norms ('iso' L2,1 — the reference's definition — and 'aniso' L1,1)
+are supported in the CP pass-A prox.  All stencil math is generated from
+the same declarative channel table as the jnp path (core/schemes.py), so
+numerics are identical (tested to fp32 round-off, and to 1e-4 relative
+loss over full 300-iteration runs).
 """
 
 from __future__ import annotations
