@@ -718,8 +718,7 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
 @functools.lru_cache(maxsize=None)
 def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                           interpret=False, halo_mode=False, table_dims=None,
-                           gd_update=None):
+                           interpret=False, halo_mode=False, table_dims=None):
     """Pass 2: G from (x, norms) — the unweighted adjoint of ``D_x / norms``
     (``tv_CPU.py:92-124`` algebra), recomputing D_x in-registers instead of
     reading an Nd-channel volume from HBM.
@@ -731,11 +730,6 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     planes per side along z/t (clamp padding, or the central scheme's
     zero-difference mirror), norms by ONE (safe-divisor ghosts); all z/t
     gating is disabled (parallel/fused_halo.py).
-
-    ``gd_update=(reg, step_size)``: fuse the subgradient-descent update into
-    this pass — takes an extra x0 input and emits
-    ``x' = x - step*((x - x0) + reg*G)`` plus fidelity partials instead of
-    G, so G never touches HBM.
     """
     sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name,
                                              table_dims=table_dims)
@@ -753,12 +747,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         else:
             x_up = x_dn = n_up = n_dn = None
             ns = refs[n_xs:n_xs + n_ns]
-        if gd_update is None:
-            x0_ref = None
-            g_out = refs[-1]
-        else:
-            x0_ref = refs[-3]
-            g_out, fid_out = refs[-2], refs[-1]
+        g_out = refs[-1]
 
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         (x_c, x_zm, x_zp, x_tm, x_tp, x_zm2, x_zp2, x_tm2, x_tp2) = (
@@ -838,16 +827,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                                gate=gate) * w / n_tp
                 c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M, gate=gate)
             G = c if G is None else G + c
-        G = G * norm
-        if gd_update is None:
-            g_out[0, 0] = G
-        else:
-            reg_c, step_c = gd_update
-            x0_tile = x0_ref[0, 0]
-            x_new = x_c - step_c * ((x_c - x0_tile) + reg_c * G)
-            g_out[0, 0] = x_new
-            diff = x_new - x0_tile
-            _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
+        g_out[0, 0] = G * norm
 
     ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
     en = 1 if halo_mode else 0   # norms extended by 1
@@ -863,50 +843,22 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     if sp.R > 1:
         in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
-    if gd_update is not None:
-        in_specs += [sp.vol()]  # x0 (never extended)
-
-    if gd_update is None:
-        out_specs = sp.vol()
-        out_shape = jax.ShapeDtypeStruct(shape, dtype)
-    else:
-        out_specs = (sp.vol(), sp.part())
-        out_shape = (jax.ShapeDtypeStruct(shape, dtype),
-                     sp.part_shape(dtype))
 
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
         in_specs=in_specs,
-        out_specs=out_specs,
-        out_shape=out_shape,
+        out_specs=sp.vol(),
+        out_shape=jax.ShapeDtypeStruct(shape, dtype),
         interpret=interpret,
     )
 
-    def call(x, norms, x0=None):
-        extra = () if gd_update is None else (x0,)
+    def call(x, norms):
         if sp.R > 1:
-            return fn(*([x] * 11), *([norms] * 7), *extra)
-        return fn(*([x] * 9), *([norms] * 5), *extra)
+            return fn(*([x] * 11), *([norms] * 7))
+        return fn(*([x] * 9), *([norms] * 5))
 
     return call
-
-
-def gd_step_fused(x, x0, *, reg, step_size, cfg: TVConfig, interpret=False):
-    """One fused subgradient-descent iteration: norms pass + a combined
-    subgradient/update pass (G never materializes in HBM).  Loss follows the
-    reference convention: TV of the pre-update iterate + fidelity of the
-    post-update one (README.md:122-123)."""
-    shape = tuple(x.shape)
-    dt_name = jnp.dtype(x.dtype).name
-    norms_k = make_tv_norms_kernel(cfg, shape, dt_name, interpret)
-    upd_k = make_tv_subgrad_kernel(cfg, shape, dt_name, interpret,
-                                   gd_update=(float(reg), float(step_size)))
-    norms, tv_parts = norms_k(x)
-    x_new, fid_parts = upd_k(x, norms, x0)
-    tv = _sum_parts(tv_parts)
-    loss = _sum_parts(fid_parts) + reg * tv
-    return x_new, loss, tv
 
 
 def tv_and_subgrad_fused(x, cfg: TVConfig, interpret=False,

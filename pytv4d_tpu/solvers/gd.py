@@ -72,17 +72,14 @@ def subgradient_descent(
 
     def body(x, _):
         if fused:
-            from ..kernels.fused import gd_step_fused
+            from ..kernels.fused import tv_and_subgrad_fused
 
-            x_new, loss, tv = gd_step_fused(
-                x, x0, reg=reg, step_size=step_size, cfg=cfg,
-                interpret=default_interpret(),
+            tv, G = tv_and_subgrad_fused(x, cfg, interpret=default_interpret())
+        else:
+            tv, G = tv_and_subgrad(
+                x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
+                **cfg.kwargs()
             )
-            return x_new, (loss, tv)
-        tv, G = tv_and_subgrad(
-            x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
-            **cfg.kwargs()
-        )
         x_new = x - step_size * ((x - x0) + reg * G)
         loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv
         return x_new, (loss, tv)
