@@ -42,7 +42,7 @@ from .ops.api import (
 from .ops.tv import make_tv
 
 # Reference-layout compat modules (``pytv.tv_CPU`` etc.).
-from . import tv_CPU, tv_operators_CPU, tv_operators_TPU, tv_TPU
+from . import tests, tv_CPU, tv_operators_CPU, tv_operators_TPU, tv_TPU
 
 tv_GPU = tv_TPU
 tv_operators_GPU = tv_operators_TPU

@@ -82,3 +82,11 @@ def test_version_and_config_exports():
     with pytest.raises(ValueError):
         pytv.TVConfig(scheme="nope")
     assert pytv.SCHEMES == ("upwind", "downwind", "central", "hybrid")
+
+
+def test_tests_module_alias():
+    """Reference users call ``pytv.tests.run_CPU_tests`` (pytv/__init__.py:57)."""
+    import pytv4d_tpu.tests as t
+
+    assert callable(t.run_CPU_tests) and callable(t.run_GPU_tests)
+    assert callable(pytv.tests.test_equal)
