@@ -370,6 +370,15 @@ def _seam_rows(sp, x_up_ref, x_dn_ref, view):
 # ---------------------------------------------------------------------------
 
 
+def _needs(chans):
+    """Which grid axes the channel table touches (skip neighbor-tile DMA for
+    the others — a 3D volume without time channels saves 2 of pass A's 5
+    x-tile reads)."""
+    need_z = any(ch.axis == AXIS_Z for ch in chans)
+    need_t = any(ch.axis == AXIS_T for ch in chans)
+    return need_z, need_t
+
+
 def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
                 z, m, r, sp, gate_zt=True):
     """All weighted D channels of the current tile (VMEM-resident only)."""
@@ -411,15 +420,20 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                                           dual_dtype_name, table_dims)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
+    need_z, need_t = _needs(chans)
 
     def kernel(*refs):
-        if sp.R == 1:
-            (x_ref, x_zm, x_zp, x_tm, x_tp, x0_ref, yA_ref, yD_ref,
-             yA_out, yD_out, l21_out) = refs
-            x_up = x_dn = None
+        it = iter(refs)
+        x_ref = next(it)
+        x_zm = next(it) if need_z else None
+        x_zp = next(it) if need_z else None
+        x_tm = next(it) if need_t else None
+        x_tp = next(it) if need_t else None
+        if sp.R > 1:
+            x_up, x_dn = next(it), next(it)
         else:
-            (x_ref, x_zm, x_zp, x_tm, x_tp, x_up, x_dn, x0_ref, yA_ref,
-             yD_ref, yA_out, yD_out, l21_out) = refs
+            x_up = x_dn = None
+        x0_ref, yA_ref, yD_ref, yA_out, yD_out, l21_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
@@ -427,7 +441,10 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         yA_out[0, 0] = (yA_ref[0, 0] + sigma_A * (x - x0_ref[0, 0])) / (1.0 + sigma_A)
 
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
+                         x_zm[0, 0] if need_z else None,
+                         x_zp[0, 0] if need_z else None,
+                         x_tm[0, 0] if need_t else None,
+                         x_tp[0, 0] if need_t else None,
                          z, m, r, sp, gate_zt=not halo_mode)
 
         if cfg.norm == "aniso":
@@ -457,8 +474,11 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
             yD_out[0, 0, i] = (p * inv_scale).astype(dual_dtype)
 
     ext = halo_mode
-    in_specs = [sp.vol(ext=ext), sp.vol(-1, 0, ext=ext), sp.vol(1, 0, ext=ext),
-                sp.vol(0, -1, ext=ext), sp.vol(0, 1, ext=ext)]
+    in_specs = [sp.vol(ext=ext)]
+    if need_z:
+        in_specs += [sp.vol(-1, 0, ext=ext), sp.vol(1, 0, ext=ext)]
+    if need_t:
+        in_specs += [sp.vol(0, -1, ext=ext), sp.vol(0, 1, ext=ext)]
     if sp.R > 1:
         # thin row blocks always read the unextended rows of the center plane
         in_specs += [_ext_rows(sp, -1) if ext else sp.vol_rows(-1),
@@ -467,7 +487,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
     # y_A / y_D update in place (no neighbor reads; block-aligned writes):
     # halves the transient HBM footprint so pod-scale volumes fit one chip
-    n_x = 7 if sp.R > 1 else 5
+    n_x = (1 + 2 * need_z + 2 * need_t) + (2 if sp.R > 1 else 0)
     aliases = {n_x + 1: 0, n_x + 2: 1}  # y_A and y_D (same dtype in/out)
 
     fn = pl.pallas_call(
@@ -487,7 +507,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     )
 
     def call(x, x0, y_A, y_D):
-        xs = [x] * (7 if sp.R > 1 else 5)
+        xs = [x] * n_x
         return fn(*xs, x0, y_A, y_D)
 
     return call
@@ -668,19 +688,28 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     boundary; parallel/fused_halo.py)."""
     sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
                                           table_dims=table_dims)
+    need_z, need_t = _needs(chans)
 
     def kernel(*refs):
-        if sp.R == 1:
-            x_ref, x_zm, x_zp, x_tm, x_tp, norms_out, tv_out = refs
-            x_up = x_dn = None
+        it = iter(refs)
+        x_ref = next(it)
+        x_zm = next(it) if need_z else None
+        x_zp = next(it) if need_z else None
+        x_tm = next(it) if need_t else None
+        x_tp = next(it) if need_t else None
+        if sp.R > 1:
+            x_up, x_dn = next(it), next(it)
         else:
-            (x_ref, x_zm, x_zp, x_tm, x_tp, x_up, x_dn,
-             norms_out, tv_out) = refs
+            x_up = x_dn = None
+        norms_out, tv_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         x_zm[0, 0], x_zp[0, 0], x_tm[0, 0], x_tp[0, 0],
+                         x_zm[0, 0] if need_z else None,
+                         x_zp[0, 0] if need_z else None,
+                         x_tm[0, 0] if need_t else None,
+                         x_tp[0, 0] if need_t else None,
                          z, m, r, sp, gate_zt=not halo_mode)
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
@@ -691,11 +720,15 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         norms_out[0, 0] = jnp.where(norms == 0, jnp.inf, norms)
 
     e = 1 if halo_mode else 0
-    in_specs = [sp.vol(ext=e), sp.vol(-1, 0, ext=e), sp.vol(1, 0, ext=e),
-                sp.vol(0, -1, ext=e), sp.vol(0, 1, ext=e)]
+    in_specs = [sp.vol(ext=e)]
+    if need_z:
+        in_specs += [sp.vol(-1, 0, ext=e), sp.vol(1, 0, ext=e)]
+    if need_t:
+        in_specs += [sp.vol(0, -1, ext=e), sp.vol(0, 1, ext=e)]
     if sp.R > 1:
         in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
+    n_x = (1 + 2 * need_z + 2 * need_t) + (2 if sp.R > 1 else 0)
 
     fn = pl.pallas_call(
         kernel,
@@ -710,8 +743,7 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     )
 
     def call(x):
-        xs = [x] * (7 if sp.R > 1 else 5)
-        return fn(*xs)
+        return fn(*([x] * n_x))
 
     return call
 
@@ -734,25 +766,36 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name,
                                              table_dims=table_dims)
     gate = not halo_mode
+    need_z, need_t = _needs(chans)
 
-    n_xs = 9  # center, z-1, z+1, t-1, t+1, z-2, z+2, t-2, t+2
-    n_ns = 5  # center, z-1, z+1, t-1, t+1
+    n_xs = 1 + 4 * need_z + 4 * need_t
+    n_ns = 1 + 2 * need_z + 2 * need_t
 
     def kernel(*refs):
-        xs = refs[:n_xs]
+        it = iter(refs)
+
+        def take(cond):
+            return it.__next__()[0, 0] if cond else None
+
+        x_c = take(True)
+        x_zm, x_zp = take(need_z), take(need_z)
+        x_tm, x_tp = take(need_t), take(need_t)
+        x_zm2, x_zp2 = take(need_z), take(need_z)
+        x_tm2, x_tp2 = take(need_t), take(need_t)
         if sp.R > 1:
-            x_up, x_dn = refs[n_xs:n_xs + 2]
-            ns = refs[n_xs + 2:n_xs + 2 + n_ns]
-            n_up, n_dn = refs[n_xs + 2 + n_ns:n_xs + 2 + n_ns + 2]
+            x_up, x_dn = next(it), next(it)
         else:
-            x_up = x_dn = n_up = n_dn = None
-            ns = refs[n_xs:n_xs + n_ns]
-        g_out = refs[-1]
+            x_up = x_dn = None
+        n_c = take(True)
+        n_zm, n_zp = take(need_z), take(need_z)
+        n_tm, n_tp = take(need_t), take(need_t)
+        if sp.R > 1:
+            n_up, n_dn = next(it), next(it)
+        else:
+            n_up = n_dn = None
+        g_out = next(it)
 
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        (x_c, x_zm, x_zp, x_tm, x_tp, x_zm2, x_zp2, x_tm2, x_tp2) = (
-            ref[0, 0] for ref in xs)
-        n_c, n_zm, n_zp, n_tm, n_tp = (ref[0, 0] for ref in ns)
         inv_n = 1.0 / n_c
 
         zero_row = jnp.zeros((1, sp.Nc), dtype)
@@ -831,15 +874,23 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
     ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
     en = 1 if halo_mode else 0   # norms extended by 1
-    in_specs = [sp.vol(ext=ex), sp.vol(-1, 0, ext=ex), sp.vol(1, 0, ext=ex),
-                sp.vol(0, -1, ext=ex), sp.vol(0, 1, ext=ex),
-                sp.vol(-2, 0, ext=ex), sp.vol(2, 0, ext=ex),
-                sp.vol(0, -2, ext=ex), sp.vol(0, 2, ext=ex)]
+    in_specs = [sp.vol(ext=ex)]
+    if need_z:
+        in_specs += [sp.vol(-1, 0, ext=ex), sp.vol(1, 0, ext=ex)]
+    if need_t:
+        in_specs += [sp.vol(0, -1, ext=ex), sp.vol(0, 1, ext=ex)]
+    if need_z:
+        in_specs += [sp.vol(-2, 0, ext=ex), sp.vol(2, 0, ext=ex)]
+    if need_t:
+        in_specs += [sp.vol(0, -2, ext=ex), sp.vol(0, 2, ext=ex)]
     if sp.R > 1:
         in_specs += [_ext_rows(sp, -1, 2) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 2) if halo_mode else sp.vol_rows(1)]
-    in_specs += [sp.vol(ext=en), sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en),
-                 sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
+    in_specs += [sp.vol(ext=en)]
+    if need_z:
+        in_specs += [sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en)]
+    if need_t:
+        in_specs += [sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
     if sp.R > 1:
         in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
@@ -853,10 +904,10 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         interpret=interpret,
     )
 
+    thin = 2 if sp.R > 1 else 0
+
     def call(x, norms):
-        if sp.R > 1:
-            return fn(*([x] * 11), *([norms] * 7))
-        return fn(*([x] * 9), *([norms] * 5))
+        return fn(*([x] * (n_xs + thin)), *([norms] * (n_ns + thin)))
 
     return call
 
