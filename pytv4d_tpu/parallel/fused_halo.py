@@ -284,6 +284,11 @@ def make_sharded_gd_solver_fused(
     from ..kernels.dispatch import default_interpret
     from ..kernels.fused import make_tv_norms_kernel, make_tv_subgrad_kernel
 
+    if cfg.norm != "iso":
+        raise NotImplementedError(
+            "the sharded fused GD kernels support isotropic TV only; use "
+            "parallel.halo's jnp sharded path for norm='aniso'"
+        )
     if interpret is None:
         interpret = default_interpret()
 

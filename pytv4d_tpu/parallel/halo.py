@@ -225,6 +225,13 @@ def sharded_tv_and_subgrad(mesh: Mesh, cfg: TVConfig, global_shape,
                        out_specs=(P(), vol), check_vma=False)
     def fn(x):
         D_img = _local_D(x, cfg, ctx, global_shape)
+        if cfg.norm == "aniso":
+            tv = jnp.sum(jnp.abs(D_img))
+            if axes:
+                tv = lax.psum(tv, axes)
+            # true subgradient D^T sign(D x), full weights (ops/tv.py aniso)
+            G = _local_D_T(jnp.sign(D_img), cfg, ctx, global_shape)
+            return tv, G
         norms = jnp.sqrt(jnp.sum(jnp.square(D_img), axis=1))
         tv = jnp.sum(norms)
         if axes:
@@ -258,14 +265,17 @@ def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
         check_vma=False,
     )
     def fn(x, y_A, y_D, x_noisy):
+        from ..solvers.cp import dual_prox
+
         y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
         D_x = _local_D(x, cfg, ctx, global_shape)
-        p = y_D + sigma_D * D_x
-        p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
-        y_D = p / jnp.maximum(1.0, p_norms / reg)
+        y_D = dual_prox(y_D + sigma_D * D_x, reg, cfg.norm)
         x = x - tau * y_A - tau * _local_D_T(y_D, cfg, ctx, global_shape)
-        l21 = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=1)))
-        loss_local = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * l21
+        if cfg.norm == "aniso":
+            tv_local = jnp.sum(jnp.abs(D_x))
+        else:
+            tv_local = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=1)))
+        loss_local = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_local
         loss = lax.psum(loss_local, axes) if axes else loss_local
         return x, y_A, y_D, loss
 

@@ -319,3 +319,50 @@ def test_sharded_fused_with_row_tiling(monkeypatch):
         F.make_cp_primal_kernel.cache_clear()
         F.make_tv_norms_kernel.cache_clear()
         F.make_tv_subgrad_kernel.cache_clear()
+
+
+def test_sharded_aniso_paths():
+    """Anisotropic TV on the sharded jnp paths (tv/G and the CP step) and the
+    sharded FUSED CP (aniso prox in pass A) must all track unsharded."""
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.ops.tv import tv_and_subgrad
+    from pytv4d_tpu.parallel import internal_d_sharding, make_sharded_cp_solver_fused
+
+    rng = np.random.default_rng(61)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5, norm="aniso")
+    img = rng.random(shape)
+    mesh = _mesh42()
+
+    tv_s, G_s = sharded_tv_and_subgrad(mesh, cfg, shape)(
+        shard_volume(jnp.asarray(img), mesh))
+    tv_l, G_l = tv_and_subgrad(jnp.asarray(img), "hybrid", reg_time=0.5,
+                               norm_type="aniso")
+    assert float(tv_s) == pytest.approx(float(tv_l), rel=1e-12)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_l), rtol=1e-10,
+                               atol=1e-12)
+
+    noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+    ref = chambolle_pock(noisy, n_iter=15, reg=0.4, cfg=cfg, fused=False)
+
+    solve = make_sharded_cp_solver(mesh, cfg, shape, reg=0.4, n_iter=15)
+    st = init_state(noisy, cfg)
+    _, _, _, losses = solve(
+        shard_volume(noisy, mesh), shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(st.y_D, ptv.parallel.d_volume_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-5)
+
+    solve_f = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4, n_iter=15)
+    _, _, _, losses_f = solve_f(
+        shard_volume(noisy, mesh), shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(to_internal_layout(st.y_D), internal_d_sharding(mesh)))
+    np.testing.assert_allclose(np.asarray(losses_f), np.asarray(ref.loss),
+                               rtol=1e-5)
+
+    from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+
+    with pytest.raises(NotImplementedError, match="isotropic"):
+        make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4, n_iter=1)
