@@ -5,6 +5,13 @@ Covers: TV values + subgradients, GD vs Chambolle-Pock vs ADMM denoising of
 the cameraman image, and the operator forms.  Runs on TPU, GPU or CPU.
 """
 
+# Allow running from a repo checkout without installation.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 
 import pytv4d_tpu as pytv

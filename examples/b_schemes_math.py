@@ -12,6 +12,13 @@ Each scheme is an ordered list of finite-difference channels
 vectors, the TV is the L2,1 norm of that stack, and D_T is the exact adjoint.
 """
 
+# Allow running from a repo checkout without installation.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import math
 
 import numpy as np

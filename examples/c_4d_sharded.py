@@ -6,6 +6,13 @@ Runs on any device count: real TPU slices, or a virtual CPU mesh via
     JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
 """
 
+# Allow running from a repo checkout without installation.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax
 import jax.numpy as jnp

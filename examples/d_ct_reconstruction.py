@@ -5,6 +5,13 @@ Static 2D reconstruction, then a dynamic (time-resolved) 4D reconstruction
 with per-frame angle subsets — the motion-artifact setting of the paper.
 """
 
+# Allow running from a repo checkout without installation.
+import os as _os
+import sys as _sys
+
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
+
+
 import numpy as np
 import jax.numpy as jnp
 
