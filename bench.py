@@ -52,9 +52,11 @@ def bench_cp_cameraman(n_iter=300, repeats=8):
     return n_iter / best, final_loss
 
 
-def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
+def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
+                repeats=5):
     """Secondary: big-4D CP (fused Pallas path) throughput + roofline
-    fraction (diagnostic only)."""
+    fraction on BOTH traffic models (minimal = unique bytes, the honest
+    denominator; actual = counts redundant neighbor DMA)."""
     import jax
     import jax.numpy as jnp
 
@@ -68,13 +70,14 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
     cfg = TVConfig(scheme="hybrid", reg_time=0.5)
 
     def run():
-        res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg)
+        res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
+                             dual_dtype=dual_dtype)
         jax.block_until_ready(res.loss)
         return float(jnp.sum(res.x))  # full sync past async dispatch queues
 
     run()
     best = float("inf")
-    for _ in range(5):
+    for _ in range(repeats):
         t0 = time.perf_counter()
         run()
         best = min(best, time.perf_counter() - t0)
@@ -82,42 +85,20 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50):
     it_s = n_iter / best
     nd = num_channels(cfg.scheme, shape[0], shape[1], cfg.reg_z_over_reg,
                       cfg.reg_time)
-    traffic = cp_traffic_model(shape, nd)
+    t_min = cp_traffic_model(shape, nd, model="minimal",
+                             dual_dtype=dual_dtype)
+    t_act = cp_traffic_model(shape, nd, model="actual", dual_dtype=dual_dtype)
+    frac_min = roofline_fraction(t_min, it_s)
+    tag = f"{dual_dtype}-dual" if dual_dtype else "f32"
     log(
-        f"cp 4D {shape} fused: {it_s:.1f} it/s, {vox * it_s / 1e9:.2f} "
-        f"Gvox-it/s, ~{traffic * it_s / 1e9:.0f} GB/s "
-        f"({100 * roofline_fraction(traffic, it_s):.0f}% of HBM roofline)"
+        f"cp 4D {shape} fused {tag}: {it_s:.1f} it/s, "
+        f"{vox * it_s / 1e9:.2f} Gvox-it/s, "
+        f"{100 * frac_min:.0f}% of HBM roofline (minimal model, "
+        f"{t_min * it_s / 1e9:.0f} GB/s; actual-DMA model: "
+        f"{t_act * it_s / 1e9:.0f} GB/s = "
+        f"{100 * roofline_fraction(t_act, it_s):.0f}%)"
     )
-    return it_s
-
-
-def bench_bf16_4d(shape=(32, 8, 256, 256), n_iter=50):
-    """Secondary: the bf16-dual fused path (diagnostic only)."""
-    import jax
-    import jax.numpy as jnp
-
-    from pytv4d_tpu.core.config import TVConfig
-    from pytv4d_tpu.solvers.cp import chambolle_pock
-
-    rng = np.random.default_rng(0)
-    noisy = jnp.asarray(rng.random(shape), dtype=jnp.float32)
-    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
-
-    def run():
-        res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
-                             dual_dtype="bfloat16")
-        jax.block_until_ready(res.loss)
-        return float(jnp.sum(res.x))
-
-    run()
-    best = float("inf")
-    for _ in range(3):
-        t0 = time.perf_counter()
-        run()
-        best = min(best, time.perf_counter() - t0)
-    it_s = n_iter / best
-    log(f"cp 4D {shape} bf16-dual: {it_s:.1f} it/s "
-        f"({it_s * float(np.prod(shape)) / 1e9:.2f} Gvox-it/s)")
+    return it_s, frac_min
 
 
 def main():
@@ -125,9 +106,13 @@ def main():
 
     log(f"devices: {jax.devices()}")
     it_per_s, final_loss = bench_cp_cameraman()
+    extras = {}
     try:
-        bench_cp_4d()
-        bench_bf16_4d()
+        it4, frac_min = bench_cp_4d()
+        extras["fused_4d_it_s"] = round(it4, 1)
+        extras["fused_4d_roofline_minimal"] = round(frac_min, 3)
+        it4b, _ = bench_cp_4d(dual_dtype="bfloat16", repeats=3)
+        extras["fused_4d_bf16_it_s"] = round(it4b, 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
 
@@ -138,6 +123,7 @@ def main():
                 "value": round(it_per_s, 1),
                 "unit": "it/s",
                 "vs_baseline": round(it_per_s / BASELINE_CP_IT_PER_S, 2),
+                **extras,
             }
         )
     )

@@ -11,8 +11,11 @@ reference path (ops/operators.py works unchanged inside a kernel), so
 numerics are identical by construction.
 
 Guard: :func:`resident_fits` — total state + temporaries must fit ~half of
-VMEM.  Dispatch: ``solvers.cp.chambolle_pock`` / ``solvers.gd`` pick this
-path automatically for qualifying volumes.
+VMEM.  This is an EXPLICIT API (call the ``make_resident_*`` builders
+directly); the solvers deliberately do NOT auto-dispatch to it — measured
+perf-neutral on v5e for the qualifying 256^2 headline case, which is
+VPU-compute-bound rather than dispatch- or HBM-bound (docs/performance.md
+"VMEM-resident whole-solve kernels").
 """
 
 from __future__ import annotations

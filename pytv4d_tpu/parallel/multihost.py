@@ -15,6 +15,7 @@ Halos then ride ICI within a host/slice and DCN across hosts automatically —
 
 from __future__ import annotations
 
+import os
 from typing import Optional
 
 import jax
@@ -24,6 +25,27 @@ from .mesh import make_mesh, volume_sharding
 
 _initialized = False
 
+# Environment variables whose presence means "this process is part of a
+# cluster" — a bootstrap failure is then a configuration error, never
+# something to paper over with single-process execution.
+_CLUSTER_ENV_VARS = (
+    "JAX_COORDINATOR_ADDRESS",
+    "COORDINATOR_ADDRESS",
+    "JAX_NUM_PROCESSES",
+    "JAX_PROCESS_ID",
+    "MEGASCALE_COORDINATOR_ADDRESS",
+    "CLOUD_TPU_MULTIHOST_BOOTSTRAP",
+)
+
+
+def cluster_configured() -> bool:
+    """True when the environment declares a multi-process cluster.
+    ``TPU_WORKER_HOSTNAMES`` counts only with >1 comma-separated worker —
+    single-worker TPU VMs (and tunneled dev chips) set it to one host."""
+    if any(os.environ.get(var) for var in _CLUSTER_ENV_VARS):
+        return True
+    return "," in os.environ.get("TPU_WORKER_HOSTNAMES", "")
+
 
 def initialize(coordinator_address: Optional[str] = None,
                num_processes: Optional[int] = None,
@@ -32,12 +54,19 @@ def initialize(coordinator_address: Optional[str] = None,
     discovered from the environment; on CPU/GPU clusters pass them explicitly
     (or set JAX_COORDINATOR_ADDRESS etc.).  Safe to call twice.
 
+    A failed bootstrap RAISES whenever a cluster was requested (explicit
+    arguments or cluster env vars): silently degrading to single-process
+    would let every downstream mesh/sharding computation run on a
+    wrong-shaped mesh and produce wrong results.  Single-process fallback
+    happens only when nothing in the environment asked for a cluster.
+
     Must run before any backend use — do NOT query jax.devices()/
     process_count() first (that would initialize a single-process backend
     and the distributed bootstrap would be ignored)."""
     global _initialized
     if _initialized:
         return
+    cluster_requested = coordinator_address is not None or cluster_configured()
     kwargs = {}
     if coordinator_address is not None:
         kwargs = dict(coordinator_address=coordinator_address,
@@ -49,9 +78,14 @@ def initialize(coordinator_address: Optional[str] = None,
         if "already" in str(e).lower():
             _initialized = True
             return
-        if coordinator_address is not None:
-            raise
-        # single-process environment without cluster env vars
+        if cluster_requested:
+            raise RuntimeError(
+                "jax.distributed.initialize failed although a cluster was "
+                "configured (explicit coordinator_address or one of "
+                f"{_CLUSTER_ENV_VARS}); refusing to silently degrade to "
+                "single-process execution"
+            ) from e
+        # single-process environment without any cluster configuration
         _initialized = True
 
 

@@ -1,11 +1,12 @@
 """Bundled/test images — reference parity for ``pytv.utils.cameraman``
 (``pytv/utils.py:46-55``: 256x256 int64 grayscale, value range 7-253).
 
-The cameraman asset is not vendored in this repository; :func:`cameraman`
-loads it from (in order) ``$PYTV4D_CAMERAMAN``, this package's ``media/``
-directory, or an installed/adjacent PyTV-4D checkout.  When none is found a
-deterministic synthetic 256x256 phantom with similar statistics is returned
-(flagged via :func:`has_real_cameraman` so parity tests can skip).
+The cameraman asset is vendored at ``pytv4d_tpu/media/cameraman.npy`` (the
+reference ships the same bytes via ``MANIFEST.in:2``), so a standalone
+checkout or wheel is self-contained.  :func:`cameraman` prefers
+``$PYTV4D_CAMERAMAN`` when set, then the vendored asset; the deterministic
+synthetic phantom remains as a last-resort fallback for stripped installs
+(flagged via :func:`has_real_cameraman`).
 """
 
 from __future__ import annotations
@@ -16,7 +17,8 @@ import numpy as np
 
 _SEARCH_PATHS = (
     os.environ.get("PYTV4D_CAMERAMAN", ""),
-    os.path.join(os.path.dirname(__file__), "media", "cameraman.npy"),
+    os.path.join(os.path.dirname(os.path.dirname(__file__)), "media",
+                 "cameraman.npy"),
     "/root/reference/pytv/media/cameraman.npy",
 )
 

@@ -79,17 +79,31 @@ def device_kind() -> str:
     return "cpu" if jax.default_backend() == "cpu" else "v5e"
 
 
-def cp_traffic_model(shape, Nd: int, dtype=jnp.float32, fused: bool = True) -> int:
-    """Bytes moved per CP iteration.  Fused two-pass model: pass A reads
-    5x+x0+yA+yD(Nd), writes yA+yD(Nd); pass B reads x,x0,yA,yD(Nd + 4 planes),
-    writes x (kernels/fused.py docstring)."""
+def cp_traffic_model(shape, Nd: int, dtype=jnp.float32, fused: bool = True,
+                     model: str = "minimal", dual_dtype=None,
+                     n_zt_neighbors: int = 4) -> int:
+    """Bytes moved per fused CP iteration (kernels/fused.py two-pass form).
+
+    ``model='minimal'`` counts each array once per pass (unique bytes — the
+    honest roofline denominator: pass A reads x,x0,yA,yD and writes yA,yD;
+    pass B reads x,x0,yA,yD and writes x).  ``model='actual'`` additionally
+    counts the redundant neighbor-block DMA the current kernels issue
+    (pass A re-reads x per z/t neighbor operand; pass B re-reads one dual
+    channel per z/t-channel neighbor operand).  ``dual_dtype`` scales the
+    y_D terms (bf16 duals).  Per-tile partial outputs are negligible and
+    not counted.
+    """
     vox = int(np.prod(shape))
     bpe = jnp.dtype(dtype).itemsize
-    if fused:
-        vols = (5 + 2 + Nd) + (1 + Nd) + (3 + Nd + 4 / max(shape[0], 1)) + 1
-    else:
-        vols = 6 * 2 + 3 * Nd  # unfused jnp-path estimate
-    return int(vols * vox * bpe)
+    dual_bpe = jnp.dtype(dual_dtype).itemsize if dual_dtype else bpe
+    if not fused:
+        return int((6 * 2 + 3 * Nd) * vox * bpe)  # unfused jnp-path estimate
+    extra = n_zt_neighbors if model == "actual" else 0
+    # pass A: reads x (+extra neighbor fetches), x0, y_A, y_D; writes y_A, y_D
+    pass_a = (1 + extra + 2 + 1) * bpe + 2 * Nd * dual_bpe
+    # pass B: reads x, x0, y_A, y_D (+extra dual-channel fetches); writes x
+    pass_b = (3 + 1) * bpe + (Nd + extra) * dual_bpe
+    return int((pass_a + pass_b) * vox)
 
 
 def roofline_fraction(bytes_per_iter: int, iters_per_s: float) -> float:

@@ -18,6 +18,19 @@ from pytv4d_tpu.solvers import (
 from pytv4d_tpu.utils import cameraman, has_real_cameraman, synthetic_phantom
 
 
+def test_cameraman_asset_vendored():
+    """The package must be self-contained: the vendored asset (not the
+    synthetic fallback or an adjacent reference checkout) backs cameraman()."""
+    import pytv4d_tpu.utils.images as images
+
+    assert has_real_cameraman()
+    vendored = images._SEARCH_PATHS[1]
+    assert vendored.endswith("pytv4d_tpu/media/cameraman.npy")
+    img = np.load(vendored)
+    assert img.shape == (256, 256) and img.dtype == np.int64
+    assert img.min() == 7 and img.max() == 253
+
+
 @pytest.fixture(scope="module")
 def noisy_small():
     truth = synthetic_phantom(64).astype(np.float64)[None, None]
@@ -55,7 +68,6 @@ def test_solvers_4d_with_time_reg():
     assert float(res.loss[-1]) < float(res.loss[0])
 
 
-@pytest.mark.skipif(not has_real_cameraman(), reason="cameraman asset unavailable")
 def test_reference_recipe_loss_parity():
     """BASELINE.md measured values for the README recipes (cameraman 256^2,
     noise 100, seed 0, reg 25, 300 it).  GD is a nonsmooth iteration: fp

@@ -61,11 +61,38 @@ def test_iteration_timer():
     assert its > 0
 
 
-def test_multihost_initialize_single_process():
+def test_multihost_initialize_single_process(monkeypatch):
     from pytv4d_tpu.parallel import multihost
+
+    # the tunneled dev chip sets a single-worker TPU_WORKER_HOSTNAMES, which
+    # must NOT count as a cluster; a comma-separated list must
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "localhost")
+    assert not multihost.cluster_configured()
+    monkeypatch.setenv("TPU_WORKER_HOSTNAMES", "host0,host1")
+    assert multihost.cluster_configured()
+    monkeypatch.delenv("TPU_WORKER_HOSTNAMES")
 
     multihost.initialize()  # must no-op cleanly in a single process
     assert multihost._initialized
+
+
+def test_multihost_initialize_raises_on_misconfigured_cluster(monkeypatch):
+    """A declared cluster whose bootstrap fails must raise, never silently
+    degrade to single-process (wrong-mesh results downstream)."""
+    import jax
+
+    from pytv4d_tpu.parallel import multihost
+
+    monkeypatch.setattr(multihost, "_initialized", False)
+    monkeypatch.setenv("JAX_COORDINATOR_ADDRESS", "badhost:1234")
+
+    def boom(**kwargs):
+        raise RuntimeError("connection refused")
+
+    monkeypatch.setattr(jax.distributed, "initialize", boom)
+    with pytest.raises(RuntimeError, match="refusing to silently degrade"):
+        multihost.initialize()
+    assert not multihost._initialized
 
 
 def test_example_scripts_run():
