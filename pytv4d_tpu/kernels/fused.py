@@ -297,6 +297,13 @@ class _Specs:
         return pl.BlockSpec((1, 1, 1, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
+    def tplane(self):
+        """(TR, Nc) tile of an (Nr, Nc) per-pixel plane (time-channel
+        multiplier: static-mask factor x weight_time) — shared by every
+        (z, m) program at the same row tile."""
+        return pl.BlockSpec((self.TR, self.Nc), lambda z, m, r: (r, 0),
+                            memory_space=pltpu.VMEM)
+
     def part(self):
         """Per-program scalar partial: one full (8, 128) tile per program
         (Mosaic's minimum f32 tile)."""
@@ -380,8 +387,12 @@ def _needs(chans):
 
 
 def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
-                z, m, r, sp, gate_zt=True):
-    """All weighted D channels of the current tile (VMEM-resident only)."""
+                z, m, r, sp, gate_zt=True, tmul=None):
+    """All weighted D channels of the current tile (VMEM-resident only).
+
+    ``tmul`` (optional (TR, Nc) tile): per-pixel multiplier applied to time
+    channels — encodes the reference's static-mask factor
+    (``tv_operators_CPU.py:148-151``) and/or a ``weight_time`` plane."""
     ds = []
     for ch, w in zip(chans, weights):
         if ch.axis == AXIS_ROW:
@@ -392,6 +403,8 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
             d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz, gate=gate_zt)
         else:
             d = _cross_d(ch.kind, x, x_tm, x_tp, m, sp.M, gate=gate_zt)
+            if tmul is not None:
+                d = d * tmul
         ds.append(d * w)
     return ds
 
@@ -400,8 +413,8 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
 def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                         sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
                         dual_dtype_name=None, halo_mode=False,
-                        table_dims=None):
-    """Pass A: (x, x0, y_A, y_D) -> (y_A', y_D', l21_parts).
+                        table_dims=None, t_plane=False):
+    """Pass A: (x, x0, y_A, y_D[, tmul]) -> (y_A', y_D', l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
     (``README.md:148-151`` with keepdims semantics) and the L21 partial
@@ -415,6 +428,11 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     *local* block; x arrives halo-extended to (Nz+2, M+2, Nr, Nc) with ghost
     planes encoding the global boundary (parallel/fused_halo.py), and z/t
     boundary gating is disabled.
+
+    ``t_plane=True``: the call takes an extra (Nr, Nc) plane multiplying the
+    time channels of D — the reference's static-mask factor
+    (``tv_operators_CPU.py:148-151``) and/or a per-pixel ``weight_time``
+    (see kernels.dispatch.t_plane_multiplier).
     """
     sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
                                           dual_dtype_name, table_dims)
@@ -433,7 +451,9 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
             x_up, x_dn = next(it), next(it)
         else:
             x_up = x_dn = None
-        x0_ref, yA_ref, yD_ref, yA_out, yD_out, l21_out = it
+        x0_ref, yA_ref, yD_ref = next(it), next(it), next(it)
+        tmul = next(it)[...] if t_plane else None
+        yA_out, yD_out, l21_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
@@ -445,7 +465,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                          x_zp[0, 0] if need_z else None,
                          x_tm[0, 0] if need_t else None,
                          x_tp[0, 0] if need_t else None,
-                         z, m, r, sp, gate_zt=not halo_mode)
+                         z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
 
         if cfg.norm == "aniso":
             # L1,1 TV: sum |d| and a box-projection prox (solvers.cp.dual_prox)
@@ -484,6 +504,8 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         in_specs += [_ext_rows(sp, -1) if ext else sp.vol_rows(-1),
                      _ext_rows(sp, 1) if ext else sp.vol_rows(1)]
     in_specs += [sp.vol(), sp.vol(), sp.dvol()]
+    if t_plane:
+        in_specs += [sp.tplane()]
 
     # y_A / y_D update in place (no neighbor reads; block-aligned writes):
     # halves the transient HBM footprint so pod-scale volumes fit one chip
@@ -506,9 +528,11 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         interpret=interpret,
     )
 
-    def call(x, x0, y_A, y_D):
-        xs = [x] * n_x
-        return fn(*xs, x0, y_A, y_D)
+    def call(x, x0, y_A, y_D, tmul=None):
+        args = [x] * n_x + [x0, y_A, y_D]
+        if t_plane:
+            args.append(tmul)
+        return fn(*args)
 
     return call
 
@@ -549,13 +573,20 @@ def _plan_spec(sp, key, ext=False):
 @functools.lru_cache(maxsize=None)
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                           tau=0.1, interpret=False, dual_dtype_name=None,
-                          halo_mode=False, table_dims=None):
-    """Pass B: (x, x0, y_A', y_D') -> (x', fid_parts).
+                          halo_mode=False, table_dims=None, t_plane=False):
+    """Pass B: (x, x0, y_A', y_D'[, tmul]) -> (x', fid_parts).
 
     Fuses D^T of the dual with the primal update and the fidelity partial of
     the loss (``README.md:154,157``).  Neighbor reads of y_D' are
     channel-sliced: full tiles for z/t channels, thin row blocks for row-tile
     seams.
+
+    ``t_plane``: (Nr, Nc) multiplier on the adjoint's time-channel
+    contribution.  The reference applies ``weight_time`` pre-scatter and the
+    static-mask factor post-scatter (``tv_operators_CPU.py:430-446``); both
+    depend only on (row, col) and the time scatter preserves (row, col), so
+    one per-pixel multiply of the accumulated time contribution is the exact
+    composition of the two.
     """
     sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
                                           dual_dtype_name, table_dims)
@@ -565,7 +596,11 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     def kernel(*refs):
         x_ref, x0_ref, yA_ref, yD_ref = refs[:4]
         nb_refs = dict(zip(plan, refs[4:4 + len(plan)]))
-        x_out, fid_out = refs[4 + len(plan):]
+        rest = refs[4 + len(plan):]
+        if t_plane:
+            tmul = rest[0][...]
+            rest = rest[1:]
+        x_out, fid_out = rest
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
 
         def nb_tile(i, axis, d):
@@ -581,6 +616,7 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
             return block[-1:] if d < 0 else block[:1]
 
         dt = None
+        dt_time = None
         for i, (ch, w) in enumerate(zip(chans, weights)):
             y_c = yD_ref[0, 0, i].astype(dtype)
             if ch.axis == AXIS_ROW:
@@ -596,12 +632,21 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                               nb_tile(i, "t", 1), m, sp.M,
                               gate=not halo_mode)
             c = c * w
-            dt = c if dt is None else dt + c
+            if t_plane and ch.axis == AXIS_T:
+                dt_time = c if dt_time is None else dt_time + c
+            else:
+                dt = c if dt is None else dt + c
+        if dt_time is not None:
+            dt = dt_time * tmul if dt is None else dt + dt_time * tmul
 
         x_new = x_ref[0, 0] - tau * yA_ref[0, 0] - tau * dt
         x_out[0, 0] = x_new
         diff = x_new - x0_ref[0, 0]
         _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
+
+    in_specs = [sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs
+    if t_plane:
+        in_specs += [sp.tplane()]
 
     fn = pl.pallas_call(
         kernel,
@@ -609,7 +654,7 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel")),
         input_output_aliases={0: 0},  # x updates in place (center-only read)
-        in_specs=[sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs,
+        in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, dtype),
@@ -619,13 +664,18 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     )
 
     if halo_mode:
-        def call(x, x0, y_A, y_D, y_D_ext):
+        def call(x, x0, y_A, y_D, y_D_ext, tmul=None):
             args = [y_D_ext if axis in ("z", "t") else y_D
                     for (_, axis, _d) in plan]
+            if t_plane:
+                args.append(tmul)
             return fn(x, x0, y_A, y_D, *args)
     else:
-        def call(x, x0, y_A, y_D):
-            return fn(x, x0, y_A, y_D, *([y_D] * len(plan)))
+        def call(x, x0, y_A, y_D, tmul=None):
+            args = [y_D] * len(plan)
+            if t_plane:
+                args.append(tmul)
+            return fn(x, x0, y_A, y_D, *args)
 
     return call
 
@@ -640,32 +690,35 @@ def from_internal_layout(y_D_int):
 
 
 def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
-                           tau, cfg: TVConfig, interpret=False):
+                           tau, cfg: TVConfig, interpret=False, tmul=None):
     """One fused CP iteration with y_D in the internal channel-contiguous
     layout (any supported dual dtype); use inside scans (transpose once
-    outside)."""
+    outside).  ``tmul``: optional (Nr, Nc) time-channel multiplier plane
+    (kernels.dispatch.t_plane_multiplier)."""
     shape = tuple(x.shape)
     dt_name = jnp.dtype(x.dtype).name
     dual_name = jnp.dtype(y_D_int.dtype).name
+    t_plane = tmul is not None
     dual = make_cp_dual_kernel(cfg, shape, dt_name, sigma_D, sigma_A, reg,
-                               interpret, dual_dtype_name=dual_name)
+                               interpret, dual_dtype_name=dual_name,
+                               t_plane=t_plane)
     primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret,
-                                   dual_dtype_name=dual_name)
-    y_A, y_D_int, l21_parts = dual(x, x_noisy, y_A, y_D_int)
-    x, fid_parts = primal(x, x_noisy, y_A, y_D_int)
+                                   dual_dtype_name=dual_name, t_plane=t_plane)
+    y_A, y_D_int, l21_parts = dual(x, x_noisy, y_A, y_D_int, tmul)
+    x, fid_parts = primal(x, x_noisy, y_A, y_D_int, tmul)
     loss = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
     return x, y_A, y_D_int, loss
 
 
 def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
-                  cfg: TVConfig, interpret=False):
+                  cfg: TVConfig, interpret=False, tmul=None):
     """Drop-in fused replacement for ``solvers.cp.cp_step`` (identical
     semantics incl. the loss line's pre-update ``D_x``); converts y_D layout
     per call — inside scans prefer :func:`cp_step_fused_internal`."""
     x, y_A, y_D = state
     x, y_A, y_D_int, loss = cp_step_fused_internal(
         x, y_A, to_internal_layout(y_D), x_noisy, reg=reg, sigma_D=sigma_D,
-        sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
+        sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret, tmul=tmul,
     )
     from ..solvers.cp import CPState
 
@@ -679,9 +732,15 @@ def cp_step_fused(state, x_noisy, *, reg, sigma_D, sigma_A, tau,
 
 @functools.lru_cache(maxsize=None)
 def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                         interpret=False, halo_mode=False, table_dims=None):
+                         interpret=False, halo_mode=False, table_dims=None,
+                         t_plane=False):
     """Pass 1 of the fused tv/subgradient: per-pixel gradient norms (with the
     inf convention baked in) + per-tile tv partials, from x alone.
+
+    ``cfg.norm='aniso'``: the per-pixel array is the sum of |channels| (no
+    inf convention — the L1,1 subgradient never divides by it) and the tv
+    partial is the L1,1 sum, matching ``ops.tv.tv_and_subgrad``'s aniso
+    return.
 
     ``halo_mode``: sharded execution — x arrives extended by 1 ghost plane
     per side along z and t; z/t gating is disabled (the ghosts encode the
@@ -701,6 +760,7 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
             x_up, x_dn = next(it), next(it)
         else:
             x_up = x_dn = None
+        tmul = next(it)[...] if t_plane else None
         norms_out, tv_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
         x = x_ref[0, 0]
@@ -710,7 +770,14 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
                          x_zp[0, 0] if need_z else None,
                          x_tm[0, 0] if need_t else None,
                          x_tp[0, 0] if need_t else None,
-                         z, m, r, sp, gate_zt=not halo_mode)
+                         z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
+        if cfg.norm == "aniso":
+            abs_sum = jnp.abs(ds[0])
+            for d in ds[1:]:
+                abs_sum = abs_sum + jnp.abs(d)
+            _write_part(tv_out, jnp.sum(abs_sum), dtype)
+            norms_out[0, 0] = abs_sum
+            return
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
             norms_sq = norms_sq + d * d
@@ -729,6 +796,8 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
     n_x = (1 + 2 * need_z + 2 * need_t) + (2 if sp.R > 1 else 0)
+    if t_plane:
+        in_specs += [sp.tplane()]
 
     fn = pl.pallas_call(
         kernel,
@@ -742,21 +811,34 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         interpret=interpret,
     )
 
-    def call(x):
-        return fn(*([x] * n_x))
+    def call(x, tmul=None):
+        args = [x] * n_x
+        if t_plane:
+            args.append(tmul)
+        return fn(*args)
 
     return call
 
 
 @functools.lru_cache(maxsize=None)
 def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
-                           interpret=False, halo_mode=False, table_dims=None):
+                           interpret=False, halo_mode=False, table_dims=None,
+                           t_plane=False):
     """Pass 2: G from (x, norms) — the unweighted adjoint of ``D_x / norms``
     (``tv_CPU.py:92-124`` algebra), recomputing D_x in-registers instead of
     reading an Nd-channel volume from HBM.
 
     Needs x and norms at +-1 z/t tiles (and +-2 for the recomputed neighbor
     channels), plus 8-row thin blocks across row-tile seams.
+
+    ``cfg.norm='aniso'``: G = D_T(sign(D x)) with FULL weights (the true
+    L1,1 subgradient, matching ``ops.tv.tv_and_subgrad`` aniso) — no norms
+    operands at all in that mode (``call(x, None)`` is accepted).
+
+    ``t_plane``: (Nr, Nc) multiplier on the time channels of D (static-mask
+    factor x weight_time).  The iso G scatters it as part of ``D_x / norms``
+    (the reference does not re-apply weights in G); the aniso G additionally
+    re-applies it in the adjoint, like D_T.
 
     ``halo_mode``: sharded execution — x arrives extended by TWO ghost
     planes per side along z/t (clamp padding, or the central scheme's
@@ -767,9 +849,10 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                                              table_dims=table_dims)
     gate = not halo_mode
     need_z, need_t = _needs(chans)
+    aniso = cfg.norm == "aniso"
 
     n_xs = 1 + 4 * need_z + 4 * need_t
-    n_ns = 1 + 2 * need_z + 2 * need_t
+    n_ns = 0 if aniso else 1 + 2 * need_z + 2 * need_t
 
     def kernel(*refs):
         it = iter(refs)
@@ -786,24 +869,26 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
             x_up, x_dn = next(it), next(it)
         else:
             x_up = x_dn = None
-        n_c = take(True)
-        n_zm, n_zp = take(need_z), take(need_z)
-        n_tm, n_tp = take(need_t), take(need_t)
-        if sp.R > 1:
+        n_c = take(not aniso)
+        n_zm, n_zp = take(need_z and not aniso), take(need_z and not aniso)
+        n_tm, n_tp = take(need_t and not aniso), take(need_t and not aniso)
+        if sp.R > 1 and not aniso:
             n_up, n_dn = next(it), next(it)
         else:
             n_up = n_dn = None
+        tmul = next(it)[...] if t_plane else None
         g_out = next(it)
 
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        inv_n = 1.0 / n_c
+        inv_n = None if aniso else 1.0 / n_c
 
         zero_row = jnp.zeros((1, sp.Nc), dtype)
         if sp.R > 1:
             xu = x_up[0, 0]     # 8 rows just above the tile
             xd = x_dn[0, 0]     # 8 rows just below
-            nu_row = n_up[0, 0][-1:]
-            nd_row = n_dn[0, 0][:1]
+            if not aniso:
+                nu_row = n_up[0, 0][-1:]
+                nd_row = n_dn[0, 0][:1]
         else:
             xu = xd = None
             nu_row = nd_row = None
@@ -818,13 +903,30 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         G = None
         for ch, w in zip(chans, weights):
+            # tm: per-pixel D multiplier for this channel (time channels only)
+            tm = tmul if (tmul is not None and ch.axis == AXIS_T) else None
+
+            def y_val(d_raw, div):
+                """The 'dual-like' value the adjoint scatters: D_chan/norms
+                for iso (weights NOT re-applied in the scatter, reference
+                convention), sign(D_chan) for aniso (weights re-applied
+                after, like D_T)."""
+                v = d_raw * tm if tm is not None else d_raw
+                if aniso:
+                    return jnp.sign(v)
+                return v * w * div if div is not None else v * w
+
+            def inv(arr):  # reciprocal divisor for neighbor-plane norms
+                return None if aniso else 1.0 / arr
+
             if ch.axis == AXIS_COL:
-                y = _col_d(x_c, ch.kind) * w * inv_n
+                y = y_val(_col_d(x_c, ch.kind), inv_n)
                 c = _col_dt(y, ch.kind)
             elif ch.axis == AXIS_ROW:
                 up_row = row_of(-1)
                 dn_row = row_of(sp.TR)
-                y_c = _row_d(ch.kind, x_c, up_row, dn_row, r, sp.R) * w * inv_n
+                y_c = y_val(_row_d(ch.kind, x_c, up_row, dn_row, r, sp.R),
+                            inv_n)
                 # channel value at the seam rows themselves (for the adjoint):
                 # D at row -1 needs rows -2..0; at row TR needs TR-1..TR+1
                 if sp.R > 1:
@@ -833,44 +935,55 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                     dn2 = row_of(sp.TR + 1)
                     ext_d = jnp.concatenate([x_c[-1:], dn_row, dn2], axis=0)
                     if ch.kind == FWD:
-                        y_up = (ext_u[2] - ext_u[1])[None] * w
-                        y_dn = (ext_d[2] - ext_d[1])[None] * w
+                        d_up = (ext_u[2] - ext_u[1])[None]
+                        d_dn = (ext_d[2] - ext_d[1])[None]
                         # FWD slot at row -1 valid unless it's the global last
                         # row (impossible for r > 0); slot TR valid unless
                         # global last (r == R-1, gated in _row_dt)
                     elif ch.kind == BWD:
-                        y_up = (ext_u[1] - ext_u[0])[None] * w
-                        y_dn = (ext_d[1] - ext_d[0])[None] * w
+                        d_up = (ext_u[1] - ext_u[0])[None]
+                        d_dn = (ext_d[1] - ext_d[0])[None]
                     else:
-                        y_up = (ext_u[2] - ext_u[0])[None] * w
-                        y_dn = (ext_d[2] - ext_d[0])[None] * w
-                    y_up = y_up / nu_row
-                    y_dn = y_dn / nd_row
+                        d_up = (ext_u[2] - ext_u[0])[None]
+                        d_dn = (ext_d[2] - ext_d[0])[None]
+                    y_up = y_val(d_up, None if aniso else 1.0 / nu_row)
+                    y_dn = y_val(d_dn, None if aniso else 1.0 / nd_row)
                 else:
                     y_up = y_dn = zero_row
                 c = _row_dt(ch.kind, y_c, y_up, y_dn, r, sp.R)
             elif ch.axis == AXIS_Z:
-                y_c = _cross_d(ch.kind, x_c, x_zm, x_zp, z, sp.Nz,
-                               gate=gate) * w * inv_n
-                y_p = _cross_d(ch.kind, x_zm, x_zm2, x_c,
-                               jnp.maximum(z - 1, 0), sp.Nz,
-                               gate=gate) * w / n_zm
-                y_n = _cross_d(ch.kind, x_zp, x_c, x_zp2,
-                               jnp.minimum(z + 1, sp.Nz - 1), sp.Nz,
-                               gate=gate) * w / n_zp
+                y_c = y_val(_cross_d(ch.kind, x_c, x_zm, x_zp, z, sp.Nz,
+                                     gate=gate), inv_n)
+                y_p = y_val(_cross_d(ch.kind, x_zm, x_zm2, x_c,
+                                     jnp.maximum(z - 1, 0), sp.Nz,
+                                     gate=gate), inv(n_zm))
+                y_n = y_val(_cross_d(ch.kind, x_zp, x_c, x_zp2,
+                                     jnp.minimum(z + 1, sp.Nz - 1), sp.Nz,
+                                     gate=gate), inv(n_zp))
                 c = _cross_dt(ch.kind, y_c, y_p, y_n, z, sp.Nz, gate=gate)
             else:
-                y_c = _cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M,
-                               gate=gate) * w * inv_n
-                y_p = _cross_d(ch.kind, x_tm, x_tm2, x_c,
-                               jnp.maximum(m - 1, 0), sp.M,
-                               gate=gate) * w / n_tm
-                y_n = _cross_d(ch.kind, x_tp, x_c, x_tp2,
-                               jnp.minimum(m + 1, sp.M - 1), sp.M,
-                               gate=gate) * w / n_tp
+                y_c = y_val(_cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M,
+                                     gate=gate), inv_n)
+                y_p = y_val(_cross_d(ch.kind, x_tm, x_tm2, x_c,
+                                     jnp.maximum(m - 1, 0), sp.M,
+                                     gate=gate), inv(n_tm))
+                y_n = y_val(_cross_d(ch.kind, x_tp, x_c, x_tp2,
+                                     jnp.minimum(m + 1, sp.M - 1), sp.M,
+                                     gate=gate), inv(n_tp))
                 c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M, gate=gate)
+            if aniso:
+                # re-apply the full weight (and the per-pixel time
+                # multiplier) in the adjoint, exactly like D_T
+                c = c * w
+                if tm is not None:
+                    c = c * tm
             G = c if G is None else G + c
-        g_out[0, 0] = G * norm
+        # iso: G = norm * unweighted-adjoint(D/norms) and the y values above
+        # already carry one norm factor inside w -> total norm^2, matching
+        # the reference's double application (tv_CPU.py:124,328).  aniso: the
+        # per-channel w (= channel_weight * norm) is applied above and D_T's
+        # trailing norm is folded into it via this final multiply.
+        g_out[0, 0] = G * norm if not aniso else G
 
     ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
     en = 1 if halo_mode else 0   # norms extended by 1
@@ -886,14 +999,19 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     if sp.R > 1:
         in_specs += [_ext_rows(sp, -1, 2) if halo_mode else sp.vol_rows(-1),
                      _ext_rows(sp, 1, 2) if halo_mode else sp.vol_rows(1)]
-    in_specs += [sp.vol(ext=en)]
-    if need_z:
-        in_specs += [sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en)]
-    if need_t:
-        in_specs += [sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
-    if sp.R > 1:
-        in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
-                     _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
+    if not aniso:
+        in_specs += [sp.vol(ext=en)]
+        if need_z:
+            in_specs += [sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en)]
+        if need_t:
+            in_specs += [sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
+        if sp.R > 1:
+            in_specs += [_ext_rows(sp, -1, 1) if halo_mode
+                         else sp.vol_rows(-1),
+                         _ext_rows(sp, 1, 1) if halo_mode
+                         else sp.vol_rows(1)]
+    if t_plane:
+        in_specs += [sp.tplane()]
 
     fn = pl.pallas_call(
         kernel,
@@ -906,24 +1024,34 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
     thin = 2 if sp.R > 1 else 0
 
-    def call(x, norms):
-        return fn(*([x] * (n_xs + thin)), *([norms] * (n_ns + thin)))
+    def call(x, norms, tmul=None):
+        args = [x] * (n_xs + thin)
+        if not aniso:
+            args += [norms] * (n_ns + thin)
+        if t_plane:
+            args.append(tmul)
+        return fn(*args)
 
     return call
 
 
 def tv_and_subgrad_fused(x, cfg: TVConfig, interpret=False,
-                         return_grad_norms=False):
+                         return_grad_norms=False, tmul=None):
     """Fused (tv, G[, grad_norms]): two passes, no Nd-channel volume in HBM.
     Semantics identical to ``ops.tv.tv_and_subgrad`` (tested to fp round-off);
     grad_norms comes back with the inf convention applied, like the reference
-    (``tv_CPU.py:86,127``)."""
+    (``tv_CPU.py:86,127``) — for aniso it is the per-pixel |channel| sum.
+    ``tmul``: optional (Nr, Nc) time-channel multiplier
+    (kernels.dispatch.t_plane_multiplier)."""
     shape = tuple(x.shape)
     dt_name = jnp.dtype(x.dtype).name
-    norms_k = make_tv_norms_kernel(cfg, shape, dt_name, interpret)
-    sub_k = make_tv_subgrad_kernel(cfg, shape, dt_name, interpret)
-    norms, tv_parts = norms_k(x)
-    G = sub_k(x, norms)
+    t_plane = tmul is not None
+    norms_k = make_tv_norms_kernel(cfg, shape, dt_name, interpret,
+                                   t_plane=t_plane)
+    sub_k = make_tv_subgrad_kernel(cfg, shape, dt_name, interpret,
+                                   t_plane=t_plane)
+    norms, tv_parts = norms_k(x, tmul)
+    G = sub_k(x, norms, tmul)
     if return_grad_norms:
         return _sum_parts(tv_parts), G, norms
     return _sum_parts(tv_parts), G

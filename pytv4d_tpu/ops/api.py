@@ -28,41 +28,54 @@ _tv_jnp = jax.jit(_tv.tv_and_subgrad, static_argnames=_STATIC_TV)
 @functools.partial(
     jax.jit,
     static_argnames=("scheme", "reg_z_over_reg", "reg_time",
-                     "return_grad_norms", "interpret"),
+                     "factor_reg_static", "norm_type", "return_grad_norms",
+                     "interpret"),
 )
-def _tv_fused(img, scheme, reg_z_over_reg, reg_time, return_grad_norms,
+def _tv_fused(img, mask_static, weight_time, scheme, reg_z_over_reg,
+              reg_time, factor_reg_static, norm_type, return_grad_norms,
               interpret):
     from ..core.config import TVConfig
+    from ..kernels.dispatch import t_plane_multiplier
     from ..kernels.fused import tv_and_subgrad_fused
 
     cfg = TVConfig(scheme=scheme, reg_z_over_reg=reg_z_over_reg,
-                   reg_time=reg_time)
+                   reg_time=reg_time, factor_reg_static=factor_reg_static,
+                   norm=norm_type)
+    tmul = t_plane_multiplier(tuple(img.shape), cfg, mask_static,
+                              weight_time, dtype=img.dtype)
     return tv_and_subgrad_fused(img, cfg, interpret=interpret,
-                                return_grad_norms=return_grad_norms)
+                                return_grad_norms=return_grad_norms,
+                                tmul=tmul)
 
 
 def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
                    reg_time=0.0, mask_static=None, factor_reg_static=0.0,
-                   return_grad_norms=False, norm_type="iso"):
+                   weight_time=None, return_grad_norms=False,
+                   norm_type="iso"):
     """tv + subgradient, auto-dispatched to the fused Pallas kernels on TPU
-    when the instance supports them (no masks, isotropic, plane fits VMEM),
-    else the jnp path — numerics identical either way."""
+    when the instance supports them (iso or aniso norm, plane-shaped static
+    masks / weight_time, plane fits VMEM), else the jnp path — numerics
+    identical either way."""
     from ..core.config import TVConfig
     from ..kernels.dispatch import can_fuse, default_interpret
 
     cfg = TVConfig(scheme=scheme, reg_z_over_reg=reg_z_over_reg,
-                   reg_time=reg_time)
-    if (mask is None and mask_static is None and norm_type == "iso"
-            and hasattr(img, "shape")
+                   reg_time=reg_time, factor_reg_static=factor_reg_static,
+                   norm=norm_type)
+    if (mask is None and hasattr(img, "shape")
             and len(img.shape) == 4 and jax.default_backend() == "tpu"
-            and can_fuse(tuple(img.shape), cfg,
-                         dtype=jax.numpy.asarray(img).dtype.name)):
-        return _tv_fused(jax.numpy.asarray(img), scheme, reg_z_over_reg,
-                         reg_time, return_grad_norms, default_interpret())
+            and can_fuse(tuple(img.shape), cfg, mask_static=mask_static,
+                         dtype=jax.numpy.asarray(img).dtype.name,
+                         weight_time=weight_time)):
+        return _tv_fused(jax.numpy.asarray(img), mask_static, weight_time,
+                         scheme, reg_z_over_reg, reg_time,
+                         factor_reg_static, norm_type, return_grad_norms,
+                         default_interpret())
     return _tv_jnp(img, scheme=scheme, mask=mask,
                    reg_z_over_reg=reg_z_over_reg, reg_time=reg_time,
                    mask_static=mask_static,
                    factor_reg_static=factor_reg_static,
+                   weight_time=weight_time,
                    return_grad_norms=return_grad_norms,
                    norm_type=norm_type)
 

@@ -96,6 +96,8 @@ def make_sharded_cp_solver_fused(
     shard_time: bool = True,
     dual_dtype=None,
     interpret: bool = None,
+    mask_static=None,
+    weight_time=None,
 ):
     """jit(lax.scan(fused CP step under shard_map)).
 
@@ -104,14 +106,21 @@ def make_sharded_cp_solver_fused(
     kernel-internal channel-contiguous layout and optionally bf16.
     Channel gating uses the GLOBAL Nz/M (the kernels are built for the local
     block shape but the channel table must not change per shard).
+
+    ``mask_static`` / ``weight_time``: plane-shaped ``(1, 1, N, N)`` per the
+    reference contract; the (N_row, N_col) multiplier plane is replicated
+    across the (z, t) mesh (the mesh shards z/t only, never rows/cols).
     """
-    from ..kernels.dispatch import default_interpret
+    from ..kernels.dispatch import default_interpret, t_plane_multiplier
     from ..solvers.cp import default_tau
 
     if tau is None:
         tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
     if interpret is None:
         interpret = default_interpret()
+    tmul = t_plane_multiplier(tuple(global_shape), cfg, mask_static,
+                              weight_time)
+    t_plane = tmul is not None
 
     ctx = _ShardCtx(mesh, shard_time)
     Nz_g, M_g = global_shape[0], global_shape[1]
@@ -131,10 +140,11 @@ def make_sharded_cp_solver_fused(
     table_dims = (Nz_g, M_g)
     dual = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D, sigma_A,
                                reg, interpret, dual_dtype_name=dual_name,
-                               halo_mode=True, table_dims=table_dims)
+                               halo_mode=True, table_dims=table_dims,
+                               t_plane=t_plane)
     primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau, interpret,
                                    dual_dtype_name=dual_name, halo_mode=True,
-                                   table_dims=table_dims)
+                                   table_dims=table_dims, t_plane=t_plane)
 
     ghost_z = _axis_ghost_kind(chans, AXIS_Z)
     ghost_t = _axis_ghost_kind(chans, AXIS_T)
@@ -156,24 +166,28 @@ def make_sharded_cp_solver_fused(
 
     @functools.partial(
         shard_map, mesh=mesh,
-        in_specs=(vol, vol, dvol_int, vol),
+        in_specs=(vol, vol, dvol_int, vol, P(None, None)),
         out_specs=(vol, vol, dvol_int, P()),
         check_vma=False,
     )
-    def step(x, y_A, y_D_int, x_noisy):
+    def step(x, y_A, y_D_int, x_noisy, tm):
         x_ext = _extend_x(x)
-        y_A, y_D_int, l21_parts = dual(x_ext, x_noisy, y_A, y_D_int)
+        y_A, y_D_int, l21_parts = dual(x_ext, x_noisy, y_A, y_D_int, tm)
         y_ext = _extend_y(y_D_int)
-        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext)
+        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext, tm)
         loss_local = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
         loss = lax.psum(loss_local, axes) if axes else loss_local
         return x, y_A, y_D_int, loss
+
+    if not t_plane:
+        # keep a 2-arg replicated dummy so the shard_map signature is static
+        tmul = jnp.zeros((1, 1), jnp.float32)
 
     @jax.jit
     def solve(x_noisy, x, y_A, y_D_int):
         def body(carry, _):
             x, y_A, y_D_int = carry
-            x, y_A, y_D_int, loss = step(x, y_A, y_D_int, x_noisy)
+            x, y_A, y_D_int, loss = step(x, y_A, y_D_int, x_noisy, tmul)
             return (x, y_A, y_D_int), loss
 
         (x, y_A, y_D_int), losses = lax.scan(
@@ -275,22 +289,25 @@ def make_sharded_gd_solver_fused(
     step_size=5e-3,
     shard_time: bool = True,
     interpret: bool = None,
+    mask_static=None,
+    weight_time=None,
 ):
     """jit(lax.scan(fused subgradient-descent step under shard_map)): the
     fused tv-norms and subgradient kernels per shard, ghost-plane halos
     (1-deep for the norms pass, 2-deep for the G pass), psum for the loss.
+    Supports both TV norms (iso L2,1 and aniso L1,1) and plane-shaped
+    static masks / weight_time, like the unsharded fused path.
     ``solve(x_noisy, x) -> (x, losses)``; inputs sharded with
     ``parallel.mesh.shard_volume``."""
-    from ..kernels.dispatch import default_interpret
+    from ..kernels.dispatch import default_interpret, t_plane_multiplier
     from ..kernels.fused import make_tv_norms_kernel, make_tv_subgrad_kernel
 
-    if cfg.norm != "iso":
-        raise NotImplementedError(
-            "the sharded fused GD kernels support isotropic TV only; use "
-            "parallel.halo's jnp sharded path for norm='aniso'"
-        )
     if interpret is None:
         interpret = default_interpret()
+    aniso = cfg.norm == "aniso"
+    tmul = t_plane_multiplier(tuple(global_shape), cfg, mask_static,
+                              weight_time)
+    t_plane = tmul is not None
 
     ctx = _ShardCtx(mesh, shard_time)
     Nz_g, M_g = global_shape[0], global_shape[1]
@@ -305,9 +322,11 @@ def make_sharded_gd_solver_fused(
                                cfg.reg_time)
 
     norms_k = make_tv_norms_kernel(cfg, local_shape, "float32", interpret,
-                                   halo_mode=True, table_dims=table_dims)
+                                   halo_mode=True, table_dims=table_dims,
+                                   t_plane=t_plane)
     sub_k = make_tv_subgrad_kernel(cfg, local_shape, "float32", interpret,
-                                   halo_mode=True, table_dims=table_dims)
+                                   halo_mode=True, table_dims=table_dims,
+                                   t_plane=t_plane)
 
     ghost_z = _axis_ghost_kind(chans, AXIS_Z)
     ghost_t = _axis_ghost_kind(chans, AXIS_T)
@@ -343,25 +362,29 @@ def make_sharded_gd_solver_fused(
         return n1
 
     @functools.partial(
-        shard_map, mesh=mesh, in_specs=(vol, vol), out_specs=(vol, P()),
-        check_vma=False,
+        shard_map, mesh=mesh, in_specs=(vol, vol, P(None, None)),
+        out_specs=(vol, P()), check_vma=False,
     )
-    def step(x, x_noisy):
-        norms, tv_parts = norms_k(_ext1_x(x))
+    def step(x, x_noisy, tm):
+        norms, tv_parts = norms_k(_ext1_x(x), tm)
         tv = _sum_parts(tv_parts)
         if axes:
             tv = lax.psum(tv, axes)
-        G = sub_k(_ext2_x(x), _ext1_norms(norms))
+        # aniso G never divides by norms (sign-based subgradient)
+        G = sub_k(_ext2_x(x), None if aniso else _ext1_norms(norms), tm)
         x_new = x - step_size * ((x - x_noisy) + reg * G)
         fid = 0.5 * jnp.sum(jnp.square(x_new - x_noisy))
         if axes:
             fid = lax.psum(fid, axes)
         return x_new, fid + reg * tv
 
+    if not t_plane:
+        tmul = jnp.zeros((1, 1), jnp.float32)  # static-signature dummy
+
     @jax.jit
     def solve(x_noisy, x):
         def body(x, _):
-            x, loss = step(x, x_noisy)
+            x, loss = step(x, x_noisy, tmul)
             return x, loss
 
         x, losses = lax.scan(body, x, length=n_iter)

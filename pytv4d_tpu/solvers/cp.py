@@ -51,7 +51,7 @@ def dual_prox(p, reg, norm: str):
 
 
 def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfig,
-            mask_static=None):
+            mask_static=None, weight_time=None):
     """One CP iteration, exactly the reference recipe (``README.md:146-157``):
 
     - fidelity dual:  y_A <- (y_A + sigma_A (x - x0)) / (1 + sigma_A)
@@ -60,7 +60,8 @@ def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfi
     - loss:           1/2 ||x_new - x0||^2 + reg * L21(D x_old)
       (the reference reuses the pre-update ``D_x`` in the loss line)
     """
-    kw = dict(mask_static=mask_static, **cfg.kwargs())
+    kw = dict(mask_static=mask_static, weight_time=weight_time,
+              **cfg.kwargs())
     x, y_A, y_D = state
     y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
     D_x = D(x, cfg.scheme, **kw)
@@ -150,6 +151,7 @@ def chambolle_pock(
     cfg: TVConfig = TVConfig(),
     state: CPState = None,
     mask_static=None,
+    weight_time=None,
     fused: bool = None,
     dual_dtype: str = None,
     return_dual: bool = True,
@@ -161,20 +163,27 @@ def chambolle_pock(
     checkpoint, see ``solvers.state``) to resume a run.
 
     ``fused=None`` auto-selects the fused Pallas step (kernels/fused.py) when
-    the problem supports it; ``fused=False`` forces the jnp path.
+    the problem supports it; ``fused=False`` forces the jnp path.  Static
+    masks / ``weight_time`` planes shaped ``(1, 1, N, N)`` ride the fused
+    path; full per-voxel weight fields fall back to jnp.
     ``dual_dtype='bfloat16'`` (fused path only) stores the TV dual y_D in
     bf16 — ~30% less HBM traffic per iteration at a small precision cost.
     ``return_dual=False`` drops y_D from the result (state.y_D is None) —
     needed when the volume is so large that converting the dual back to the
     public layout would not fit HBM.
     """
-    from ..kernels.dispatch import can_fuse, default_interpret
+    from ..kernels.dispatch import (
+        can_fuse,
+        default_interpret,
+        t_plane_multiplier,
+    )
 
     if tau is None:
         tau = default_tau(cfg, x_noisy.shape[0], x_noisy.shape[1], sigma_A)
     if fused is None:
-        fused = mask_static is None and can_fuse(
-            tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
+        fused = can_fuse(
+            tuple(x_noisy.shape), cfg, mask_static=mask_static,
+            dtype=jnp.dtype(x_noisy.dtype).name, weight_time=weight_time,
         )
     if dual_dtype is not None and not fused:
         raise ValueError(
@@ -197,6 +206,8 @@ def chambolle_pock(
 
         interpret = default_interpret()
         out_dual_dtype = x_noisy.dtype
+        tmul = t_plane_multiplier(tuple(x_noisy.shape), cfg, mask_static,
+                                  weight_time, dtype=x_noisy.dtype)
 
         if state is None:
             Nz, M = x_noisy.shape[0], x_noisy.shape[1]
@@ -217,6 +228,7 @@ def chambolle_pock(
             x, y_A, y_D_int, loss = cp_step_fused_internal(
                 x, y_A, y_D_int, x_noisy, reg=reg, sigma_D=sigma_D,
                 sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
+                tmul=tmul,
             )
             return (x, y_A, y_D_int), loss
 
@@ -237,6 +249,7 @@ def chambolle_pock(
         st, loss = cp_step(
             st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
             tau=tau, cfg=cfg, mask_static=mask_static,
+            weight_time=weight_time,
         )
         return st, loss
 

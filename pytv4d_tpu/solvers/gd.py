@@ -25,7 +25,8 @@ class GDResult(NamedTuple):
     tv: jax.Array       # per-iteration TV history (n_iter,)
 
 
-def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None):
+def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None,
+            weight_time=None):
     """One subgradient-descent update (``README.md:120-123``):
 
     ``x <- x - step*((x - x0) + reg*G)``; the returned loss uses the TV of the
@@ -33,8 +34,8 @@ def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None):
     the reference loop records it.
     """
     tv, G = tv_and_subgrad(
-        x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
-        **cfg.kwargs()
+        x, cfg.scheme, mask_static=mask_static, weight_time=weight_time,
+        norm_type=cfg.norm, **cfg.kwargs()
     )
     x_new = x - step_size * ((x - x_noisy) + reg * G)
     loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv
@@ -52,6 +53,7 @@ def subgradient_descent(
     cfg: TVConfig = TVConfig(),
     x_init=None,
     mask_static=None,
+    weight_time=None,
     fused: bool = None,
 ) -> GDResult:
     """Run ``n_iter`` subgradient-descent iterations on device.
@@ -59,26 +61,38 @@ def subgradient_descent(
     Defaults are the reference's README recipe (``README.md:108-116``:
     reg=25, step=5e-3, 300 iterations). ``x_init`` defaults to the noisy
     image, as in the recipe.  ``fused=None`` auto-selects the fused Pallas
-    tv+subgradient kernels when supported.
+    tv+subgradient kernels when supported (all four schemes, iso and aniso
+    norms, ``(1, 1, N, N)`` static masks / weight_time planes).
     """
-    from ..kernels.dispatch import can_fuse, default_interpret
+    from ..kernels.dispatch import (
+        can_fuse,
+        default_interpret,
+        t_plane_multiplier,
+    )
 
     x0 = x_noisy
     x = x0 if x_init is None else x_init
     if fused is None:
-        fused = (mask_static is None and cfg.norm == "iso" and can_fuse(
-            tuple(x_noisy.shape), cfg, dtype=jnp.dtype(x_noisy.dtype).name
-        ))
+        fused = can_fuse(
+            tuple(x_noisy.shape), cfg, mask_static=mask_static,
+            dtype=jnp.dtype(x_noisy.dtype).name, weight_time=weight_time,
+        )
+    tmul = (
+        t_plane_multiplier(tuple(x_noisy.shape), cfg, mask_static,
+                           weight_time, dtype=x_noisy.dtype)
+        if fused else None
+    )
 
     def body(x, _):
         if fused:
             from ..kernels.fused import tv_and_subgrad_fused
 
-            tv, G = tv_and_subgrad_fused(x, cfg, interpret=default_interpret())
+            tv, G = tv_and_subgrad_fused(x, cfg, interpret=default_interpret(),
+                                         tmul=tmul)
         else:
             tv, G = tv_and_subgrad(
-                x, cfg.scheme, mask_static=mask_static, norm_type=cfg.norm,
-                **cfg.kwargs()
+                x, cfg.scheme, mask_static=mask_static,
+                weight_time=weight_time, norm_type=cfg.norm, **cfg.kwargs()
             )
         x_new = x - step_size * ((x - x0) + reg * G)
         loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv

@@ -92,7 +92,16 @@ def test_can_fuse_guard():
     # row tiling keeps arbitrarily tall planes within VMEM
     assert can_fuse((8, 4, 2048, 2048), cfg)
     assert not can_fuse((8, 4, 256, 256), cfg, dtype="float64")  # f32 only
-    assert not can_fuse((8, 4, 256, 256), cfg, mask_static=np.ones((1, 1, 256, 256), bool))
+    # plane-shaped static masks / weight_time ride the fused path ...
+    assert can_fuse((8, 4, 256, 256), cfg,
+                    mask_static=np.ones((1, 1, 256, 256), bool))
+    assert can_fuse((8, 4, 256, 256), cfg,
+                    weight_time=np.ones((1, 1, 256, 256)))
+    # ... full per-voxel fields do not
+    assert not can_fuse((8, 4, 256, 256), cfg,
+                        mask_static=np.ones((8, 4, 256, 256), bool))
+    assert not can_fuse((8, 4, 256, 256), cfg,
+                        weight_time=np.ones((8, 4, 256, 256)))
 
 
 def test_bf16_dual_storage(x0):

@@ -363,6 +363,14 @@ def test_sharded_aniso_paths():
                                rtol=1e-5)
 
     from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+    from pytv4d_tpu.solvers.gd import subgradient_descent
 
-    with pytest.raises(NotImplementedError, match="isotropic"):
-        make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4, n_iter=1)
+    gref = subgradient_descent(noisy, n_iter=15, reg=0.4, step_size=1e-2,
+                               cfg=cfg, fused=False)
+    gsolve = make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4,
+                                          n_iter=15, step_size=1e-2)
+    gx, glosses = gsolve(shard_volume(noisy, mesh), shard_volume(noisy, mesh))
+    np.testing.assert_allclose(np.asarray(glosses), np.asarray(gref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref.x),
+                               atol=1e-5, rtol=1e-4)
