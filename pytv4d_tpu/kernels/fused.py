@@ -83,13 +83,18 @@ def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4,
 
 def fits_vmem(shape, Nd, dtype=jnp.float32, limit_bytes=14 * 1024 * 1024):
     """Guard: the fused kernels' per-program working set (double-buffered)
-    must fit VMEM after row tiling."""
+    must fit VMEM after row tiling.  Primary storage may be f32 or bf16
+    (kernels always COMPUTE in f32; bf16 is a storage/traffic format)."""
     Nr, Nc = shape[-2], shape[-1]
-    bpe = jnp.dtype(dtype).itemsize
-    if jnp.dtype(dtype) != jnp.float32:
+    dt = jnp.dtype(dtype)
+    if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
-    tr = choose_row_tile(Nr, Nc, Nd, bpe)
-    tile = tr * Nc * bpe
+    bpe = dt.itemsize
+    min_rows = 16 if bpe < 4 else 8
+    tr = choose_row_tile(Nr, Nc, Nd, bpe, min_rows=min_rows)
+    if tr % min_rows:
+        return False
+    tile = tr * Nc * 4  # f32 compute copies dominate the VMEM footprint
     # pass A: ~7 x-tiles + x0 + yA + yD(Nd) + outs (1 + Nd)
     per_program = (10 + 2 * Nd) * tile
     return 2 * per_program <= limit_bytes and Nc >= 8
@@ -216,10 +221,11 @@ def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n, gate=True):
 
 
 class _Specs:
-    def __init__(self, Nz, M, Nr, Nc, Nd, TR, dthin=8):
+    def __init__(self, Nz, M, Nr, Nc, Nd, TR, dthin=8, xthin=8):
         self.Nz, self.M, self.Nr, self.Nc, self.Nd, self.TR = Nz, M, Nr, Nc, Nd, TR
         self.R = Nr // TR
         self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
+        self.xthin = xthin  # thin-block rows for x-volume seams (16 for bf16)
 
     def vol(self, shift_z=0, shift_t=0, ext=0):
         """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
@@ -242,18 +248,19 @@ class _Specs:
                             memory_space=pltpu.VMEM)
 
     def vol_rows(self, direction: int):
-        """8-row thin block adjacent to the tile (direction -1: the rows just
-        above; +1: just below), clamped at the global boundary (gated
+        """xthin-row thin block adjacent to the tile (direction -1: the rows
+        just above; +1: just below), clamped at the global boundary (gated
         in-kernel)."""
-        blocks_per_tile = self.TR // 8
-        last = self.Nr // 8 - 1
+        thin = self.xthin
+        blocks_per_tile = self.TR // thin
+        last = self.Nr // thin - 1
 
         def index_map(z, m, r):
             if direction < 0:
                 return (z, m, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
             return (z, m, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-        return pl.BlockSpec((1, 1, 8, self.Nc), index_map,
+        return pl.BlockSpec((1, 1, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
     def dvol(self):
@@ -330,8 +337,13 @@ def _sum_parts(parts):
 
 def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
            table_dims=None):
+    """Returns (specs, channels, weights, norm, compute_dtype, store_dtype).
+
+    ``store_dtype`` is the HBM storage format of x/x0/y_A (f32 or bf16);
+    kernels always COMPUTE in f32 and cast at the tile boundary."""
     Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
+    store_dtype = jnp.dtype(dtype_name)
+    dtype = jnp.dtype(jnp.float32)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     # channel gating/kinds come from the GLOBAL volume dims under sharding
     # (a 2-plane shard of a central-scheme volume must keep CTR channels)
@@ -343,15 +355,18 @@ def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
         for ch in chans
     )
     dthin = 16 if dual_dtype.itemsize < 4 else 8
-    TR = choose_row_tile(Nr, Nc, len(chans), dtype.itemsize, min_rows=dthin)
-    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin)
-    return sp, chans, weights, norm, dtype
+    xthin = 16 if store_dtype.itemsize < 4 else 8
+    TR = choose_row_tile(Nr, Nc, len(chans), store_dtype.itemsize,
+                         min_rows=max(dthin, xthin))
+    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin, xthin=xthin)
+    return sp, chans, weights, norm, dtype, store_dtype
 
 
 def _ext_rows(sp, direction: int, ext: int = 1):
     """Thin row block of the halo-extended x array's *center* plane."""
-    blocks_per_tile = sp.TR // 8
-    last = sp.Nr // 8 - 1
+    thin = sp.xthin
+    blocks_per_tile = sp.TR // thin
+    last = sp.Nr // thin - 1
 
     def index_map(z, m, r):
         if direction < 0:
@@ -360,7 +375,8 @@ def _ext_rows(sp, direction: int, ext: int = 1):
         return (z + ext, m + ext,
                 jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-    return pl.BlockSpec((1, 1, 8, sp.Nc), index_map, memory_space=pltpu.VMEM)
+    return pl.BlockSpec((1, 1, thin, sp.Nc), index_map,
+                        memory_space=pltpu.VMEM)
 
 
 def _seam_rows(sp, x_up_ref, x_dn_ref, view):
@@ -369,7 +385,8 @@ def _seam_rows(sp, x_up_ref, x_dn_ref, view):
     if sp.R == 1:
         zero = jnp.zeros((1, sp.Nc), view.dtype)
         return zero, zero
-    return x_up_ref[0, 0, -1:], x_dn_ref[0, 0, :1]
+    return (x_up_ref[0, 0, -1:].astype(view.dtype),
+            x_dn_ref[0, 0, :1].astype(view.dtype))
 
 
 # ---------------------------------------------------------------------------
@@ -434,14 +451,18 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     (``tv_operators_CPU.py:148-151``) and/or a per-pixel ``weight_time``
     (see kernels.dispatch.t_plane_multiplier).
     """
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
-                                          dual_dtype_name, table_dims)
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 dual_dtype_name, table_dims)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
     need_z, need_t = _needs(chans)
 
     def kernel(*refs):
         it = iter(refs)
+
+        def ld(ref):
+            return ref[0, 0].astype(dtype)
+
         x_ref = next(it)
         x_zm = next(it) if need_z else None
         x_zp = next(it) if need_z else None
@@ -455,16 +476,17 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         tmul = next(it)[...] if t_plane else None
         yA_out, yD_out, l21_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        x = x_ref[0, 0]
+        x = ld(x_ref)
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
 
-        yA_out[0, 0] = (yA_ref[0, 0] + sigma_A * (x - x0_ref[0, 0])) / (1.0 + sigma_A)
+        yA_out[0, 0] = ((ld(yA_ref) + sigma_A * (x - ld(x0_ref)))
+                        / (1.0 + sigma_A)).astype(store)
 
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         x_zm[0, 0] if need_z else None,
-                         x_zp[0, 0] if need_z else None,
-                         x_tm[0, 0] if need_t else None,
-                         x_tp[0, 0] if need_t else None,
+                         ld(x_zm) if need_z else None,
+                         ld(x_zp) if need_z else None,
+                         ld(x_tm) if need_t else None,
+                         ld(x_tp) if need_t else None,
                          z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
 
         if cfg.norm == "aniso":
@@ -521,7 +543,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.dvol(), sp.part()),
         out_shape=(
-            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, store),
             jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dual_dtype),
             sp.part_shape(dtype),
         ),
@@ -588,8 +610,8 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     one per-pixel multiply of the accumulated time contribution is the exact
     composition of the two.
     """
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
-                                          dual_dtype_name, table_dims)
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 dual_dtype_name, table_dims)
     plan = _neighbor_plan(chans, sp)
     nb_specs = [_plan_spec(sp, key, ext=halo_mode) for key in plan]
 
@@ -639,9 +661,10 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
         if dt_time is not None:
             dt = dt_time * tmul if dt is None else dt + dt_time * tmul
 
-        x_new = x_ref[0, 0] - tau * yA_ref[0, 0] - tau * dt
-        x_out[0, 0] = x_new
-        diff = x_new - x0_ref[0, 0]
+        x_new = (x_ref[0, 0].astype(dtype) - tau * yA_ref[0, 0].astype(dtype)
+                 - tau * dt)
+        x_out[0, 0] = x_new.astype(store)
+        diff = x_new - x0_ref[0, 0].astype(dtype)
         _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
 
     in_specs = [sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs
@@ -657,7 +680,7 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(
-            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, store),
             sp.part_shape(dtype),
         ),
         interpret=interpret,
@@ -745,12 +768,16 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     ``halo_mode``: sharded execution — x arrives extended by 1 ghost plane
     per side along z and t; z/t gating is disabled (the ghosts encode the
     boundary; parallel/fused_halo.py)."""
-    sp, chans, weights, _, dtype = _build(cfg, shape, dtype_name,
-                                          table_dims=table_dims)
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 table_dims=table_dims)
     need_z, need_t = _needs(chans)
 
     def kernel(*refs):
         it = iter(refs)
+
+        def ld(ref):
+            return ref[0, 0].astype(dtype)
+
         x_ref = next(it)
         x_zm = next(it) if need_z else None
         x_zp = next(it) if need_z else None
@@ -763,13 +790,13 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         tmul = next(it)[...] if t_plane else None
         norms_out, tv_out = it
         z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        x = x_ref[0, 0]
+        x = ld(x_ref)
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         x_zm[0, 0] if need_z else None,
-                         x_zp[0, 0] if need_z else None,
-                         x_tm[0, 0] if need_t else None,
-                         x_tp[0, 0] if need_t else None,
+                         ld(x_zm) if need_z else None,
+                         ld(x_zp) if need_z else None,
+                         ld(x_tm) if need_t else None,
+                         ld(x_tp) if need_t else None,
                          z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
         if cfg.norm == "aniso":
             abs_sum = jnp.abs(ds[0])
@@ -845,8 +872,8 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     zero-difference mirror), norms by ONE (safe-divisor ghosts); all z/t
     gating is disabled (parallel/fused_halo.py).
     """
-    sp, chans, weights, norm, dtype = _build(cfg, shape, dtype_name,
-                                             table_dims=table_dims)
+    sp, chans, weights, norm, dtype, store = _build(cfg, shape, dtype_name,
+                                                    table_dims=table_dims)
     gate = not halo_mode
     need_z, need_t = _needs(chans)
     aniso = cfg.norm == "aniso"
@@ -858,7 +885,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         it = iter(refs)
 
         def take(cond):
-            return it.__next__()[0, 0] if cond else None
+            return it.__next__()[0, 0].astype(dtype) if cond else None
 
         x_c = take(True)
         x_zm, x_zp = take(need_z), take(need_z)
@@ -884,8 +911,8 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         zero_row = jnp.zeros((1, sp.Nc), dtype)
         if sp.R > 1:
-            xu = x_up[0, 0]     # 8 rows just above the tile
-            xd = x_dn[0, 0]     # 8 rows just below
+            xu = x_up[0, 0].astype(dtype)   # xthin rows just above the tile
+            xd = x_dn[0, 0].astype(dtype)   # xthin rows just below
             if not aniso:
                 nu_row = n_up[0, 0][-1:]
                 nd_row = n_dn[0, 0][:1]
@@ -895,10 +922,11 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         def row_of(offset):
             """Row at tile-relative ``offset`` (-1/-2 above the tile,
-            TR/TR+1 below), pulled from the 8-row thin blocks; zeros when
-            the plane is a single tile (R == 1, always gated)."""
+            TR/TR+1 below), pulled from the thin blocks; zeros when the
+            plane is a single tile (R == 1, always gated)."""
             if offset < 0:
-                return zero_row if xu is None else xu[offset + 8:offset + 9]
+                return (zero_row if xu is None
+                        else xu[offset + sp.xthin:offset + sp.xthin + 1])
             return zero_row if xd is None else xd[offset - sp.TR:offset - sp.TR + 1]
 
         G = None
@@ -983,7 +1011,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         # the reference's double application (tv_CPU.py:124,328).  aniso: the
         # per-channel w (= channel_weight * norm) is applied above and D_T's
         # trailing norm is folded into it via this final multiply.
-        g_out[0, 0] = G * norm if not aniso else G
+        g_out[0, 0] = (G * norm if not aniso else G).astype(store)
 
     ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
     en = 1 if halo_mode else 0   # norms extended by 1
@@ -1018,7 +1046,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         grid=sp.grid,
         in_specs=in_specs,
         out_specs=sp.vol(),
-        out_shape=jax.ShapeDtypeStruct(shape, dtype),
+        out_shape=jax.ShapeDtypeStruct(shape, store),
         interpret=interpret,
     )
 

@@ -170,6 +170,63 @@ def test_sharded_fused_with_mask(x0, mask):
                                rtol=1e-5)
 
 
+def test_bf16_primary_storage(x0):
+    """bf16 PRIMARY storage (x, y_A, x0, G in bf16; compute stays f32):
+    can_fuse accepts it, trajectories track f32 within bf16 rounding, and
+    public dtypes come back bf16."""
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+    from pytv4d_tpu.solvers.gd import subgradient_descent
+
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    assert can_fuse(SHAPE, cfg, dtype="bfloat16")
+    xb = x0.astype(jnp.bfloat16)
+
+    tv_r, G_r = tv_and_subgrad(x0, "hybrid", reg_time=0.5)
+    tv_g, G_g = tv_and_subgrad_fused(xb, cfg, interpret=True)
+    assert G_g.dtype == jnp.bfloat16
+    assert float(tv_g) == pytest.approx(float(tv_r), rel=2e-2)
+
+    a = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=True)
+    b = chambolle_pock(xb, n_iter=20, reg=0.3, cfg=cfg, fused=True)
+    assert b.x.dtype == jnp.bfloat16 and b.state.y_D.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(b.loss, np.float32),
+                               np.asarray(a.loss), rtol=3e-2)
+
+    ga = subgradient_descent(x0, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=True)
+    gb = subgradient_descent(xb, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=True)
+    assert gb.x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(gb.loss, np.float32),
+                               np.asarray(ga.loss), rtol=3e-2)
+
+
+def test_bf16_primary_row_tiled(x0, monkeypatch):
+    """bf16 primary with row tiling engages the 16-row (xthin) thin blocks."""
+    import pytv4d_tpu.kernels.fused as F
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    monkeypatch.setattr(F, "_TILE_BYTES_TARGET", 16 * 1024)
+    for f in (F.make_cp_dual_kernel, F.make_cp_primal_kernel,
+              F.make_tv_norms_kernel, F.make_tv_subgrad_kernel):
+        f.cache_clear()
+    try:
+        rng = np.random.default_rng(11)
+        shape = (3, 2, 64, 128)
+        xf = jnp.asarray(rng.random(shape), jnp.float32)
+        cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+        assert F.choose_row_tile(64, 128, 8, 2, min_rows=16) < 64
+        a = chambolle_pock(xf, n_iter=10, reg=0.3, cfg=cfg, fused=True)
+        b = chambolle_pock(xf.astype(jnp.bfloat16), n_iter=10, reg=0.3,
+                           cfg=cfg, fused=True)
+        np.testing.assert_allclose(np.asarray(b.loss, np.float32),
+                                   np.asarray(a.loss), rtol=3e-2)
+    finally:
+        for f in (F.make_cp_dual_kernel, F.make_cp_primal_kernel,
+                  F.make_tv_norms_kernel, F.make_tv_subgrad_kernel):
+            f.cache_clear()
+
+
 def test_api_tv_fused_wrapper_covers_features(x0, mask, wt):
     """ops.api._tv_fused (the TPU auto-dispatch target) with masks/aniso."""
     from pytv4d_tpu.ops.api import _tv_fused
