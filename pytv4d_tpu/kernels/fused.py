@@ -6,38 +6,54 @@ iteration touches ~70 volume-equivalents of HBM traffic.  These kernels fuse
 the stencil, the channel reduction and the prox into two passes over the
 volume, never materializing ``D_x`` or the prox argument in HBM:
 
-- pass A (:func:`make_cp_dual_kernel`): reads x (+neighbor tiles), x0, y_A,
-  y_D; writes y_A', y_D' (in place via input_output_aliases) and per-tile
-  L21 partials.
-- pass B (:func:`make_cp_primal_kernel`): reads x, x0, y_A', y_D'
-  (+ channel-sliced neighbor tiles); writes x' in place + fidelity partials.
+- pass A (:func:`make_cp_dual_kernel`): reads x (+z-neighbor tiles), x0,
+  y_A, y_D; writes y_A', y_D' (in place via input_output_aliases), the
+  LOCALLY COMPUTABLE part of ``D^T y_D'`` (``dt_local``) and per-tile L21
+  partials.
+- pass B (:func:`make_cp_primal_kernel`): reads x, x0, y_A', dt_local and
+  only the cross-tile corrections of the adjoint (z-shifted channel planes,
+  row-seam thin blocks); writes x' in place + fidelity partials.
 
-Measured on one TPU v5e (hybrid 4D (32,8,256,256) f32): 79 it/s for the
-XLA-fused jnp path -> 235 it/s fused (the in-place aliasing alone is 1.5x:
-without it XLA copies the Nd-channel dual every scan iteration) -> 324 it/s
-with bf16 dual storage; ~69% of the HBM roofline on the f32 traffic model.
+The split-adjoint structure exploits two facts: (1) the time axis rides
+INSIDE the tile (blocks span the full M extent — M is small, "usually <10"
+per the reference, ``tv_operators_GPU.py:227``), so column, time and the
+in-tile part of row/z adjoints are exact local computations on the y'
+values still in registers; (2) CP dual variables are zero at globally
+invalid stencil slots (zero init + ``prox(0 + sigma*0) = 0``), so the
+ungated adjoint sums are exact — garbage-tolerant gating is still applied
+on every term whose slot validity cannot be proven locally, which keeps the
+ad-hoc :func:`cp_step_fused` entry safe for arbitrary user states.
 
-Grid/tiling: programs cover row tiles of (z, t) planes — grid
-``(Nz, M, R)`` with tiles ``(TR, N_col)`` where ``TR`` is chosen so the
-Nd-channel tile stays ~2 MB (:func:`choose_row_tile`); arbitrarily large
-in-plane sizes are supported.  Neighbors arrive as extra input refs: full
-tiles for z/t planes (clamped index maps + ``pl.program_id`` gating
-reproduce the reference's one-sided zero boundary,
-``pytv/tv_operators_CPU.py:115-127``), 8-row thin blocks for the row-tile
-seams.  ``y_D`` uses the internal channel-contiguous layout
-``(Nz, M, Nd, N_row, N_col)`` inside fused solvers (one DMA per tile),
-optionally stored in bf16.
+Measured on one TPU v5e (hybrid 4D (32,8,256,256)): the two-pass
+pre-split structure ran 229 it/s f32 / 402 it/s bf16; the split-adjoint
+rework cuts per-iteration HBM bytes ~18% (40 -> ~33 volume-equivalents
+f32).  In-place aliasing alone is worth 1.5x (without it XLA copies the
+Nd-channel dual every scan iteration).
+
+Grid/tiling: programs cover (z, row-tile) pairs — grid ``(Nz, R)`` with
+tiles ``(M, TR, N_col)`` where ``TR`` keeps the per-program working set
+inside VMEM (:func:`choose_row_tile`); arbitrarily large in-plane sizes are
+supported.  z neighbors arrive as extra input refs (clamped index maps +
+``pl.program_id`` gating reproduce the reference's one-sided zero boundary,
+``pytv/tv_operators_CPU.py:115-127``); row-tile seams use thin blocks.
+``y_D`` uses the internal channel-contiguous layout
+``(Nz, M, Nd, N_row, N_col)`` inside fused solvers, optionally stored bf16;
+x/y_A/x0 may be stored bf16 too (kernels always COMPUTE in f32).
 
 Sharded execution (``halo_mode=True``, driven by parallel/fused_halo.py):
 the kernels run inside shard_map on ghost-plane-extended local blocks with
 z/t gating disabled — the ghosts encode the global boundary, so per-shard
-numerics stay slot-exact with the single-device path.
+numerics stay slot-exact with the single-device path.  When the mesh
+shards time (``t_sharded=True``) the time-channel adjoint moves from
+dt_local to pass B (reading the halo-extended dual), because y' at the
+neighbor shard's edge cannot be recomputed locally (the prox couples all
+channels).
 
 Both TV norms ('iso' L2,1 — the reference's definition — and 'aniso' L1,1)
-are supported in the CP pass-A prox.  All stencil math is generated from
-the same declarative channel table as the jnp path (core/schemes.py), so
-numerics are identical (tested to fp32 round-off, and to 1e-4 relative
-loss over full 300-iteration runs).
+are supported, as are static-mask / weight_time planes (the ``tmul``
+operand).  All stencil math is generated from the same declarative channel
+table as the jnp path (core/schemes.py), so numerics are identical (tested
+to fp32 round-off, and to 1e-4 relative loss over full 300-iteration runs).
 """
 
 from __future__ import annotations
@@ -66,17 +82,34 @@ from ..core.schemes import (
 # tiling
 # ---------------------------------------------------------------------------
 
-_TILE_BYTES_TARGET = 2 * 1024 * 1024
+# Per-program working-set target (all operand tiles of the heaviest pass,
+# single-buffered); Mosaic double-buffers, so 2x this must stay inside the
+# ~16 MB scoped VMEM budget.
+_TILE_BYTES_TARGET = 7 * 1024 * 1024
+
+
+def _workset_per_row(M: int, Nd: int, Nc: int, bpe: int, dual_bpe: int) -> int:
+    # pass A per TR-row: the larger of the operand tiles (~8 x-like tiles:
+    # x center + 2 z neighbors + x0 + y_A + y_A' + dt_local + slack, plus
+    # y_D in and out) and the in-kernel f32 compute temporaries (~2 Nd
+    # channel tiles live at the prox peak) — Mosaic allocates the latter on
+    # the kernel stack, inside the same scoped-VMEM budget.
+    buffers = 8 * bpe + 2 * Nd * dual_bpe
+    stack = 4 * (2 * Nd + 6)
+    return M * Nc * max(buffers, stack)
 
 
 def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4,
-                    min_rows: int = 8) -> int:
+                    min_rows: int = 8, M: int = 1,
+                    dual_bpe: int = None) -> int:
     """Halve the row tile (keeping TR | Nr, TR % min_rows == 0) until the
-    Nd-channel tile is ~2 MB; small images keep the full plane.  min_rows is
-    the sublane tile of the narrowest dtype in play (8 f32, 16 bf16)."""
+    per-program working set fits the VMEM target; small images keep the
+    full plane.  min_rows is the sublane tile of the narrowest dtype in
+    play (8 f32, 16 bf16)."""
+    per_row = _workset_per_row(M, Nd, Nc, bpe, dual_bpe or bpe)
     tr = Nr
     while (tr % 2 == 0 and (tr // 2) % min_rows == 0
-           and Nd * tr * Nc * bpe > _TILE_BYTES_TARGET):
+           and tr * per_row > _TILE_BYTES_TARGET):
         tr //= 2
     return tr
 
@@ -85,23 +118,22 @@ def fits_vmem(shape, Nd, dtype=jnp.float32, limit_bytes=14 * 1024 * 1024):
     """Guard: the fused kernels' per-program working set (double-buffered)
     must fit VMEM after row tiling.  Primary storage may be f32 or bf16
     (kernels always COMPUTE in f32; bf16 is a storage/traffic format)."""
-    Nr, Nc = shape[-2], shape[-1]
+    M, Nr, Nc = shape[-3], shape[-2], shape[-1]
     dt = jnp.dtype(dtype)
     if dt not in (jnp.dtype(jnp.float32), jnp.dtype(jnp.bfloat16)):
         return False
     bpe = dt.itemsize
     min_rows = 16 if bpe < 4 else 8
-    tr = choose_row_tile(Nr, Nc, Nd, bpe, min_rows=min_rows)
+    tr = choose_row_tile(Nr, Nc, Nd, bpe, min_rows=min_rows, M=M)
     if tr % min_rows:
         return False
-    tile = tr * Nc * 4  # f32 compute copies dominate the VMEM footprint
-    # pass A: ~7 x-tiles + x0 + yA + yD(Nd) + outs (1 + Nd)
-    per_program = (10 + 2 * Nd) * tile
-    return 2 * per_program <= limit_bytes and Nc >= 8
+    # f32 compute copies dominate the in-kernel footprint
+    per_program = tr * _workset_per_row(M, Nd, Nc, 4, 4)
+    return 2 * per_program <= 2 * limit_bytes and Nc >= 8
 
 
 # ---------------------------------------------------------------------------
-# in-tile stencil helpers
+# in-tile stencil helpers (tiles are (M_eff, TR, Nc); axis 0 = time)
 # ---------------------------------------------------------------------------
 
 
@@ -110,80 +142,118 @@ def _gate(pred, x):
     return jnp.where(pred, jnp.zeros_like(x), x)
 
 
-def _col_d(x, kind: str):
-    """Column-axis difference channel; the tile spans all columns, so the
-    zero boundary slots are exact with no masking."""
+def _sl3(axis: int, a, b):
+    s = [slice(None)] * 3
+    s[axis] = slice(a, b)
+    return tuple(s)
+
+
+def _pad3(x, axis: int, before: int, after: int):
+    pads = [(0, 0)] * 3
+    pads[axis] = (before, after)
+    return jnp.pad(x, pads)
+
+
+def _ax_d(x, axis: int, kind: str):
+    """Zero-slot difference along a COMPLETE in-tile axis (col, or time when
+    the tile spans the whole axis): the reference's one-sided boundary is a
+    static pad, no program gating needed."""
+    if kind == CTR:
+        d = x[_sl3(axis, 2, None)] - x[_sl3(axis, None, -2)]
+        return _pad3(d, axis, 1, 1)
+    d = x[_sl3(axis, 1, None)] - x[_sl3(axis, None, -1)]
     if kind == FWD:
-        return jnp.pad(x[:, 1:] - x[:, :-1], ((0, 0), (0, 1)))
+        return _pad3(d, axis, 0, 1)
+    return _pad3(d, axis, 1, 0)
+
+
+def _ax_d_ext(xe, axis: int, kind: str, e: int, out_lo: int = 0,
+              out_n: int = None):
+    """Difference along an in-tile axis whose tile is halo-EXTENDED by ``e``
+    ghost slots per side (sharded halo mode: ghosts encode the boundary, no
+    gating).  Returns the difference at slots [out_lo, out_lo + out_n) in
+    center coordinates (default: the full center range)."""
+    n = xe.shape[axis] - 2 * e
+    if out_n is None:
+        out_n = n
+    lo = e + out_lo
+    if kind == FWD:
+        return (xe[_sl3(axis, lo + 1, lo + 1 + out_n)]
+                - xe[_sl3(axis, lo, lo + out_n)])
     if kind == BWD:
-        return jnp.pad(x[:, 1:] - x[:, :-1], ((0, 0), (1, 0)))
-    return jnp.pad(x[:, 2:] - x[:, :-2], ((0, 0), (1, 1)))
+        return (xe[_sl3(axis, lo, lo + out_n)]
+                - xe[_sl3(axis, lo - 1, lo - 1 + out_n)])
+    return (xe[_sl3(axis, lo + 1, lo + 1 + out_n)]
+            - xe[_sl3(axis, lo - 1, lo - 1 + out_n)])
 
 
-def _col_dt(y, kind: str):
-    """Adjoint scatter of a column channel (valid-slot reads only)."""
+def _ax_dt(y, axis: int, kind: str):
+    """Exact adjoint scatter of a complete in-tile axis channel (valid-slot
+    reads only — garbage parked at invalid slots never leaks,
+    ``tv_operators_CPU.py:555-556`` semantics)."""
     if kind == FWD:
-        t = y[:, :-1]
+        t = y[_sl3(axis, None, -1)]
     elif kind == BWD:
-        t = y[:, 1:]
+        t = y[_sl3(axis, 1, None)]
     else:
-        t = y[:, 1:-1]
-    a, b = (1, 0) if kind != CTR else (2, 0)
-    c, d = (0, 1) if kind != CTR else (0, 2)
-    return jnp.pad(t, ((0, 0), (a, b))) - jnp.pad(t, ((0, 0), (c, d)))
+        t = y[_sl3(axis, 1, -1)]
+    a = 2 if kind == CTR else 1
+    return _pad3(t, axis, a, 0) - _pad3(t, axis, 0, a)
+
+
+def _shift_down(y, axis: int):
+    """y[i-1] with zero shifted in at slot 0."""
+    return _pad3(y[_sl3(axis, None, -1)], axis, 1, 0)
+
+
+def _shift_up(y, axis: int):
+    """y[i+1] with zero shifted in at the last slot."""
+    return _pad3(y[_sl3(axis, 1, None)], axis, 0, 1)
 
 
 def _zero_row(x, row: int, pred):
-    """Zero the first (row=0) or last (row=-1) row of a tile where ``pred``."""
+    """Zero the first (row=0) or last (row=-1) row (axis 1) of a (M, TR, Nc)
+    tile where ``pred``."""
     keep = jnp.where(pred, jnp.zeros((), x.dtype), jnp.ones((), x.dtype))
     if row == -1:
-        return jnp.concatenate([x[:-1], x[-1:] * keep], axis=0)
-    return jnp.concatenate([x[:1] * keep, x[1:]], axis=0)
+        return jnp.concatenate([x[:, :-1], x[:, -1:] * keep], axis=1)
+    return jnp.concatenate([x[:, :1] * keep, x[:, 1:]], axis=1)
 
 
 def _row_d(kind, x, up_row, dn_row, r, R):
-    """Row-axis difference channel of a (TR, Nc) tile; ``up_row``/``dn_row``
-    are the adjacent rows from the neighboring tiles (garbage at the global
-    boundary — gated)."""
+    """Row-axis difference channel of a (M, TR, Nc) tile; ``up_row`` /
+    ``dn_row`` are (M, 1, Nc) rows from the adjacent tiles (garbage at the
+    global boundary — gated)."""
     if kind == FWD:
-        ext = jnp.concatenate([x, dn_row], axis=0)
-        d = ext[1:] - ext[:-1]
+        ext = jnp.concatenate([x, dn_row], axis=1)
+        d = ext[:, 1:] - ext[:, :-1]
         return _zero_row(d, -1, r == R - 1)
     if kind == BWD:
-        ext = jnp.concatenate([up_row, x], axis=0)
-        d = ext[1:] - ext[:-1]
+        ext = jnp.concatenate([up_row, x], axis=1)
+        d = ext[:, 1:] - ext[:, :-1]
         return _zero_row(d, 0, r == 0)
-    ext = jnp.concatenate([up_row, x, dn_row], axis=0)
-    d = ext[2:] - ext[:-2]
+    ext = jnp.concatenate([up_row, x, dn_row], axis=1)
+    d = ext[:, 2:] - ext[:, :-2]
     d = _zero_row(d, 0, r == 0)
     return _zero_row(d, -1, r == R - 1)
 
 
-def _row_dt(kind, y, y_up_row, y_dn_row, r, R):
-    """Adjoint scatter of a row channel across tile seams.  Valid-slot
-    masking happens before the neighbor rows are consumed.  (With TR | Nr the
-    neighbor rows are never themselves global-boundary slots except through
-    the r==0 / r==R-1 gates.)"""
+def _row_dt_local(kind, y, r, R):
+    """In-tile part of the row-channel adjoint: the full ungated sum with
+    the tile's own globally-invalid edge slot zeroed (it may hold garbage
+    in ad-hoc states).  Cross-tile seam terms are added in pass B."""
     if kind == FWD:
         yv = _zero_row(y, -1, r == R - 1)
-        up = _gate(r == 0, y_up_row)
-        return jnp.concatenate([up, yv], axis=0)[:-1] - yv
+        return _shift_down(yv, 1) - yv
     if kind == BWD:
         yv = _zero_row(y, 0, r == 0)
-        dn = _gate(r == R - 1, y_dn_row)
-        return yv - jnp.concatenate([yv, dn], axis=0)[1:]
-    yv = _zero_row(y, 0, r == 0)
-    yv = _zero_row(yv, -1, r == R - 1)
-    up = _gate(r == 0, y_up_row)
-    dn = _gate(r == R - 1, y_dn_row)
-    return (
-        jnp.concatenate([up, yv], axis=0)[:-1]
-        - jnp.concatenate([yv, dn], axis=0)[1:]
-    )
+        return yv - _shift_up(yv, 1)
+    yv = _zero_row(_zero_row(y, 0, r == 0), -1, r == R - 1)
+    return _shift_down(yv, 1) - _shift_up(yv, 1)
 
 
 def _cross_d(kind, center, prev_tile, nxt_tile, idx, n, gate=True):
-    """Difference channel along a grid axis (z or t) at the current tile.
+    """Difference channel along the z grid axis at the current tile.
     ``gate=False`` (sharded halo mode): ghost neighbor planes already encode
     the one-sided boundary (edge ghost -> 0 for FWD/BWD, reflect for CTR)."""
     if kind == FWD:
@@ -198,25 +268,8 @@ def _cross_d(kind, center, prev_tile, nxt_tile, idx, n, gate=True):
     return d
 
 
-def _cross_dt(kind, y_center, y_prev, y_nxt, idx, n, gate=True):
-    """Adjoint contribution of a grid-axis channel at the current tile.
-    ``gate=False`` (sharded halo mode): relies on zero halos plus the
-    zero-at-invalid-slot invariant of CP dual variables."""
-    if kind == FWD:
-        if gate:
-            return _gate(idx == 0, y_prev) - _gate(idx == n - 1, y_center)
-        return y_prev - y_center
-    if kind == BWD:
-        if gate:
-            return _gate(idx == 0, y_center) - _gate(idx == n - 1, y_nxt)
-        return y_center - y_nxt
-    if gate:
-        return _gate(idx <= 1, y_prev) - _gate(idx >= n - 2, y_nxt)
-    return y_prev - y_nxt
-
-
 # ---------------------------------------------------------------------------
-# spec plumbing (grid = (Nz, M, R); tiles (TR, Nc))
+# spec plumbing (grid = (Nz, R); tiles (M_eff, TR, Nc))
 # ---------------------------------------------------------------------------
 
 
@@ -227,108 +280,113 @@ class _Specs:
         self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
         self.xthin = xthin  # thin-block rows for x-volume seams (16 for bf16)
 
-    def vol(self, shift_z=0, shift_t=0, ext=0):
-        """A (TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally from a
-        clamped neighbor plane.  ``ext=k`` (k > 0) reads a halo-extended
-        (Nz+2k, M+2k, Nr, Nc) array with unclamped shifted maps (sharded
-        halo mode: ghost planes encode the boundary conditions)."""
-        Nz, M = self.Nz, self.M
+    def vol(self, shift_z=0, ext=0):
+        """A (M_eff, TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally
+        from a clamped z-neighbor plane.  ``ext=k`` (k > 0) reads a
+        halo-extended (Nz+2k, M+2k, Nr, Nc) array: the z index shifts by k
+        (unclamped), and the block spans the full extended time axis (the
+        kernel slices the interior) — sharded halo mode, where ghost planes
+        encode the boundary conditions."""
+        Nz = self.Nz
         ext = int(ext)
 
         if ext:
-            def index_map(z, m, r):
-                return (z + ext + shift_z, m + ext + shift_t, r, 0)
+            def index_map(z, r):
+                return (z + ext + shift_z, 0, r, 0)
         else:
-            def index_map(z, m, r):
+            def index_map(z, r):
                 zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
-                mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-                return (zi, mi, r, 0)
+                return (zi, 0, r, 0)
 
-        return pl.BlockSpec((1, 1, self.TR, self.Nc), index_map,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, self.M + 2 * ext, self.TR, self.Nc),
+                            index_map, memory_space=pltpu.VMEM)
 
-    def vol_rows(self, direction: int):
+    def vol_rows(self, direction: int, ext=0):
         """xthin-row thin block adjacent to the tile (direction -1: the rows
         just above; +1: just below), clamped at the global boundary (gated
-        in-kernel)."""
+        in-kernel).  ``ext``: read the halo-extended array's center z."""
         thin = self.xthin
         blocks_per_tile = self.TR // thin
         last = self.Nr // thin - 1
+        ext = int(ext)
 
-        def index_map(z, m, r):
+        def index_map(z, r):
+            zi = z + ext
             if direction < 0:
-                return (z, m, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
-            return (z, m, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+                return (zi, 0, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+            return (zi, 0, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-        return pl.BlockSpec((1, 1, thin, self.Nc), index_map,
+        return pl.BlockSpec((1, self.M + 2 * ext, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
     def dvol(self):
-        """Nd-channel tile of the internal (Nz, M, Nd, Nr, Nc) layout — one
+        """All-channel tile of the internal (Nz, M, Nd, Nr, Nc) layout — one
         contiguous DMA per program."""
 
-        def index_map(z, m, r):
-            return (z, m, 0, r, 0)
+        def index_map(z, r):
+            return (z, 0, 0, r, 0)
 
-        return pl.BlockSpec((1, 1, self.Nd, self.TR, self.Nc), index_map,
-                            memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, self.M, self.Nd, self.TR, self.Nc),
+                            index_map, memory_space=pltpu.VMEM)
 
-    def dvol_chan(self, chan, shift_z=0, shift_t=0, ext=False):
-        """Single-channel neighbor tile of the internal D-volume (``ext``:
-        read a zero-halo-extended (Nz+2, M+2, Nd, Nr, Nc) array)."""
-        Nz, M = self.Nz, self.M
+    def dvol_chan(self, chan, shift_z=0, ext=False):
+        """Single-channel tile of the internal D-volume (``ext``: read a
+        zero-halo-extended (Nz+2, M+2, Nd, Nr, Nc) array; the block spans
+        the extended time axis and the kernel slices)."""
+        Nz = self.Nz
 
         if ext:
-            def index_map(z, m, r):
-                return (z + 1 + shift_z, m + 1 + shift_t, chan, r, 0)
+            def index_map(z, r):
+                return (z + 1 + shift_z, 0, chan, r, 0)
+            m_eff = self.M + 2
         else:
-            def index_map(z, m, r):
+            def index_map(z, r):
                 zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
-                mi = jnp.clip(m + shift_t, 0, M - 1) if shift_t else m
-                return (zi, mi, chan, r, 0)
+                return (zi, 0, chan, r, 0)
+            m_eff = self.M
 
-        return pl.BlockSpec((1, 1, 1, self.TR, self.Nc), index_map,
+        return pl.BlockSpec((1, m_eff, 1, self.TR, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
     def dvol_chan_rows(self, chan, direction: int):
-        """Thin block (dthin rows) of one channel adjacent to the tile seam."""
+        """Thin block (dthin rows) of one channel adjacent to the tile seam
+        (always the unextended local dual — rows are never sharded)."""
         thin = self.dthin
         blocks_per_tile = self.TR // thin
         last = self.Nr // thin - 1
 
-        def index_map(z, m, r):
+        def index_map(z, r):
             if direction < 0:
-                return (z, m, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
-            return (z, m, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+                return (z, 0, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+            return (z, 0, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
-        return pl.BlockSpec((1, 1, 1, thin, self.Nc), index_map,
+        return pl.BlockSpec((1, self.M, 1, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
 
     def tplane(self):
         """(TR, Nc) tile of an (Nr, Nc) per-pixel plane (time-channel
-        multiplier: static-mask factor x weight_time) — shared by every
-        (z, m) program at the same row tile."""
-        return pl.BlockSpec((self.TR, self.Nc), lambda z, m, r: (r, 0),
+        multiplier: static-mask factor x weight_time)."""
+        return pl.BlockSpec((self.TR, self.Nc), lambda z, r: (r, 0),
                             memory_space=pltpu.VMEM)
 
     def part(self):
         """Per-program scalar partial: one full (8, 128) tile per program
         (Mosaic's minimum f32 tile)."""
-        return pl.BlockSpec((1, 1, 1, 8, 128), lambda z, m, r: (z, m, r, 0, 0),
+        return pl.BlockSpec((1, 1, 8, 128), lambda z, r: (z, r, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def part_shape(self, dtype):
-        return jax.ShapeDtypeStruct((self.Nz, self.M, self.R, 8, 128), dtype)
+        return jax.ShapeDtypeStruct((self.Nz, self.R, 8, 128), dtype)
 
     @property
     def grid(self):
-        return (self.Nz, self.M, self.R)
+        return (self.Nz, self.R)
 
 
 def _write_part(ref, value, dtype):
     """Broadcast-fill the partial tile (.at[].set would lower to an
     unsupported scatter on TPU); the consumer reads [..., 0, 0]."""
-    ref[0, 0, 0] = jnp.full((8, 128), value, dtype)
+    ref[0, 0] = jnp.full((8, 128), value, dtype)
 
 
 def _sum_parts(parts):
@@ -357,69 +415,56 @@ def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
     dthin = 16 if dual_dtype.itemsize < 4 else 8
     xthin = 16 if store_dtype.itemsize < 4 else 8
     TR = choose_row_tile(Nr, Nc, len(chans), store_dtype.itemsize,
-                         min_rows=max(dthin, xthin))
+                         min_rows=max(dthin, xthin), M=M,
+                         dual_bpe=dual_dtype.itemsize)
     sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin, xthin=xthin)
     return sp, chans, weights, norm, dtype, store_dtype
 
 
-def _ext_rows(sp, direction: int, ext: int = 1):
-    """Thin row block of the halo-extended x array's *center* plane."""
-    thin = sp.xthin
-    blocks_per_tile = sp.TR // thin
-    last = sp.Nr // thin - 1
-
-    def index_map(z, m, r):
-        if direction < 0:
-            return (z + ext, m + ext,
-                    jnp.maximum(r * blocks_per_tile - 1, 0), 0)
-        return (z + ext, m + ext,
-                jnp.minimum((r + 1) * blocks_per_tile, last), 0)
-
-    return pl.BlockSpec((1, 1, thin, sp.Nc), index_map,
-                        memory_space=pltpu.VMEM)
+def _needs_z(chans) -> bool:
+    return any(ch.axis == AXIS_Z for ch in chans)
 
 
-def _seam_rows(sp, x_up_ref, x_dn_ref, view):
-    """The single rows adjacent to the tile (from thin blocks, or zeros when
-    the plane is a single tile and no thin specs exist)."""
+def _center_t(arr, e):
+    """Slice the time-interior of an (M_eff, ...) tile view."""
+    return arr[e:-e] if e else arr
+
+
+def _seam_rows(sp, x_up_ref, x_dn_ref, dtype, e=0):
+    """The single (M, 1, Nc) rows adjacent to the tile, time-center-sliced
+    (or zeros when the plane is a single tile and no thin specs exist)."""
     if sp.R == 1:
-        zero = jnp.zeros((1, sp.Nc), view.dtype)
+        zero = jnp.zeros((sp.M, 1, sp.Nc), dtype)
         return zero, zero
-    return (x_up_ref[0, 0, -1:].astype(view.dtype),
-            x_dn_ref[0, 0, :1].astype(view.dtype))
+    up = _center_t(x_up_ref[0].astype(dtype), e)
+    dn = _center_t(x_dn_ref[0].astype(dtype), e)
+    return up[:, -1:], dn[:, :1]
 
 
 # ---------------------------------------------------------------------------
-# CP fused step
+# CP fused step (split adjoint)
 # ---------------------------------------------------------------------------
 
 
-def _needs(chans):
-    """Which grid axes the channel table touches (skip neighbor-tile DMA for
-    the others — a 3D volume without time channels saves 2 of pass A's 5
-    x-tile reads)."""
-    need_z = any(ch.axis == AXIS_Z for ch in chans)
-    need_t = any(ch.axis == AXIS_T for ch in chans)
-    return need_z, need_t
-
-
-def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
-                z, m, r, sp, gate_zt=True, tmul=None):
+def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, xt, z, r, sp,
+                gate_z=True, tmul=None, e=0):
     """All weighted D channels of the current tile (VMEM-resident only).
 
-    ``tmul`` (optional (TR, Nc) tile): per-pixel multiplier applied to time
-    channels — encodes the reference's static-mask factor
-    (``tv_operators_CPU.py:148-151``) and/or a ``weight_time`` plane."""
+    ``x`` is the (M, TR, Nc) time-center view; ``xt`` the (M_eff, TR, Nc)
+    raw tile (time ghosts included in halo mode, ``e`` per side).  ``tmul``
+    (optional (TR, Nc)): per-pixel multiplier on time channels — the
+    reference's static-mask factor (``tv_operators_CPU.py:148-151``) and/or
+    a ``weight_time`` plane."""
     ds = []
     for ch, w in zip(chans, weights):
         if ch.axis == AXIS_ROW:
             d = _row_d(ch.kind, x, up_row, dn_row, r, sp.R)
         elif ch.axis == AXIS_COL:
-            d = _col_d(x, ch.kind)
+            d = _ax_d(x, 2, ch.kind)
         elif ch.axis == AXIS_Z:
-            d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz, gate=gate_zt)
+            d = _cross_d(ch.kind, x, x_zm, x_zp, z, sp.Nz, gate=gate_z)
         else:
-            d = _cross_d(ch.kind, x, x_tm, x_tp, m, sp.M, gate=gate_zt)
+            d = _ax_d_ext(xt, 0, ch.kind, e) if e else _ax_d(x, 0, ch.kind)
             if tmul is not None:
                 d = d * tmul
         ds.append(d * w)
@@ -430,64 +475,57 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, x_tm, x_tp,
 def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                         sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
                         dual_dtype_name=None, halo_mode=False,
-                        table_dims=None, t_plane=False):
-    """Pass A: (x, x0, y_A, y_D[, tmul]) -> (y_A', y_D', l21_parts).
+                        table_dims=None, t_plane=False, t_sharded=False):
+    """Pass A: (x, x0, y_A, y_D[, tmul]) -> (y_A', y_D', dt_local, l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
-    (``README.md:148-151`` with keepdims semantics) and the L21 partial
-    reduction of ``D_x`` for the loss line.
+    (``README.md:148-151`` with keepdims semantics), the L21 partial
+    reduction of ``D_x`` for the loss line, AND the locally computable part
+    of ``D^T y_D'`` (column + time channels fully; row/z channels' in-tile
+    terms) — pass B only adds the cross-tile corrections, so it never
+    re-reads the full Nd-channel dual.
 
-    ``dual_dtype_name='bfloat16'`` stores y_D in bf16 (the dominant HBM
-    traffic term; compute stays f32) — a speed/precision trade for long
-    production runs.
-
-    ``halo_mode=True`` (sharded execution inside shard_map): ``shape`` is the
-    *local* block; x arrives halo-extended to (Nz+2, M+2, Nr, Nc) with ghost
-    planes encoding the global boundary (parallel/fused_halo.py), and z/t
-    boundary gating is disabled.
-
-    ``t_plane=True``: the call takes an extra (Nr, Nc) plane multiplying the
-    time channels of D — the reference's static-mask factor
-    (``tv_operators_CPU.py:148-151``) and/or a per-pixel ``weight_time``
-    (see kernels.dispatch.t_plane_multiplier).
+    ``halo_mode=True`` (sharded execution inside shard_map): ``shape`` is
+    the *local* block; x arrives halo-extended to (Nz+2, M+2, Nr, Nc) with
+    ghost planes encoding the global boundary (parallel/fused_halo.py), and
+    z/t boundary gating is disabled.  ``t_sharded=True`` additionally moves
+    the time-channel adjoint to pass B (the neighbor shard's y' cannot be
+    recomputed locally).
     """
     sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
                                                  dual_dtype_name, table_dims)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
-    need_z, need_t = _needs(chans)
+    need_z = _needs_z(chans)
+    e = 1 if halo_mode else 0
+    t_in_dt = not (halo_mode and t_sharded)
 
     def kernel(*refs):
         it = iter(refs)
-
-        def ld(ref):
-            return ref[0, 0].astype(dtype)
-
         x_ref = next(it)
         x_zm = next(it) if need_z else None
         x_zp = next(it) if need_z else None
-        x_tm = next(it) if need_t else None
-        x_tp = next(it) if need_t else None
         if sp.R > 1:
             x_up, x_dn = next(it), next(it)
         else:
             x_up = x_dn = None
         x0_ref, yA_ref, yD_ref = next(it), next(it), next(it)
         tmul = next(it)[...] if t_plane else None
-        yA_out, yD_out, l21_out = it
-        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        x = ld(x_ref)
-        up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
+        yA_out, yD_out, dt_out, l21_out = it
+        z, r = pl.program_id(0), pl.program_id(1)
 
-        yA_out[0, 0] = ((ld(yA_ref) + sigma_A * (x - ld(x0_ref)))
-                        / (1.0 + sigma_A)).astype(store)
+        xt = x_ref[0].astype(dtype)          # (M_eff, TR, Nc)
+        x = _center_t(xt, e)                 # (M, TR, Nc)
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, dtype, e)
+        x0 = x0_ref[0].astype(dtype)
+        yA = yA_ref[0].astype(dtype)
+
+        yA_out[0] = ((yA + sigma_A * (x - x0)) / (1.0 + sigma_A)).astype(store)
 
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         ld(x_zm) if need_z else None,
-                         ld(x_zp) if need_z else None,
-                         ld(x_tm) if need_t else None,
-                         ld(x_tp) if need_t else None,
-                         z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
+                         _center_t(x_zm[0].astype(dtype), e) if need_z else None,
+                         _center_t(x_zp[0].astype(dtype), e) if need_z else None,
+                         xt, z, r, sp, gate_z=not halo_mode, tmul=tmul, e=e)
 
         if cfg.norm == "aniso":
             # L1,1 TV: sum |d| and a box-projection prox (solvers.cp.dual_prox)
@@ -495,56 +533,88 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
             for d in ds[1:]:
                 tv_part = tv_part + jnp.abs(d)
             _write_part(l21_out, jnp.sum(tv_part), dtype)
+            ys = []
             for i, d in enumerate(ds):
-                p = yD_ref[0, 0, i].astype(dtype) + sigma_D * d
-                yD_out[0, 0, i] = jnp.clip(p, -reg, reg).astype(dual_dtype)
-            return
+                p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
+                y = jnp.clip(p, -reg, reg)
+                ys.append(y)
+                yD_out[0, :, i] = y.astype(dual_dtype)
+        else:
+            norms_sq = ds[0] * ds[0]
+            for d in ds[1:]:
+                norms_sq = norms_sq + d * d
+            _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
 
-        norms_sq = ds[0] * ds[0]
-        for d in ds[1:]:
-            norms_sq = norms_sq + d * d
-        _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
+            ps = []
+            p_sq = None
+            for i, d in enumerate(ds):
+                p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
+                ps.append(p)
+                p_sq = p * p if p_sq is None else p_sq + p * p
+            inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
+            ys = []
+            for i, p in enumerate(ps):
+                y = p * inv_scale
+                ys.append(y)
+                yD_out[0, :, i] = y.astype(dual_dtype)
 
-        ps = []
-        p_sq = None
-        for i, d in enumerate(ds):
-            p = yD_ref[0, 0, i].astype(dtype) + sigma_D * d
-            ps.append(p)
-            p_sq = p * p if p_sq is None else p_sq + p * p
-        inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
-        for i, p in enumerate(ps):
-            yD_out[0, 0, i] = (p * inv_scale).astype(dual_dtype)
+        # locally computable part of D^T y' (y' values still in registers).
+        # Gates drop the tile's own globally-invalid slots, so arbitrary
+        # (non-solver) dual states cannot leak garbage; in halo mode the
+        # gating moves to the ghost/zero-halo construction + the dual's
+        # zero-at-invalid-slot invariant.
+        dt = None
+        for ch, w, y in zip(chans, weights, ys):
+            if ch.axis == AXIS_COL:
+                c = _ax_dt(y, 2, ch.kind) * w
+            elif ch.axis == AXIS_ROW:
+                c = _row_dt_local(ch.kind, y, r, sp.R) * w
+            elif ch.axis == AXIS_Z:
+                if ch.kind == FWD:
+                    yv = y if halo_mode else _gate(z == sp.Nz - 1, y)
+                    c = -yv * w
+                elif ch.kind == BWD:
+                    yv = y if halo_mode else _gate(z == 0, y)
+                    c = yv * w
+                else:
+                    continue  # CTR has no local term
+            else:  # AXIS_T
+                if not t_in_dt:
+                    continue
+                c = _ax_dt(y, 0, ch.kind) * w
+                if tmul is not None:
+                    c = c * tmul
+            dt = c if dt is None else dt + c
+        if dt is None:
+            dt = jnp.zeros((sp.M, sp.TR, sp.Nc), dtype)
+        dt_out[0] = dt.astype(store)
 
-    ext = halo_mode
-    in_specs = [sp.vol(ext=ext)]
+    in_specs = [sp.vol(ext=e)]
     if need_z:
-        in_specs += [sp.vol(-1, 0, ext=ext), sp.vol(1, 0, ext=ext)]
-    if need_t:
-        in_specs += [sp.vol(0, -1, ext=ext), sp.vol(0, 1, ext=ext)]
+        in_specs += [sp.vol(-1, ext=e), sp.vol(1, ext=e)]
     if sp.R > 1:
-        # thin row blocks always read the unextended rows of the center plane
-        in_specs += [_ext_rows(sp, -1) if ext else sp.vol_rows(-1),
-                     _ext_rows(sp, 1) if ext else sp.vol_rows(1)]
+        in_specs += [sp.vol_rows(-1, ext=e), sp.vol_rows(1, ext=e)]
     in_specs += [sp.vol(), sp.vol(), sp.dvol()]
     if t_plane:
         in_specs += [sp.tplane()]
 
     # y_A / y_D update in place (no neighbor reads; block-aligned writes):
     # halves the transient HBM footprint so pod-scale volumes fit one chip
-    n_x = (1 + 2 * need_z + 2 * need_t) + (2 if sp.R > 1 else 0)
+    n_x = 1 + 2 * need_z + (2 if sp.R > 1 else 0)
     aliases = {n_x + 1: 0, n_x + 2: 1}  # y_A and y_D (same dtype in/out)
 
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel")),
         input_output_aliases=aliases,
         in_specs=in_specs,
-        out_specs=(sp.vol(), sp.dvol(), sp.part()),
+        out_specs=(sp.vol(), sp.dvol(), sp.vol(), sp.part()),
         out_shape=(
             jax.ShapeDtypeStruct(shape, store),
             jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dual_dtype),
+            jax.ShapeDtypeStruct(shape, store),
             sp.part_shape(dtype),
         ),
         interpret=interpret,
@@ -559,9 +629,11 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     return call
 
 
-def _neighbor_plan(chans, sp):
-    """Neighbor operands the adjoint pass needs, per channel: FWD reads the
-    previous plane/row, BWD the next, CTR both (cf. _cross_dt / _row_dt)."""
+def _neighbor_plan(chans, sp, t_in_dt=True):
+    """Cross-tile adjoint terms pass B must add, per channel: row-seam thin
+    blocks (FWD needs the seam above, BWD below, CTR both — only when the
+    plane is row-tiled), z-shifted channel planes, and (t-sharded halo only)
+    one t-extended read per time channel."""
     plan = []
     for i, ch in enumerate(chans):
         if ch.axis == AXIS_Z:
@@ -569,113 +641,110 @@ def _neighbor_plan(chans, sp):
                 plan.append((i, "z", -1))
             if ch.kind in (BWD, CTR):
                 plan.append((i, "z", 1))
-        elif ch.axis == AXIS_T:
-            if ch.kind in (FWD, CTR):
-                plan.append((i, "t", -1))
-            if ch.kind in (BWD, CTR):
-                plan.append((i, "t", 1))
         elif ch.axis == AXIS_ROW and sp.R > 1:
             if ch.kind in (FWD, CTR):
                 plan.append((i, "r", -1))
             if ch.kind in (BWD, CTR):
                 plan.append((i, "r", 1))
+        elif ch.axis == AXIS_T and not t_in_dt:
+            plan.append((i, "t", 0))
     return tuple(plan)
-
-
-def _plan_spec(sp, key, ext=False):
-    i, axis, d = key
-    if axis == "z":
-        return sp.dvol_chan(i, shift_z=d, ext=ext)
-    if axis == "t":
-        return sp.dvol_chan(i, shift_t=d, ext=ext)
-    # row-seam thin blocks always read the (unextended) local y_D
-    return sp.dvol_chan_rows(i, d)
 
 
 @functools.lru_cache(maxsize=None)
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                           tau=0.1, interpret=False, dual_dtype_name=None,
-                          halo_mode=False, table_dims=None, t_plane=False):
-    """Pass B: (x, x0, y_A', y_D'[, tmul]) -> (x', fid_parts).
+                          halo_mode=False, table_dims=None, t_plane=False,
+                          t_sharded=False):
+    """Pass B: (x, x0, y_A', y_D', dt_local[, tmul]) -> (x', fid_parts).
 
-    Fuses D^T of the dual with the primal update and the fidelity partial of
-    the loss (``README.md:154,157``).  Neighbor reads of y_D' are
-    channel-sliced: full tiles for z/t channels, thin row blocks for row-tile
-    seams.
-
-    ``t_plane``: (Nr, Nc) multiplier on the adjoint's time-channel
-    contribution.  The reference applies ``weight_time`` pre-scatter and the
-    static-mask factor post-scatter (``tv_operators_CPU.py:430-446``); both
-    depend only on (row, col) and the time scatter preserves (row, col), so
-    one per-pixel multiply of the accumulated time contribution is the exact
-    composition of the two.
+    Adds the cross-tile corrections of ``D^T y_D'`` to pass A's dt_local
+    (z-shifted channel planes, row-seam rows, t-ext channels when the time
+    axis is sharded), then applies the primal update and the fidelity
+    partial of the loss (``README.md:154,157``).  The bulk of the adjoint
+    was already folded into dt_local, so this pass never reads the full
+    Nd-channel dual.
     """
     sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
                                                  dual_dtype_name, table_dims)
-    plan = _neighbor_plan(chans, sp)
-    nb_specs = [_plan_spec(sp, key, ext=halo_mode) for key in plan]
+    t_in_dt = not (halo_mode and t_sharded)
+    plan = _neighbor_plan(chans, sp, t_in_dt)
+    has_t_plan = any(axis == "t" for (_, axis, _d) in plan)
+    use_tmul = t_plane and has_t_plan
+    M, TR, Nc = sp.M, sp.TR, sp.Nc
+
+    def _spec(key):
+        i, axis, d = key
+        if axis == "z":
+            return sp.dvol_chan(i, shift_z=d, ext=halo_mode)
+        if axis == "t":
+            return sp.dvol_chan(i, ext=True)  # halo-only: t-extended read
+        return sp.dvol_chan_rows(i, d)
+
+    nb_specs = [_spec(key) for key in plan]
 
     def kernel(*refs):
-        x_ref, x0_ref, yA_ref, yD_ref = refs[:4]
+        x_ref, x0_ref, yA_ref, dt_ref = refs[:4]
         nb_refs = dict(zip(plan, refs[4:4 + len(plan)]))
         rest = refs[4 + len(plan):]
-        if t_plane:
+        if use_tmul:
             tmul = rest[0][...]
             rest = rest[1:]
         x_out, fid_out = rest
-        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        z, r = pl.program_id(0), pl.program_id(1)
 
-        def nb_tile(i, axis, d):
-            ref = nb_refs.get((i, axis, d))
-            out = yD_ref[0, 0, i] if ref is None else ref[0, 0, 0]
-            return out.astype(dtype)
+        corr = dt_ref[0].astype(dtype)
+        for (i, axis, d), ref in nb_refs.items():
+            ch, w = chans[i], weights[i]
+            if axis == "z":
+                y = ref[0, :, 0].astype(dtype)
+                if halo_mode:
+                    y = y[1:-1]  # t interior of the extended dual
+                    c = y if d < 0 else -y
+                elif d < 0:
+                    gate = (z == 0) if ch.kind == FWD else (z <= 1)
+                    c = _gate(gate, y)
+                else:
+                    gate = ((z == sp.Nz - 1) if ch.kind == BWD
+                            else (z >= sp.Nz - 2))
+                    c = -_gate(gate, y)
+                corr = corr + c * w
+            elif axis == "r":
+                thin = ref[0, :, 0].astype(dtype)  # (M, dthin, Nc)
+                if d < 0:
+                    seam = _gate(r == 0, thin[:, -1:]) * w
+                    corr = corr + _pad3(seam, 1, 0, TR - 1)
+                else:
+                    seam = _gate(r == sp.R - 1, thin[:, :1]) * w
+                    corr = corr - _pad3(seam, 1, TR - 1, 0)
+            else:  # "t": full adjoint from the t-extended channel (halo)
+                ye = ref[0, :, 0].astype(dtype)  # (M+2, TR, Nc)
+                if ch.kind == FWD:
+                    c = ye[0:M] - ye[1:M + 1]
+                elif ch.kind == BWD:
+                    c = ye[1:M + 1] - ye[2:M + 2]
+                else:
+                    c = ye[0:M] - ye[2:M + 2]
+                c = c * w
+                if use_tmul:
+                    c = c * tmul
+                corr = corr + c
 
-        def nb_row(i, d):
-            ref = nb_refs.get((i, "r", d))
-            if ref is None:  # R == 1: gated off in _row_dt
-                return jnp.zeros((1, sp.Nc), dtype)
-            block = ref[0, 0, 0].astype(dtype)
-            return block[-1:] if d < 0 else block[:1]
-
-        dt = None
-        dt_time = None
-        for i, (ch, w) in enumerate(zip(chans, weights)):
-            y_c = yD_ref[0, 0, i].astype(dtype)
-            if ch.axis == AXIS_ROW:
-                c = _row_dt(ch.kind, y_c, nb_row(i, -1), nb_row(i, 1), r, sp.R)
-            elif ch.axis == AXIS_COL:
-                c = _col_dt(y_c, ch.kind)
-            elif ch.axis == AXIS_Z:
-                c = _cross_dt(ch.kind, y_c, nb_tile(i, "z", -1),
-                              nb_tile(i, "z", 1), z, sp.Nz,
-                              gate=not halo_mode)
-            else:
-                c = _cross_dt(ch.kind, y_c, nb_tile(i, "t", -1),
-                              nb_tile(i, "t", 1), m, sp.M,
-                              gate=not halo_mode)
-            c = c * w
-            if t_plane and ch.axis == AXIS_T:
-                dt_time = c if dt_time is None else dt_time + c
-            else:
-                dt = c if dt is None else dt + c
-        if dt_time is not None:
-            dt = dt_time * tmul if dt is None else dt + dt_time * tmul
-
-        x_new = (x_ref[0, 0].astype(dtype) - tau * yA_ref[0, 0].astype(dtype)
-                 - tau * dt)
-        x_out[0, 0] = x_new.astype(store)
-        diff = x_new - x0_ref[0, 0].astype(dtype)
+        x_new = (x_ref[0].astype(dtype) - tau * yA_ref[0].astype(dtype)
+                 - tau * corr)
+        x_out[0] = x_new.astype(store)
+        diff = x_new - x0_ref[0].astype(dtype)
         _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
 
-    in_specs = [sp.vol(), sp.vol(), sp.vol(), sp.dvol()] + nb_specs
-    if t_plane:
+    in_specs = [sp.vol(), sp.vol(), sp.vol(), sp.vol()] + nb_specs
+    if use_tmul:
         in_specs += [sp.tplane()]
 
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel", "parallel")),
+            dimension_semantics=("parallel", "parallel")),
         input_output_aliases={0: 0},  # x updates in place (center-only read)
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
@@ -687,18 +756,18 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     )
 
     if halo_mode:
-        def call(x, x0, y_A, y_D, y_D_ext, tmul=None):
-            args = [y_D_ext if axis in ("z", "t") else y_D
+        def call(x, x0, y_A, y_D, y_ext, dt, tmul=None):
+            args = [y_D if axis == "r" else y_ext
                     for (_, axis, _d) in plan]
-            if t_plane:
+            if use_tmul:
                 args.append(tmul)
-            return fn(x, x0, y_A, y_D, *args)
+            return fn(x, x0, y_A, dt, *args)
     else:
-        def call(x, x0, y_A, y_D, tmul=None):
+        def call(x, x0, y_A, y_D, dt, tmul=None):
             args = [y_D] * len(plan)
-            if t_plane:
+            if use_tmul:
                 args.append(tmul)
-            return fn(x, x0, y_A, y_D, *args)
+            return fn(x, x0, y_A, dt, *args)
 
     return call
 
@@ -727,8 +796,8 @@ def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
                                t_plane=t_plane)
     primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret,
                                    dual_dtype_name=dual_name, t_plane=t_plane)
-    y_A, y_D_int, l21_parts = dual(x, x_noisy, y_A, y_D_int, tmul)
-    x, fid_parts = primal(x, x_noisy, y_A, y_D_int, tmul)
+    y_A, y_D_int, dt_local, l21_parts = dual(x, x_noisy, y_A, y_D_int, tmul)
+    x, fid_parts = primal(x, x_noisy, y_A, y_D_int, dt_local, tmul)
     loss = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
     return x, y_A, y_D_int, loss
 
@@ -766,44 +835,38 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     return.
 
     ``halo_mode``: sharded execution — x arrives extended by 1 ghost plane
-    per side along z and t; z/t gating is disabled (the ghosts encode the
-    boundary; parallel/fused_halo.py)."""
+    per side along z and t (the time ghosts ride inside the tile); z/t
+    gating is disabled (parallel/fused_halo.py)."""
     sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
                                                  table_dims=table_dims)
-    need_z, need_t = _needs(chans)
+    need_z = _needs_z(chans)
+    e = 1 if halo_mode else 0
 
     def kernel(*refs):
         it = iter(refs)
-
-        def ld(ref):
-            return ref[0, 0].astype(dtype)
-
         x_ref = next(it)
         x_zm = next(it) if need_z else None
         x_zp = next(it) if need_z else None
-        x_tm = next(it) if need_t else None
-        x_tp = next(it) if need_t else None
         if sp.R > 1:
             x_up, x_dn = next(it), next(it)
         else:
             x_up = x_dn = None
         tmul = next(it)[...] if t_plane else None
         norms_out, tv_out = it
-        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
-        x = ld(x_ref)
-        up_row, dn_row = _seam_rows(sp, x_up, x_dn, x)
+        z, r = pl.program_id(0), pl.program_id(1)
+        xt = x_ref[0].astype(dtype)
+        x = _center_t(xt, e)
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, dtype, e)
         ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         ld(x_zm) if need_z else None,
-                         ld(x_zp) if need_z else None,
-                         ld(x_tm) if need_t else None,
-                         ld(x_tp) if need_t else None,
-                         z, m, r, sp, gate_zt=not halo_mode, tmul=tmul)
+                         _center_t(x_zm[0].astype(dtype), e) if need_z else None,
+                         _center_t(x_zp[0].astype(dtype), e) if need_z else None,
+                         xt, z, r, sp, gate_z=not halo_mode, tmul=tmul, e=e)
         if cfg.norm == "aniso":
             abs_sum = jnp.abs(ds[0])
             for d in ds[1:]:
                 abs_sum = abs_sum + jnp.abs(d)
             _write_part(tv_out, jnp.sum(abs_sum), dtype)
-            norms_out[0, 0] = abs_sum
+            norms_out[0] = abs_sum
             return
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
@@ -811,18 +874,14 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         norms = jnp.sqrt(norms_sq)
         _write_part(tv_out, jnp.sum(norms), dtype)
         # inf convention (tv_CPU.py:85-86): zero-norm pixels contribute 0
-        norms_out[0, 0] = jnp.where(norms == 0, jnp.inf, norms)
+        norms_out[0] = jnp.where(norms == 0, jnp.inf, norms)
 
-    e = 1 if halo_mode else 0
     in_specs = [sp.vol(ext=e)]
     if need_z:
-        in_specs += [sp.vol(-1, 0, ext=e), sp.vol(1, 0, ext=e)]
-    if need_t:
-        in_specs += [sp.vol(0, -1, ext=e), sp.vol(0, 1, ext=e)]
+        in_specs += [sp.vol(-1, ext=e), sp.vol(1, ext=e)]
     if sp.R > 1:
-        in_specs += [_ext_rows(sp, -1, 1) if halo_mode else sp.vol_rows(-1),
-                     _ext_rows(sp, 1, 1) if halo_mode else sp.vol_rows(1)]
-    n_x = (1 + 2 * need_z + 2 * need_t) + (2 if sp.R > 1 else 0)
+        in_specs += [sp.vol_rows(-1, ext=e), sp.vol_rows(1, ext=e)]
+    n_x = 1 + 2 * need_z + (2 if sp.R > 1 else 0)
     if t_plane:
         in_specs += [sp.tplane()]
 
@@ -832,7 +891,7 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(
-            jax.ShapeDtypeStruct(shape, dtype),
+            jax.ShapeDtypeStruct(shape, dtype),  # norms stay f32
             sp.part_shape(dtype),
         ),
         interpret=interpret,
@@ -847,6 +906,25 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     return call
 
 
+def _row_dt(kind, y, y_up_row, y_dn_row, r, R):
+    """Full row-channel adjoint of a (M, TR, Nc) tile with (M, 1, Nc) seam
+    values from the neighbor tiles (gated at the global boundary).
+    Valid-slot masking happens before the neighbor rows are consumed."""
+    if kind == FWD:
+        yv = _zero_row(y, -1, r == R - 1)
+        up = _gate(r == 0, y_up_row)
+        return jnp.concatenate([up, yv], axis=1)[:, :-1] - yv
+    if kind == BWD:
+        yv = _zero_row(y, 0, r == 0)
+        dn = _gate(r == R - 1, y_dn_row)
+        return yv - jnp.concatenate([yv, dn], axis=1)[:, 1:]
+    yv = _zero_row(_zero_row(y, 0, r == 0), -1, r == R - 1)
+    up = _gate(r == 0, y_up_row)
+    dn = _gate(r == R - 1, y_dn_row)
+    return (jnp.concatenate([up, yv], axis=1)[:, :-1]
+            - jnp.concatenate([yv, dn], axis=1)[:, 1:])
+
+
 @functools.lru_cache(maxsize=None)
 def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                            interpret=False, halo_mode=False, table_dims=None,
@@ -855,70 +933,64 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     (``tv_CPU.py:92-124`` algebra), recomputing D_x in-registers instead of
     reading an Nd-channel volume from HBM.
 
-    Needs x and norms at +-1 z/t tiles (and +-2 for the recomputed neighbor
-    channels), plus 8-row thin blocks across row-tile seams.
+    Time channels are fully in-tile (the tile spans the whole local time
+    axis, halo-extended by 2 ghost planes per side in sharded mode — even a
+    time-sharded mesh needs no extra operands, because unlike CP's prox the
+    subgradient's per-channel values depend only on exchanged x/norms).
+    z channels need x and norms at +-1 tiles and x at +-2 (recomputed
+    neighbor channels); row-tile seams use thin blocks.
 
     ``cfg.norm='aniso'``: G = D_T(sign(D x)) with FULL weights (the true
-    L1,1 subgradient, matching ``ops.tv.tv_and_subgrad`` aniso) — no norms
-    operands at all in that mode (``call(x, None)`` is accepted).
+    L1,1 subgradient) — no norms operands at all (``call(x, None)``).
 
-    ``t_plane``: (Nr, Nc) multiplier on the time channels of D (static-mask
-    factor x weight_time).  The iso G scatters it as part of ``D_x / norms``
-    (the reference does not re-apply weights in G); the aniso G additionally
-    re-applies it in the adjoint, like D_T.
-
-    ``halo_mode``: sharded execution — x arrives extended by TWO ghost
-    planes per side along z/t (clamp padding, or the central scheme's
-    zero-difference mirror), norms by ONE (safe-divisor ghosts); all z/t
-    gating is disabled (parallel/fused_halo.py).
+    ``t_plane``: (Nr, Nc) multiplier on the time channels of D; the iso G
+    scatters it as part of ``D_x / norms`` (the reference does not re-apply
+    weights in G); the aniso G additionally re-applies it, like D_T.
     """
     sp, chans, weights, norm, dtype, store = _build(cfg, shape, dtype_name,
                                                     table_dims=table_dims)
     gate = not halo_mode
-    need_z, need_t = _needs(chans)
+    need_z = _needs_z(chans)
     aniso = cfg.norm == "aniso"
-
-    n_xs = 1 + 4 * need_z + 4 * need_t
-    n_ns = 0 if aniso else 1 + 2 * need_z + 2 * need_t
+    e2 = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
+    en = 1 if halo_mode else 0   # norms extended by 1
+    M, TR, Nc = sp.M, sp.TR, sp.Nc
 
     def kernel(*refs):
         it = iter(refs)
 
-        def take(cond):
-            return it.__next__()[0, 0].astype(dtype) if cond else None
+        def take(cond, e):
+            if not cond:
+                return None
+            return _center_t(it.__next__()[0].astype(dtype), e)
 
-        x_c = take(True)
-        x_zm, x_zp = take(need_z), take(need_z)
-        x_tm, x_tp = take(need_t), take(need_t)
-        x_zm2, x_zp2 = take(need_z), take(need_z)
-        x_tm2, x_tp2 = take(need_t), take(need_t)
+        xt_raw = it.__next__()[0].astype(dtype)   # (M + 2*e2, TR, Nc)
+        x_c = _center_t(xt_raw, e2)
+        x_zm, x_zp = take(need_z, e2), take(need_z, e2)
+        x_zm2, x_zp2 = take(need_z, e2), take(need_z, e2)
         if sp.R > 1:
-            x_up, x_dn = next(it), next(it)
+            xu = _center_t(it.__next__()[0].astype(dtype), e2)
+            xd = _center_t(it.__next__()[0].astype(dtype), e2)
         else:
-            x_up = x_dn = None
-        n_c = take(not aniso)
-        n_zm, n_zp = take(need_z and not aniso), take(need_z and not aniso)
-        n_tm, n_tp = take(need_t and not aniso), take(need_t and not aniso)
-        if sp.R > 1 and not aniso:
-            n_up, n_dn = next(it), next(it)
+            xu = xd = None
+        if aniso:
+            nt_raw = n_c = n_zm = n_zp = None
+            nu_row = nd_row = None
         else:
-            n_up = n_dn = None
+            nt_raw = it.__next__()[0].astype(dtype)  # (M + 2*en, TR, Nc)
+            n_c = _center_t(nt_raw, en)
+            n_zm, n_zp = take(need_z, en), take(need_z, en)
+            if sp.R > 1:
+                nu_row = _center_t(it.__next__()[0].astype(dtype), en)[:, -1:]
+                nd_row = _center_t(it.__next__()[0].astype(dtype), en)[:, :1]
+            else:
+                nu_row = nd_row = None
         tmul = next(it)[...] if t_plane else None
         g_out = next(it)
 
-        z, m, r = pl.program_id(0), pl.program_id(1), pl.program_id(2)
+        z, r = pl.program_id(0), pl.program_id(1)
         inv_n = None if aniso else 1.0 / n_c
-
-        zero_row = jnp.zeros((1, sp.Nc), dtype)
-        if sp.R > 1:
-            xu = x_up[0, 0].astype(dtype)   # xthin rows just above the tile
-            xd = x_dn[0, 0].astype(dtype)   # xthin rows just below
-            if not aniso:
-                nu_row = n_up[0, 0][-1:]
-                nd_row = n_dn[0, 0][:1]
-        else:
-            xu = xd = None
-            nu_row = nd_row = None
+        zero_row = jnp.zeros((M, 1, Nc), dtype)
 
         def row_of(offset):
             """Row at tile-relative ``offset`` (-1/-2 above the tile,
@@ -926,12 +998,12 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
             plane is a single tile (R == 1, always gated)."""
             if offset < 0:
                 return (zero_row if xu is None
-                        else xu[offset + sp.xthin:offset + sp.xthin + 1])
-            return zero_row if xd is None else xd[offset - sp.TR:offset - sp.TR + 1]
+                        else xu[:, offset + sp.xthin:offset + sp.xthin + 1])
+            return (zero_row if xd is None
+                    else xd[:, offset - TR:offset - TR + 1])
 
         G = None
         for ch, w in zip(chans, weights):
-            # tm: per-pixel D multiplier for this channel (time channels only)
             tm = tmul if (tmul is not None and ch.axis == AXIS_T) else None
 
             def y_val(d_raw, div):
@@ -944,36 +1016,36 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                     return jnp.sign(v)
                 return v * w * div if div is not None else v * w
 
-            def inv(arr):  # reciprocal divisor for neighbor-plane norms
+            def inv(arr):
                 return None if aniso else 1.0 / arr
 
             if ch.axis == AXIS_COL:
-                y = y_val(_col_d(x_c, ch.kind), inv_n)
-                c = _col_dt(y, ch.kind)
+                y = y_val(_ax_d(x_c, 2, ch.kind), inv_n)
+                c = _ax_dt(y, 2, ch.kind)
             elif ch.axis == AXIS_ROW:
                 up_row = row_of(-1)
-                dn_row = row_of(sp.TR)
+                dn_row = row_of(TR)
                 y_c = y_val(_row_d(ch.kind, x_c, up_row, dn_row, r, sp.R),
                             inv_n)
                 # channel value at the seam rows themselves (for the adjoint):
                 # D at row -1 needs rows -2..0; at row TR needs TR-1..TR+1
                 if sp.R > 1:
                     up2 = row_of(-2)
-                    ext_u = jnp.concatenate([up2, up_row, x_c[:1]], axis=0)
-                    dn2 = row_of(sp.TR + 1)
-                    ext_d = jnp.concatenate([x_c[-1:], dn_row, dn2], axis=0)
+                    ext_u = jnp.concatenate([up2, up_row, x_c[:, :1]], axis=1)
+                    dn2 = row_of(TR + 1)
+                    ext_d = jnp.concatenate([x_c[:, -1:], dn_row, dn2], axis=1)
                     if ch.kind == FWD:
-                        d_up = (ext_u[2] - ext_u[1])[None]
-                        d_dn = (ext_d[2] - ext_d[1])[None]
-                        # FWD slot at row -1 valid unless it's the global last
-                        # row (impossible for r > 0); slot TR valid unless
-                        # global last (r == R-1, gated in _row_dt)
+                        d_up = ext_u[:, 2:3] - ext_u[:, 1:2]
+                        d_dn = ext_d[:, 2:3] - ext_d[:, 1:2]
+                        # FWD slot at row -1 valid unless it's the global
+                        # last row (impossible for r > 0); slot TR valid
+                        # unless global last (r == R-1, gated in _row_dt)
                     elif ch.kind == BWD:
-                        d_up = (ext_u[1] - ext_u[0])[None]
-                        d_dn = (ext_d[1] - ext_d[0])[None]
+                        d_up = ext_u[:, 1:2] - ext_u[:, 0:1]
+                        d_dn = ext_d[:, 1:2] - ext_d[:, 0:1]
                     else:
-                        d_up = (ext_u[2] - ext_u[0])[None]
-                        d_dn = (ext_d[2] - ext_d[0])[None]
+                        d_up = ext_u[:, 2:3] - ext_u[:, 0:1]
+                        d_dn = ext_d[:, 2:3] - ext_d[:, 0:1]
                     y_up = y_val(d_up, None if aniso else 1.0 / nu_row)
                     y_dn = y_val(d_dn, None if aniso else 1.0 / nd_row)
                 else:
@@ -988,17 +1060,45 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 y_n = y_val(_cross_d(ch.kind, x_zp, x_c, x_zp2,
                                      jnp.minimum(z + 1, sp.Nz - 1), sp.Nz,
                                      gate=gate), inv(n_zp))
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, z, sp.Nz, gate=gate)
-            else:
-                y_c = y_val(_cross_d(ch.kind, x_c, x_tm, x_tp, m, sp.M,
-                                     gate=gate), inv_n)
-                y_p = y_val(_cross_d(ch.kind, x_tm, x_tm2, x_c,
-                                     jnp.maximum(m - 1, 0), sp.M,
-                                     gate=gate), inv(n_tm))
-                y_n = y_val(_cross_d(ch.kind, x_tp, x_c, x_tp2,
-                                     jnp.minimum(m + 1, sp.M - 1), sp.M,
-                                     gate=gate), inv(n_tp))
-                c = _cross_dt(ch.kind, y_c, y_p, y_n, m, sp.M, gate=gate)
+                if ch.kind == FWD:
+                    if gate:
+                        c = (_gate(z == 0, y_p)
+                             - _gate(z == sp.Nz - 1, y_c))
+                    else:
+                        c = y_p - y_c
+                elif ch.kind == BWD:
+                    if gate:
+                        c = (_gate(z == 0, y_c)
+                             - _gate(z == sp.Nz - 1, y_n))
+                    else:
+                        c = y_c - y_n
+                else:
+                    if gate:
+                        c = (_gate(z <= 1, y_p)
+                             - _gate(z >= sp.Nz - 2, y_n))
+                    else:
+                        c = y_p - y_n
+            else:  # AXIS_T — fully in-tile
+                if halo_mode:
+                    # Y at slots [-1, M+1): d from the 2-ghost-extended x,
+                    # divisors from the 1-ghost-extended norms (safe ghosts)
+                    d_ext = _ax_d_ext(xt_raw, 0, ch.kind, e2,
+                                      out_lo=-1, out_n=M + 2)
+                    if tm is not None:
+                        d_ext = d_ext * tm
+                    if aniso:
+                        Ye = jnp.sign(d_ext)
+                    else:
+                        Ye = d_ext * w / nt_raw
+                    if ch.kind == FWD:
+                        c = Ye[0:M] - Ye[1:M + 1]
+                    elif ch.kind == BWD:
+                        c = Ye[1:M + 1] - Ye[2:M + 2]
+                    else:
+                        c = Ye[0:M] - Ye[2:M + 2]
+                else:
+                    Y = y_val(_ax_d(x_c, 0, ch.kind), inv_n)
+                    c = _ax_dt(Y, 0, ch.kind)
             if aniso:
                 # re-apply the full weight (and the per-pixel time
                 # multiplier) in the adjoint, exactly like D_T
@@ -1008,36 +1108,25 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
             G = c if G is None else G + c
         # iso: G = norm * unweighted-adjoint(D/norms) and the y values above
         # already carry one norm factor inside w -> total norm^2, matching
-        # the reference's double application (tv_CPU.py:124,328).  aniso: the
-        # per-channel w (= channel_weight * norm) is applied above and D_T's
-        # trailing norm is folded into it via this final multiply.
-        g_out[0, 0] = (G * norm if not aniso else G).astype(store)
+        # the reference's double application (tv_CPU.py:124,328).  aniso:
+        # the per-channel w (= channel_weight * norm) applied above already
+        # folds D_T's trailing norm.
+        g_out[0] = (G * norm if not aniso else G).astype(store)
 
-    ex = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
-    en = 1 if halo_mode else 0   # norms extended by 1
-    in_specs = [sp.vol(ext=ex)]
+    n_xs = 1 + 4 * need_z
+    n_ns = 0 if aniso else 1 + 2 * need_z
+    in_specs = [sp.vol(ext=e2)]
     if need_z:
-        in_specs += [sp.vol(-1, 0, ext=ex), sp.vol(1, 0, ext=ex)]
-    if need_t:
-        in_specs += [sp.vol(0, -1, ext=ex), sp.vol(0, 1, ext=ex)]
-    if need_z:
-        in_specs += [sp.vol(-2, 0, ext=ex), sp.vol(2, 0, ext=ex)]
-    if need_t:
-        in_specs += [sp.vol(0, -2, ext=ex), sp.vol(0, 2, ext=ex)]
+        in_specs += [sp.vol(-1, ext=e2), sp.vol(1, ext=e2),
+                     sp.vol(-2, ext=e2), sp.vol(2, ext=e2)]
     if sp.R > 1:
-        in_specs += [_ext_rows(sp, -1, 2) if halo_mode else sp.vol_rows(-1),
-                     _ext_rows(sp, 1, 2) if halo_mode else sp.vol_rows(1)]
+        in_specs += [sp.vol_rows(-1, ext=e2), sp.vol_rows(1, ext=e2)]
     if not aniso:
         in_specs += [sp.vol(ext=en)]
         if need_z:
-            in_specs += [sp.vol(-1, 0, ext=en), sp.vol(1, 0, ext=en)]
-        if need_t:
-            in_specs += [sp.vol(0, -1, ext=en), sp.vol(0, 1, ext=en)]
+            in_specs += [sp.vol(-1, ext=en), sp.vol(1, ext=en)]
         if sp.R > 1:
-            in_specs += [_ext_rows(sp, -1, 1) if halo_mode
-                         else sp.vol_rows(-1),
-                         _ext_rows(sp, 1, 1) if halo_mode
-                         else sp.vol_rows(1)]
+            in_specs += [sp.vol_rows(-1, ext=en), sp.vol_rows(1, ext=en)]
     if t_plane:
         in_specs += [sp.tplane()]
 

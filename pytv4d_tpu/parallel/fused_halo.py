@@ -138,13 +138,15 @@ def make_sharded_cp_solver_fused(
     dt_name = "float32"
     dual_name = dual_dtype or dt_name
     table_dims = (Nz_g, M_g)
+    t_sharded = ctx.nt > 1
     dual = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D, sigma_A,
                                reg, interpret, dual_dtype_name=dual_name,
                                halo_mode=True, table_dims=table_dims,
-                               t_plane=t_plane)
+                               t_plane=t_plane, t_sharded=t_sharded)
     primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau, interpret,
                                    dual_dtype_name=dual_name, halo_mode=True,
-                                   table_dims=table_dims, t_plane=t_plane)
+                                   table_dims=table_dims, t_plane=t_plane,
+                                   t_sharded=t_sharded)
 
     ghost_z = _axis_ghost_kind(chans, AXIS_Z)
     ghost_t = _axis_ghost_kind(chans, AXIS_T)
@@ -172,9 +174,10 @@ def make_sharded_cp_solver_fused(
     )
     def step(x, y_A, y_D_int, x_noisy, tm):
         x_ext = _extend_x(x)
-        y_A, y_D_int, l21_parts = dual(x_ext, x_noisy, y_A, y_D_int, tm)
+        y_A, y_D_int, dt_local, l21_parts = dual(x_ext, x_noisy, y_A,
+                                                 y_D_int, tm)
         y_ext = _extend_y(y_D_int)
-        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext, tm)
+        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext, dt_local, tm)
         loss_local = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
         loss = lax.psum(loss_local, axes) if axes else loss_local
         return x, y_A, y_D_int, loss
