@@ -274,11 +274,17 @@ def _cross_d(kind, center, prev_tile, nxt_tile, idx, n, gate=True):
 
 
 class _Specs:
-    def __init__(self, Nz, M, Nr, Nc, Nd, TR, dthin=8, xthin=8):
+    def __init__(self, Nz, M, Nr, Nc, Nd, TR, dthin=8, xthin=8, z_off=0):
         self.Nz, self.M, self.Nr, self.Nc, self.Nd, self.TR = Nz, M, Nr, Nc, Nd, TR
         self.R = Nr // TR
         self.dthin = dthin  # thin-block rows for D-volume seams (16 for bf16)
         self.xthin = xthin  # thin-block rows for x-volume seams (16 for bf16)
+        # z_off=1: interior mode — the grid covers z planes [1, Nz-1) and
+        # every z index map shifts by 1; neighbor reads are always valid so
+        # shifts go unclamped (overlapped sharded execution: the boundary
+        # planes are fixed up by the boundary kernels while the halo
+        # exchange is in flight)
+        self.z_off = z_off
 
     def vol(self, shift_z=0, ext=0):
         """A (M_eff, TR, Nc) tile of a (Nz, M, Nr, Nc) array, optionally
@@ -289,10 +295,11 @@ class _Specs:
         encode the boundary conditions."""
         Nz = self.Nz
         ext = int(ext)
+        off = self.z_off
 
-        if ext:
+        if ext or off:
             def index_map(z, r):
-                return (z + ext + shift_z, 0, r, 0)
+                return (z + ext + off + shift_z, 0, r, 0)
         else:
             def index_map(z, r):
                 zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
@@ -309,9 +316,10 @@ class _Specs:
         blocks_per_tile = self.TR // thin
         last = self.Nr // thin - 1
         ext = int(ext)
+        off = self.z_off
 
         def index_map(z, r):
-            zi = z + ext
+            zi = z + ext + off
             if direction < 0:
                 return (zi, 0, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
             return (zi, 0, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
@@ -322,9 +330,10 @@ class _Specs:
     def dvol(self):
         """All-channel tile of the internal (Nz, M, Nd, Nr, Nc) layout — one
         contiguous DMA per program."""
+        off = self.z_off
 
         def index_map(z, r):
-            return (z, 0, 0, r, 0)
+            return (z + off, 0, 0, r, 0)
 
         return pl.BlockSpec((1, self.M, self.Nd, self.TR, self.Nc),
                             index_map, memory_space=pltpu.VMEM)
@@ -334,11 +343,16 @@ class _Specs:
         zero-halo-extended (Nz+2, M+2, Nd, Nr, Nc) array; the block spans
         the extended time axis and the kernel slices)."""
         Nz = self.Nz
+        off = self.z_off
 
         if ext:
             def index_map(z, r):
                 return (z + 1 + shift_z, 0, chan, r, 0)
             m_eff = self.M + 2
+        elif off:
+            def index_map(z, r):
+                return (z + off + shift_z, 0, chan, r, 0)
+            m_eff = self.M
         else:
             def index_map(z, r):
                 zi = jnp.clip(z + shift_z, 0, Nz - 1) if shift_z else z
@@ -354,11 +368,13 @@ class _Specs:
         thin = self.dthin
         blocks_per_tile = self.TR // thin
         last = self.Nr // thin - 1
+        off = self.z_off
 
         def index_map(z, r):
+            zi = z + off
             if direction < 0:
-                return (z, 0, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
-            return (z, 0, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
+                return (zi, 0, chan, jnp.maximum(r * blocks_per_tile - 1, 0), 0)
+            return (zi, 0, chan, jnp.minimum((r + 1) * blocks_per_tile, last), 0)
 
         return pl.BlockSpec((1, self.M, 1, thin, self.Nc), index_map,
                             memory_space=pltpu.VMEM)
@@ -372,7 +388,9 @@ class _Specs:
     def part(self):
         """Per-program scalar partial: one full (8, 128) tile per program
         (Mosaic's minimum f32 tile)."""
-        return pl.BlockSpec((1, 1, 8, 128), lambda z, r: (z, r, 0, 0),
+        off = self.z_off
+        return pl.BlockSpec((1, 1, 8, 128),
+                            lambda z, r: (z + off, r, 0, 0),
                             memory_space=pltpu.VMEM)
 
     def part_shape(self, dtype):
@@ -380,6 +398,8 @@ class _Specs:
 
     @property
     def grid(self):
+        if self.z_off:
+            return (self.Nz - 2, self.R)
         return (self.Nz, self.R)
 
 
@@ -394,7 +414,7 @@ def _sum_parts(parts):
 
 
 def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
-           table_dims=None):
+           table_dims=None, z_off=0):
     """Returns (specs, channels, weights, norm, compute_dtype, store_dtype).
 
     ``store_dtype`` is the HBM storage format of x/x0/y_A (f32 or bf16);
@@ -417,7 +437,8 @@ def _build(cfg: TVConfig, shape, dtype_name, dual_dtype_name=None,
     TR = choose_row_tile(Nr, Nc, len(chans), store_dtype.itemsize,
                          min_rows=max(dthin, xthin), M=M,
                          dual_bpe=dual_dtype.itemsize)
-    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin, xthin=xthin)
+    sp = _Specs(Nz, M, Nr, Nc, len(chans), TR, dthin=dthin, xthin=xthin,
+                z_off=z_off)
     return sp, chans, weights, norm, dtype, store_dtype
 
 
@@ -471,11 +492,90 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, xt, z, r, sp,
     return ds
 
 
+def _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
+               dtype, store, dual_dtype, gate_z, t_in_dt, tmul,
+               x, up_row, dn_row, x_zm, x_zp, xt, e, z, r,
+               x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out):
+    """Shared pass-A body: fidelity dual update, D stencil, TV dual prox,
+    L21 partial, and the locally computable part of ``D^T y'`` — used by
+    the main/interior kernel and the boundary-fix kernel."""
+    x0 = x0_ref[0].astype(dtype)
+    yA = yA_ref[0].astype(dtype)
+
+    yA_out[0] = ((yA + sigma_A * (x - x0)) / (1.0 + sigma_A)).astype(store)
+
+    ds = _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp,
+                     xt, z, r, sp, gate_z=gate_z, tmul=tmul, e=e)
+
+    if cfg.norm == "aniso":
+        # L1,1 TV: sum |d| and a box-projection prox (solvers.cp.dual_prox)
+        tv_part = jnp.abs(ds[0])
+        for d in ds[1:]:
+            tv_part = tv_part + jnp.abs(d)
+        _write_part(l21_out, jnp.sum(tv_part), dtype)
+        ys = []
+        for i, d in enumerate(ds):
+            p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
+            y = jnp.clip(p, -reg, reg)
+            ys.append(y)
+            yD_out[0, :, i] = y.astype(dual_dtype)
+    else:
+        norms_sq = ds[0] * ds[0]
+        for d in ds[1:]:
+            norms_sq = norms_sq + d * d
+        _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
+
+        ps = []
+        p_sq = None
+        for i, d in enumerate(ds):
+            p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
+            ps.append(p)
+            p_sq = p * p if p_sq is None else p_sq + p * p
+        inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
+        ys = []
+        for i, p in enumerate(ps):
+            y = p * inv_scale
+            ys.append(y)
+            yD_out[0, :, i] = y.astype(dual_dtype)
+
+    # locally computable part of D^T y' (y' values still in registers).
+    # Gates drop the tile's own globally-invalid slots, so arbitrary
+    # (non-solver) dual states cannot leak garbage; in halo/interior/
+    # boundary modes the gating moves to the ghost construction + the
+    # dual's zero-at-invalid-slot invariant.
+    dt = None
+    for ch, w, y in zip(chans, weights, ys):
+        if ch.axis == AXIS_COL:
+            c = _ax_dt(y, 2, ch.kind) * w
+        elif ch.axis == AXIS_ROW:
+            c = _row_dt_local(ch.kind, y, r, sp.R) * w
+        elif ch.axis == AXIS_Z:
+            if ch.kind == FWD:
+                yv = _gate(z == sp.Nz - 1, y) if gate_z else y
+                c = -yv * w
+            elif ch.kind == BWD:
+                yv = _gate(z == 0, y) if gate_z else y
+                c = yv * w
+            else:
+                continue  # CTR has no local term
+        else:  # AXIS_T
+            if not t_in_dt:
+                continue
+            c = _ax_dt(y, 0, ch.kind) * w
+            if tmul is not None:
+                c = c * tmul
+        dt = c if dt is None else dt + c
+    if dt is None:
+        dt = jnp.zeros((sp.M, sp.TR, sp.Nc), dtype)
+    dt_out[0] = dt.astype(store)
+
+
 @functools.lru_cache(maxsize=None)
 def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                         sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
                         dual_dtype_name=None, halo_mode=False,
-                        table_dims=None, t_plane=False, t_sharded=False):
+                        table_dims=None, t_plane=False, t_sharded=False,
+                        interior=False):
     """Pass A: (x, x0, y_A, y_D[, tmul]) -> (y_A', y_D', dt_local, l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
@@ -491,14 +591,22 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     z/t boundary gating is disabled.  ``t_sharded=True`` additionally moves
     the time-channel adjoint to pass B (the neighbor shard's y' cannot be
     recomputed locally).
+
+    ``interior=True`` (overlapped sharded execution): the grid covers only
+    the z planes [1, Nz-1) — no halos needed, so the kernel runs while the
+    boundary-plane exchange is in flight; boundary planes of every output
+    (incl. the aliased y_A/y_D, which keep their PRE-update values there)
+    are fixed up afterwards by :func:`make_cp_dual_boundary_kernel`.
     """
     sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
-                                                 dual_dtype_name, table_dims)
+                                                 dual_dtype_name, table_dims,
+                                                 z_off=1 if interior else 0)
     dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
     Nd = len(chans)
     need_z = _needs_z(chans)
     e = 1 if halo_mode else 0
     t_in_dt = not (halo_mode and t_sharded)
+    gate_z = not (halo_mode or interior)
 
     def kernel(*refs):
         it = iter(refs)
@@ -517,77 +625,13 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         xt = x_ref[0].astype(dtype)          # (M_eff, TR, Nc)
         x = _center_t(xt, e)                 # (M, TR, Nc)
         up_row, dn_row = _seam_rows(sp, x_up, x_dn, dtype, e)
-        x0 = x0_ref[0].astype(dtype)
-        yA = yA_ref[0].astype(dtype)
-
-        yA_out[0] = ((yA + sigma_A * (x - x0)) / (1.0 + sigma_A)).astype(store)
-
-        ds = _d_channels(chans, weights, x, up_row, dn_row,
-                         _center_t(x_zm[0].astype(dtype), e) if need_z else None,
-                         _center_t(x_zp[0].astype(dtype), e) if need_z else None,
-                         xt, z, r, sp, gate_z=not halo_mode, tmul=tmul, e=e)
-
-        if cfg.norm == "aniso":
-            # L1,1 TV: sum |d| and a box-projection prox (solvers.cp.dual_prox)
-            tv_part = jnp.abs(ds[0])
-            for d in ds[1:]:
-                tv_part = tv_part + jnp.abs(d)
-            _write_part(l21_out, jnp.sum(tv_part), dtype)
-            ys = []
-            for i, d in enumerate(ds):
-                p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
-                y = jnp.clip(p, -reg, reg)
-                ys.append(y)
-                yD_out[0, :, i] = y.astype(dual_dtype)
-        else:
-            norms_sq = ds[0] * ds[0]
-            for d in ds[1:]:
-                norms_sq = norms_sq + d * d
-            _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
-
-            ps = []
-            p_sq = None
-            for i, d in enumerate(ds):
-                p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
-                ps.append(p)
-                p_sq = p * p if p_sq is None else p_sq + p * p
-            inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)
-            ys = []
-            for i, p in enumerate(ps):
-                y = p * inv_scale
-                ys.append(y)
-                yD_out[0, :, i] = y.astype(dual_dtype)
-
-        # locally computable part of D^T y' (y' values still in registers).
-        # Gates drop the tile's own globally-invalid slots, so arbitrary
-        # (non-solver) dual states cannot leak garbage; in halo mode the
-        # gating moves to the ghost/zero-halo construction + the dual's
-        # zero-at-invalid-slot invariant.
-        dt = None
-        for ch, w, y in zip(chans, weights, ys):
-            if ch.axis == AXIS_COL:
-                c = _ax_dt(y, 2, ch.kind) * w
-            elif ch.axis == AXIS_ROW:
-                c = _row_dt_local(ch.kind, y, r, sp.R) * w
-            elif ch.axis == AXIS_Z:
-                if ch.kind == FWD:
-                    yv = y if halo_mode else _gate(z == sp.Nz - 1, y)
-                    c = -yv * w
-                elif ch.kind == BWD:
-                    yv = y if halo_mode else _gate(z == 0, y)
-                    c = yv * w
-                else:
-                    continue  # CTR has no local term
-            else:  # AXIS_T
-                if not t_in_dt:
-                    continue
-                c = _ax_dt(y, 0, ch.kind) * w
-                if tmul is not None:
-                    c = c * tmul
-            dt = c if dt is None else dt + c
-        if dt is None:
-            dt = jnp.zeros((sp.M, sp.TR, sp.Nc), dtype)
-        dt_out[0] = dt.astype(store)
+        _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
+                   dtype, store, dual_dtype, gate_z, t_in_dt, tmul,
+                   x, up_row, dn_row,
+                   _center_t(x_zm[0].astype(dtype), e) if need_z else None,
+                   _center_t(x_zp[0].astype(dtype), e) if need_z else None,
+                   xt, e, z, r, x0_ref, yA_ref, yD_ref,
+                   yA_out, yD_out, dt_out, l21_out)
 
     in_specs = [sp.vol(ext=e)]
     if need_z:
@@ -655,7 +699,7 @@ def _neighbor_plan(chans, sp, t_in_dt=True):
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                           tau=0.1, interpret=False, dual_dtype_name=None,
                           halo_mode=False, table_dims=None, t_plane=False,
-                          t_sharded=False):
+                          t_sharded=False, interior=False):
     """Pass B: (x, x0, y_A', y_D', dt_local[, tmul]) -> (x', fid_parts).
 
     Adds the cross-tile corrections of ``D^T y_D'`` to pass A's dt_local
@@ -666,8 +710,10 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     Nd-channel dual.
     """
     sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
-                                                 dual_dtype_name, table_dims)
+                                                 dual_dtype_name, table_dims,
+                                                 z_off=1 if interior else 0)
     t_in_dt = not (halo_mode and t_sharded)
+    gate_z = not (halo_mode or interior)
     plan = _neighbor_plan(chans, sp, t_in_dt)
     has_t_plan = any(axis == "t" for (_, axis, _d) in plan)
     use_tmul = t_plane and has_t_plan
@@ -700,6 +746,8 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 y = ref[0, :, 0].astype(dtype)
                 if halo_mode:
                     y = y[1:-1]  # t interior of the extended dual
+                    c = y if d < 0 else -y
+                elif not gate_z:  # interior: neighbors always valid
                     c = y if d < 0 else -y
                 elif d < 0:
                     gate = (z == 0) if ch.kind == FWD else (z <= 1)
@@ -768,6 +816,295 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
             if use_tmul:
                 args.append(tmul)
             return fn(x, x0, y_A, dt, *args)
+
+    return call
+
+
+# ---------------------------------------------------------------------------
+# boundary-fix kernels (overlapped sharded execution)
+#
+# The overlapped sharded step runs the `interior=True` main kernels on z
+# planes [1, Nz-1) — which need no halos and therefore overlap with the
+# async `lax.ppermute` of the boundary planes — and then these tiny
+# (grid (2, R)) kernels recompute the two edge planes with the exchanged
+# halos, writing IN PLACE into the main kernels' outputs via
+# input_output_aliases (no dynamic-update-slice copies).  Halo planes
+# arrive as a (2, ...) stack: slot 0 = plane from the left neighbor (or
+# the boundary ghost), slot 1 = from the right.  Both kernels assume the
+# solver-internal dual invariant (zero at globally invalid slots) like the
+# ghost-based halo path (module docstring).
+# ---------------------------------------------------------------------------
+
+
+def _bnd_z(sp):
+    """Plane index of boundary program b: 0 or Nz-1."""
+    return lambda b: b * (sp.Nz - 1)
+
+
+def _volb(sp, shift=0):
+    zb = _bnd_z(sp)
+
+    def index_map(b, r):
+        return (jnp.clip(zb(b) + shift, 0, sp.Nz - 1), 0, r, 0)
+
+    return pl.BlockSpec((1, sp.M, sp.TR, sp.Nc), index_map,
+                        memory_space=pltpu.VMEM)
+
+
+def _vol_rowsb(sp, direction):
+    thin = sp.xthin
+    bpt = sp.TR // thin
+    last = sp.Nr // thin - 1
+    zb = _bnd_z(sp)
+
+    def index_map(b, r):
+        if direction < 0:
+            return (zb(b), 0, jnp.maximum(r * bpt - 1, 0), 0)
+        return (zb(b), 0, jnp.minimum((r + 1) * bpt, last), 0)
+
+    return pl.BlockSpec((1, sp.M, thin, sp.Nc), index_map,
+                        memory_space=pltpu.VMEM)
+
+
+def _halo_xb(sp):
+    """(M, TR, Nc) block of the (2, M, Nr, Nc) exchanged-plane stack."""
+    return pl.BlockSpec((1, sp.M, sp.TR, sp.Nc),
+                        lambda b, r: (b, 0, r, 0), memory_space=pltpu.VMEM)
+
+
+def _dvolb(sp):
+    zb = _bnd_z(sp)
+    return pl.BlockSpec((1, sp.M, sp.Nd, sp.TR, sp.Nc),
+                        lambda b, r: (zb(b), 0, 0, r, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _dvol_chanb(sp, chan, shift=0):
+    zb = _bnd_z(sp)
+
+    def index_map(b, r):
+        return (jnp.clip(zb(b) + shift, 0, sp.Nz - 1), 0, chan, r, 0)
+
+    return pl.BlockSpec((1, sp.M, 1, sp.TR, sp.Nc), index_map,
+                        memory_space=pltpu.VMEM)
+
+
+def _dvol_chan_rowsb(sp, chan, direction):
+    thin = sp.dthin
+    bpt = sp.TR // thin
+    last = sp.Nr // thin - 1
+    zb = _bnd_z(sp)
+
+    def index_map(b, r):
+        if direction < 0:
+            return (zb(b), 0, chan, jnp.maximum(r * bpt - 1, 0), 0)
+        return (zb(b), 0, chan, jnp.minimum((r + 1) * bpt, last), 0)
+
+    return pl.BlockSpec((1, sp.M, 1, thin, sp.Nc), index_map,
+                        memory_space=pltpu.VMEM)
+
+
+def _halo_chanb(sp, chan):
+    return pl.BlockSpec((1, sp.M, 1, sp.TR, sp.Nc),
+                        lambda b, r: (b, 0, chan, r, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _partb(sp):
+    zb = _bnd_z(sp)
+    return pl.BlockSpec((1, 1, 8, 128), lambda b, r: (zb(b), r, 0, 0),
+                        memory_space=pltpu.VMEM)
+
+
+def _tplaneb(sp):
+    return pl.BlockSpec((sp.TR, sp.Nc), lambda b, r: (r, 0),
+                        memory_space=pltpu.VMEM)
+
+
+@functools.lru_cache(maxsize=None)
+def make_cp_dual_boundary_kernel(cfg: TVConfig, shape, dtype_name="float32",
+                                 sigma_D=0.5, sigma_A=1.0, reg=1.0,
+                                 interpret=False, dual_dtype_name=None,
+                                 table_dims=None, t_plane=False):
+    """Boundary fix for pass A: recompute z planes {0, Nz-1} with the
+    exchanged halo planes (ghost-substituted at global edges), writing into
+    the interior kernel's outputs in place.  The time axis must be
+    unsharded (the overlapped path requires it)."""
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 dual_dtype_name, table_dims)
+    dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
+    need_z = _needs_z(chans)
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        x_prev = next(it) if need_z else None
+        x_next = next(it) if need_z else None
+        halo = next(it) if need_z else None
+        if sp.R > 1:
+            x_up, x_dn = next(it), next(it)
+        else:
+            x_up = x_dn = None
+        x0_ref, yA_ref, yD_ref = next(it), next(it), next(it)
+        next(it), next(it)  # dt_in, l21_in: pure alias carriers
+        tmul = next(it)[...] if t_plane else None
+        yA_out, yD_out, dt_out, l21_out = it
+        b, r = pl.program_id(0), pl.program_id(1)
+
+        x = x_ref[0].astype(dtype)
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, dtype)
+        if need_z:
+            h = halo[0].astype(dtype)
+            x_zm = jnp.where(b == 0, h, x_prev[0].astype(dtype))
+            x_zp = jnp.where(b == 1, h, x_next[0].astype(dtype))
+        else:
+            x_zm = x_zp = None
+
+        _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
+                   dtype, store, dual_dtype, False, True, tmul,
+                   x, up_row, dn_row, x_zm, x_zp, x, 0, 0, r,
+                   x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out)
+
+    in_specs = [_volb(sp)]
+    if need_z:
+        in_specs += [_volb(sp, -1), _volb(sp, 1), _halo_xb(sp)]
+    if sp.R > 1:
+        in_specs += [_vol_rowsb(sp, -1), _vol_rowsb(sp, 1)]
+    in_specs += [_volb(sp), _volb(sp), _dvolb(sp), _volb(sp), _partb(sp)]
+    if t_plane:
+        in_specs += [_tplaneb(sp)]
+
+    n_x = 1 + 3 * need_z + (2 if sp.R > 1 else 0)
+    # aliases: yA, yD, dt_in, l21_in -> the four outputs
+    aliases = {n_x + 1: 0, n_x + 2: 1, n_x + 3: 2, n_x + 4: 3}
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(2, sp.R),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        input_output_aliases=aliases,
+        in_specs=in_specs,
+        out_specs=(_volb(sp), _dvolb(sp), _volb(sp), _partb(sp)),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, store),
+            jax.ShapeDtypeStruct((sp.Nz, sp.M, sp.Nd, sp.Nr, sp.Nc),
+                                 dual_dtype),
+            jax.ShapeDtypeStruct(shape, store),
+            sp.part_shape(dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def call(x, x_halo, x0, y_A, y_D, dt_local, l21_parts, tmul=None):
+        args = [x]
+        if need_z:
+            args += [x, x, x_halo]
+        if sp.R > 1:
+            args += [x, x]
+        args += [x0, y_A, y_D, dt_local, l21_parts]
+        if t_plane:
+            args.append(tmul)
+        return fn(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def make_cp_primal_boundary_kernel(cfg: TVConfig, shape,
+                                   dtype_name="float32", tau=0.1,
+                                   interpret=False, dual_dtype_name=None,
+                                   table_dims=None, t_plane=False):
+    """Boundary fix for pass B: the primal update at z planes {0, Nz-1},
+    reading z-channel corrections from the exchanged y' halo stack (zeros
+    at global edges) and writing into the interior kernel's outputs in
+    place."""
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 dual_dtype_name, table_dims)
+    plan = _neighbor_plan(chans, sp, True)
+    M, TR = sp.M, sp.TR
+
+    def _spec(key):
+        i, axis, d = key
+        if axis == "z":
+            return _dvol_chanb(sp, i, d)
+        return _dvol_chan_rowsb(sp, i, d)
+
+    nb_specs = []
+    for key in plan:
+        nb_specs.append(_spec(key))
+        if key[1] == "z":
+            nb_specs.append(_halo_chanb(sp, key[0]))
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref, x0_ref, yA_ref, dt_ref = (next(it) for _ in range(4))
+        nb = {}
+        for key in plan:
+            local = next(it)
+            halo = next(it) if key[1] == "z" else None
+            nb[key] = (local, halo)
+        next(it)  # fid_in: alias carrier
+        tmul = next(it)[...] if t_plane else None
+        x_out, fid_out = it
+        b, r = pl.program_id(0), pl.program_id(1)
+
+        corr = dt_ref[0].astype(dtype)
+        for (i, axis, d), (local, halo) in nb.items():
+            ch, w = chans[i], weights[i]
+            if axis == "z":
+                yl = local[0, :, 0].astype(dtype)
+                yh = halo[0, :, 0].astype(dtype)
+                # d < 0 reads z-1: the halo covers it at the low edge
+                # (b == 0); d > 0 reads z+1: halo at the high edge (b == 1)
+                y = jnp.where(b == (0 if d < 0 else 1), yh, yl)
+                corr = corr + (y if d < 0 else -y) * w
+            else:
+                thin = local[0, :, 0].astype(dtype)
+                if d < 0:
+                    seam = _gate(r == 0, thin[:, -1:]) * w
+                    corr = corr + _pad3(seam, 1, 0, TR - 1)
+                else:
+                    seam = _gate(r == sp.R - 1, thin[:, :1]) * w
+                    corr = corr - _pad3(seam, 1, TR - 1, 0)
+
+        x_new = (x_ref[0].astype(dtype) - tau * yA_ref[0].astype(dtype)
+                 - tau * corr)
+        x_out[0] = x_new.astype(store)
+        diff = x_new - x0_ref[0].astype(dtype)
+        _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
+
+    in_specs = ([_volb(sp), _volb(sp), _volb(sp), _volb(sp)] + nb_specs
+                + [_partb(sp)])
+    if t_plane:
+        in_specs += [_tplaneb(sp)]
+    fid_idx = 4 + len(nb_specs)
+
+    fn = pl.pallas_call(
+        kernel,
+        grid=(2, sp.R),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        input_output_aliases={0: 0, fid_idx: 1},
+        in_specs=in_specs,
+        out_specs=(_volb(sp), _partb(sp)),
+        out_shape=(
+            jax.ShapeDtypeStruct(shape, store),
+            sp.part_shape(dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def call(x, x0, y_A, y_D, y_halo, dt, fid_parts, tmul=None):
+        args = []
+        for key in plan:
+            args.append(y_D)
+            if key[1] == "z":
+                args.append(y_halo)
+        args.append(fid_parts)
+        if t_plane:
+            args.append(tmul)
+        return fn(x, x0, y_A, dt, *args)
 
     return call
 

@@ -83,6 +83,41 @@ def _extend_axis(x, axis, axis_name, n, ghost_kind):
     return jnp.concatenate([lo, x, hi], axis=axis)
 
 
+def _halo_planes(x, axis, axis_name, n, ghost_kind):
+    """The two exchanged boundary planes of ``x`` along ``axis``, stacked on
+    a fresh leading slot: slot 0 = plane from the LEFT neighbor (used as the
+    z-1 value at the shard's low edge), slot 1 = from the RIGHT.  Global
+    boundary shards substitute the ghost plane (same kinds as
+    :func:`_extend_axis`); ``ghost_kind='zero'`` keeps the ppermute zeros
+    (dual-variable halos).  The overlapped sharded step issues this BEFORE
+    the interior kernel so the collective rides under the compute."""
+    nd = x.ndim
+    if axis_name is None or n == 1:
+        lo = jnp.zeros_like(x[_sl(nd, axis, 0, 1)])
+        hi = jnp.zeros_like(lo)
+        is_first = is_last = True
+    else:
+        lo = _plane_from_left(x, axis, axis_name, n)
+        hi = _plane_from_right(x, axis, axis_name, n)
+        is_first = lax.axis_index(axis_name) == 0
+        is_last = lax.axis_index(axis_name) == n - 1
+
+    if ghost_kind != "zero":
+        L = x.shape[axis]
+        if ghost_kind == "edge":
+            g_lo = x[_sl(nd, axis, 0, 1)]
+            g_hi = x[_sl(nd, axis, -1, None)]
+        else:  # reflect (central scheme): globally x[1] / x[L-2]
+            g_lo = x[_sl(nd, axis, 1, 2)] if L > 1 else hi
+            g_hi = x[_sl(nd, axis, -2, -1)] if L > 1 else lo
+        if isinstance(is_first, bool):
+            lo, hi = g_lo, g_hi
+        else:
+            lo = jnp.where(is_first, g_lo, lo)
+            hi = jnp.where(is_last, g_hi, hi)
+    return jnp.concatenate([lo, hi], axis=axis)
+
+
 def make_sharded_cp_solver_fused(
     mesh: Mesh,
     cfg: TVConfig,
@@ -98,6 +133,7 @@ def make_sharded_cp_solver_fused(
     interpret: bool = None,
     mask_static=None,
     weight_time=None,
+    overlap: bool = None,
 ):
     """jit(lax.scan(fused CP step under shard_map)).
 
@@ -139,14 +175,7 @@ def make_sharded_cp_solver_fused(
     dual_name = dual_dtype or dt_name
     table_dims = (Nz_g, M_g)
     t_sharded = ctx.nt > 1
-    dual = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D, sigma_A,
-                               reg, interpret, dual_dtype_name=dual_name,
-                               halo_mode=True, table_dims=table_dims,
-                               t_plane=t_plane, t_sharded=t_sharded)
-    primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau, interpret,
-                                   dual_dtype_name=dual_name, halo_mode=True,
-                                   table_dims=table_dims, t_plane=t_plane,
-                                   t_sharded=t_sharded)
+    need_z = any(ch.axis == AXIS_Z for ch in chans)
 
     ghost_z = _axis_ghost_kind(chans, AXIS_Z)
     ghost_t = _axis_ghost_kind(chans, AXIS_T)
@@ -158,29 +187,96 @@ def make_sharded_cp_solver_fused(
     vol = P(Z_AXIS if ctx.nz > 1 else None, t_spec, None, None)
     dvol_int = P(Z_AXIS if ctx.nz > 1 else None, t_spec, None, None, None)
 
-    def _extend_x(x):
-        x = _extend_axis(x, 0, z_name, ctx.nz, ghost_z)
-        return _extend_axis(x, 1, t_name, ctx.nt, ghost_t)
+    # halo/compute overlap (SURVEY.md section 7 hard part 5): eligible when
+    # only z is sharded and each shard has interior planes to compute while
+    # the boundary-plane ppermute is in flight
+    if overlap is None:
+        overlap = (ctx.nz > 1 and not t_sharded and local_shape[0] >= 3
+                   and need_z)
 
-    def _extend_y(y):  # (nz, m, Nd, Nr, Nc): zero halos
-        y = _extend_axis(y, 0, z_name, ctx.nz, "zero")
-        return _extend_axis(y, 1, t_name, ctx.nt, "zero")
+    if overlap:
+        if t_sharded or local_shape[0] < 3 or not need_z:
+            raise ValueError(
+                "overlap=True requires a z-sharded mesh (t unsharded), z "
+                "channels, and >= 3 local z planes"
+            )
+        from ..kernels.fused import (
+            make_cp_dual_boundary_kernel,
+            make_cp_primal_boundary_kernel,
+        )
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(vol, vol, dvol_int, vol, P(None, None)),
-        out_specs=(vol, vol, dvol_int, P()),
-        check_vma=False,
-    )
-    def step(x, y_A, y_D_int, x_noisy, tm):
-        x_ext = _extend_x(x)
-        y_A, y_D_int, dt_local, l21_parts = dual(x_ext, x_noisy, y_A,
-                                                 y_D_int, tm)
-        y_ext = _extend_y(y_D_int)
-        x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext, dt_local, tm)
-        loss_local = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
-        loss = lax.psum(loss_local, axes) if axes else loss_local
-        return x, y_A, y_D_int, loss
+        kw = dict(dual_dtype_name=dual_name, table_dims=table_dims,
+                  t_plane=t_plane)
+        dual_int = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D,
+                                       sigma_A, reg, interpret,
+                                       interior=True, **kw)
+        dual_bnd = make_cp_dual_boundary_kernel(cfg, local_shape, dt_name,
+                                                sigma_D, sigma_A, reg,
+                                                interpret, **kw)
+        primal_int = make_cp_primal_kernel(cfg, local_shape, dt_name, tau,
+                                           interpret, interior=True, **kw)
+        primal_bnd = make_cp_primal_boundary_kernel(cfg, local_shape,
+                                                    dt_name, tau, interpret,
+                                                    **kw)
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(vol, vol, dvol_int, vol, P(None, None)),
+            out_specs=(vol, vol, dvol_int, P()),
+            check_vma=False,
+        )
+        def step(x, y_A, y_D_int, x_noisy, tm):
+            # issue the boundary-plane exchange FIRST; the interior kernel
+            # has no data dependence on it, so XLA's async collective
+            # scheduling can overlap the ppermute with the compute
+            x_halo = _halo_planes(x, 0, z_name, ctx.nz, ghost_z)
+            y_A, y_D_int, dt_l, l21 = dual_int(x, x_noisy, y_A, y_D_int, tm)
+            y_A, y_D_int, dt_l, l21 = dual_bnd(x, x_halo, x_noisy, y_A,
+                                               y_D_int, dt_l, l21, tm)
+            # same pattern for pass B: the y' exchange overlaps with the
+            # interior primal update
+            y_halo = _halo_planes(y_D_int, 0, z_name, ctx.nz, "zero")
+            x, fid = primal_int(x, x_noisy, y_A, y_D_int, dt_l, tm)
+            x, fid = primal_bnd(x, x_noisy, y_A, y_D_int, y_halo, dt_l,
+                                fid, tm)
+            loss_local = _sum_parts(fid) + reg * _sum_parts(l21)
+            loss = lax.psum(loss_local, axes) if axes else loss_local
+            return x, y_A, y_D_int, loss
+    else:
+        dual = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D,
+                                   sigma_A, reg, interpret,
+                                   dual_dtype_name=dual_name, halo_mode=True,
+                                   table_dims=table_dims, t_plane=t_plane,
+                                   t_sharded=t_sharded)
+        primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau,
+                                       interpret, dual_dtype_name=dual_name,
+                                       halo_mode=True, table_dims=table_dims,
+                                       t_plane=t_plane, t_sharded=t_sharded)
+
+        def _extend_x(x):
+            x = _extend_axis(x, 0, z_name, ctx.nz, ghost_z)
+            return _extend_axis(x, 1, t_name, ctx.nt, ghost_t)
+
+        def _extend_y(y):  # (nz, m, Nd, Nr, Nc): zero halos
+            y = _extend_axis(y, 0, z_name, ctx.nz, "zero")
+            return _extend_axis(y, 1, t_name, ctx.nt, "zero")
+
+        @functools.partial(
+            shard_map, mesh=mesh,
+            in_specs=(vol, vol, dvol_int, vol, P(None, None)),
+            out_specs=(vol, vol, dvol_int, P()),
+            check_vma=False,
+        )
+        def step(x, y_A, y_D_int, x_noisy, tm):
+            x_ext = _extend_x(x)
+            y_A, y_D_int, dt_local, l21_parts = dual(x_ext, x_noisy, y_A,
+                                                     y_D_int, tm)
+            y_ext = _extend_y(y_D_int)
+            x, fid_parts = primal(x, x_noisy, y_A, y_D_int, y_ext, dt_local,
+                                  tm)
+            loss_local = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)
+            loss = lax.psum(loss_local, axes) if axes else loss_local
+            return x, y_A, y_D_int, loss
 
     if not t_plane:
         # keep a 2-arg replicated dummy so the shard_map signature is static

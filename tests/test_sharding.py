@@ -374,3 +374,107 @@ def test_sharded_aniso_paths():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(gx), np.asarray(gref.x),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_sharded_cp_overlap_matches_ghost_path():
+    """The halo/compute-overlap structure (interior kernels + boundary-fix
+    kernels racing the ppermute) must be slot-exact with both the ghost
+    path and the unsharded fused solver, across schemes, dtypes, masks and
+    row tiling."""
+    import pytv4d_tpu.kernels.fused as F
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import (
+        internal_d_sharding,
+        make_sharded_cp_solver_fused,
+    )
+
+    rng = np.random.default_rng(50)
+    mesh = make_mesh(z=8, t=1)       # z-only: overlap auto-engages
+    shape = (32, 3, 16, 128)         # nz_local = 4 >= 3
+    mask = np.tri(16, 128, dtype=bool)[None, None]
+
+    cases = [
+        ("upwind", dict(), dict()),
+        ("downwind", dict(), dict()),
+        ("central", dict(), dict()),
+        ("hybrid", dict(), dict()),
+        ("hybrid", dict(norm="aniso"), dict()),
+        ("hybrid", dict(), dict(dual_dtype="bfloat16")),
+        ("hybrid", dict(factor_reg_static=0.3), dict(mask_static=mask)),
+    ]
+    for scheme, cfg_kw, extra in cases:
+        cfg = TVConfig(scheme=scheme, reg_time=0.5, **cfg_kw)
+        noisy = jnp.asarray(rng.random(shape) + 2.0, jnp.float32)
+        st = init_state(noisy, cfg)
+        yd = to_internal_layout(st.y_D)
+        if extra.get("dual_dtype"):
+            yd = yd.astype(extra["dual_dtype"])
+        args = (
+            shard_volume(noisy, mesh, shard_time=False),
+            shard_volume(st.x, mesh, shard_time=False),
+            shard_volume(st.y_A, mesh, shard_time=False),
+            jax.device_put(yd, internal_d_sharding(mesh, shard_time=False)),
+        )
+        out = {}
+        for ov in (False, True):
+            solve = make_sharded_cp_solver_fused(
+                mesh, cfg, shape, reg=0.4, n_iter=10, shard_time=False,
+                overlap=ov, **extra)
+            x, _, _, losses = solve(*args)
+            out[ov] = (np.asarray(x, np.float32),
+                       np.asarray(losses, np.float32))
+        # overlap and ghost paths compute the same fp operations
+        np.testing.assert_allclose(out[True][1], out[False][1], rtol=1e-6,
+                                   err_msg=f"{scheme} {cfg_kw} {extra}")
+        np.testing.assert_allclose(out[True][0], out[False][0],
+                                   atol=1e-6, rtol=1e-5)
+        # and track the jnp reference
+        ms = extra.get("mask_static")
+        ref = chambolle_pock(noisy, n_iter=10, reg=0.4, cfg=cfg, fused=False,
+                             mask_static=ms if ms is not None else None)
+        tol = 2e-2 if extra.get("dual_dtype") else 5e-5
+        np.testing.assert_allclose(out[True][1], np.asarray(ref.loss),
+                                   rtol=tol, err_msg=f"{scheme} {cfg_kw}")
+
+
+def test_sharded_cp_overlap_row_tiled(monkeypatch):
+    """Overlap + row tiling (R > 1): the boundary kernels' thin-seam specs
+    must agree with the interior kernels'."""
+    import pytv4d_tpu.kernels.fused as F
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import (
+        internal_d_sharding,
+        make_sharded_cp_solver_fused,
+    )
+
+    monkeypatch.setattr(F, "_TILE_BYTES_TARGET", 64 * 1024)
+    for f in (F.make_cp_dual_kernel, F.make_cp_primal_kernel,
+              F.make_cp_dual_boundary_kernel,
+              F.make_cp_primal_boundary_kernel):
+        f.cache_clear()
+    try:
+        rng = np.random.default_rng(51)
+        mesh = make_mesh(z=8, t=1)
+        shape = (24, 2, 32, 128)
+        cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+        noisy = jnp.asarray(rng.random(shape) + 2.0, jnp.float32)
+        ref = chambolle_pock(noisy, n_iter=10, reg=0.4, cfg=cfg, fused=False)
+        solve = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4,
+                                             n_iter=10, shard_time=False,
+                                             overlap=True)
+        st = init_state(noisy, cfg)
+        x, _, _, losses = solve(
+            shard_volume(noisy, mesh, shard_time=False),
+            shard_volume(st.x, mesh, shard_time=False),
+            shard_volume(st.y_A, mesh, shard_time=False),
+            jax.device_put(to_internal_layout(st.y_D),
+                           internal_d_sharding(mesh, shard_time=False)))
+        np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                                   rtol=1e-5)
+        np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                                   atol=1e-5, rtol=1e-4)
+    finally:
+        for f in (F.make_cp_dual_kernel, F.make_cp_primal_kernel,
+                  F.make_cp_dual_boundary_kernel,
+                  F.make_cp_primal_boundary_kernel):
+            f.cache_clear()
