@@ -88,15 +88,31 @@ from ..core.schemes import (
 _TILE_BYTES_TARGET = 7 * 1024 * 1024
 
 
+_VMEM_CEILING = 100 * 1024 * 1024  # Mosaic accepts raised scoped budgets
+
+
 def _workset_per_row(M: int, Nd: int, Nc: int, bpe: int, dual_bpe: int) -> int:
     # pass A per TR-row: the larger of the operand tiles (~8 x-like tiles:
     # x center + 2 z neighbors + x0 + y_A + y_A' + dt_local + slack, plus
     # y_D in and out) and the in-kernel f32 compute temporaries (~2 Nd
     # channel tiles live at the prox peak) — Mosaic allocates the latter on
-    # the kernel stack, inside the same scoped-VMEM budget.
+    # the kernel stack, inside the same scoped-VMEM budget.  Calibrated:
+    # Mosaic's true footprint runs ~1.8x this (double buffering + stack
+    # overlap), see _vmem_limit.
     buffers = 8 * bpe + 2 * Nd * dual_bpe
     stack = 4 * (2 * Nd + 6)
     return M * Nc * max(buffers, stack)
+
+
+def _vmem_limit(sp, Nd, bpe, dual_bpe):
+    """Scoped-VMEM budget override: None inside Mosaic's 16 MB default
+    (its scheduling heuristics are best left alone then — measured), else a
+    raised cap so large (M, Nc) tiles still compile."""
+    ws = sp.TR * _workset_per_row(sp.M, Nd, sp.Nc, bpe, dual_bpe)
+    need = ws + ws  # ~2x model-to-footprint calibration margin
+    if need <= 15 * 1024 * 1024:
+        return None
+    return min(_VMEM_CEILING, need + need // 2)
 
 
 def choose_row_tile(Nr: int, Nc: int, Nd: int, bpe: int = 4,
@@ -647,11 +663,14 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
     n_x = 1 + 2 * need_z + (2 if sp.R > 1 else 0)
     aliases = {n_x + 1: 0, n_x + 2: 1}  # y_A and y_D (same dtype in/out)
 
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(sp, Nd, store.itemsize, dual_dtype.itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         input_output_aliases=aliases,
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.dvol(), sp.vol(), sp.part()),
@@ -788,11 +807,15 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
     if use_tmul:
         in_specs += [sp.tplane()]
 
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(sp, sp.Nd, store.itemsize,
+                        jnp.dtype(dual_dtype_name or dtype_name).itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         input_output_aliases={0: 0},  # x updates in place (center-only read)
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
@@ -978,11 +1001,14 @@ def make_cp_dual_boundary_kernel(cfg: TVConfig, shape, dtype_name="float32",
     # aliases: yA, yD, dt_in, l21_in -> the four outputs
     aliases = {n_x + 1: 0, n_x + 2: 1, n_x + 3: 2, n_x + 4: 3}
 
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(sp, sp.Nd, store.itemsize, dual_dtype.itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=(2, sp.R),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         input_output_aliases=aliases,
         in_specs=in_specs,
         out_specs=(_volb(sp), _dvolb(sp), _volb(sp), _partb(sp)),
@@ -1080,11 +1106,15 @@ def make_cp_primal_boundary_kernel(cfg: TVConfig, shape,
         in_specs += [_tplaneb(sp)]
     fid_idx = 4 + len(nb_specs)
 
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(sp, sp.Nd, store.itemsize,
+                        jnp.dtype(dual_dtype_name or dtype_name).itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=(2, sp.R),
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("parallel", "parallel")),
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         input_output_aliases={0: 0, fid_idx: 1},
         in_specs=in_specs,
         out_specs=(_volb(sp), _partb(sp)),
@@ -1222,9 +1252,14 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     if t_plane:
         in_specs += [sp.tplane()]
 
+    cp_kw = {}
+    limit = _vmem_limit(sp, sp.Nd, store.itemsize, store.itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         in_specs=in_specs,
         out_specs=(sp.vol(), sp.part()),
         out_shape=(
@@ -1467,9 +1502,14 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     if t_plane:
         in_specs += [sp.tplane()]
 
+    cp_kw = {}
+    limit = _vmem_limit(sp, sp.Nd, store.itemsize, store.itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
     fn = pl.pallas_call(
         kernel,
         grid=sp.grid,
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         in_specs=in_specs,
         out_specs=sp.vol(),
         out_shape=jax.ShapeDtypeStruct(shape, store),
