@@ -60,21 +60,10 @@ def _slice_radon(img2d, thetas, n_det: int):
     return jax.vmap(one_angle)(thetas)  # (n_angles, n_det)
 
 
-def radon(vol, angles, n_det: Optional[int] = None):
-    """Forward-project a ``(Nz, M, N, N)`` volume.
-
-    angles: ``(n_angles,)`` shared across frames, or ``(M, n_angles)`` with a
-    distinct angle set per time frame (dynamic CT).  Returns a sinogram
-    ``(Nz, M, n_angles, n_det)``.
-    """
-    vol = jnp.asarray(vol)
-    angles = jnp.asarray(angles, vol.dtype)
-    N = vol.shape[-1]
-    n_det = n_det or N
-    per_frame = angles.ndim == 2
-
+def _radon_all_angles(vol, angles, n_det: int):
+    """One vmapped projection sweep: ``angles`` is (A,) shared or (M, A)."""
     slice_fn = functools.partial(_slice_radon, n_det=n_det)
-    if per_frame:
+    if angles.ndim == 2:
         # vmap over z (shared angles) then over m (per-frame angles)
         over_m = jax.vmap(slice_fn, in_axes=(0, 0))          # (M,N,N),(M,A)
         over_zm = jax.vmap(over_m, in_axes=(0, None))        # (Nz,...)
@@ -84,23 +73,71 @@ def radon(vol, angles, n_det: Optional[int] = None):
     return over_zm(vol, angles)
 
 
+_RADON_GATHER_BUDGET = 512 * 1024 * 1024  # bytes of in-flight gather output
+
+
+def radon(vol, angles, n_det: Optional[int] = None,
+          angle_batch: Optional[int] = None):
+    """Forward-project a ``(Nz, M, N, N)`` volume.
+
+    angles: ``(n_angles,)`` shared across frames, or ``(M, n_angles)`` with a
+    distinct angle set per time frame (dynamic CT).  Returns a sinogram
+    ``(Nz, M, n_angles, n_det)``.
+
+    ``angle_batch`` bounds how many angles one vmapped sweep covers: the
+    bilinear-gather intermediate is ``Nz*M*B*n_det*N`` elements BEFORE the
+    line-integral reduction, which at production sizes (512^2 planes, ~100
+    angles) would be terabytes if swept in one shot.  Default: auto-chosen
+    so the in-flight gather stays ~512 MB; batches are run sequentially
+    under ``lax.map``.  Pass a value to override (or ``angle_batch >=
+    n_angles`` to force the single-sweep path).
+    """
+    vol = jnp.asarray(vol)
+    angles = jnp.asarray(angles, vol.dtype)
+    Nz, M, N = vol.shape[0], vol.shape[1], vol.shape[-1]
+    n_det = n_det or N
+    A = angles.shape[-1]
+
+    if angle_batch is None:
+        per_angle = Nz * M * n_det * N * jnp.dtype(vol.dtype).itemsize
+        angle_batch = max(1, _RADON_GATHER_BUDGET // max(per_angle, 1))
+    B = min(int(angle_batch), A)
+    if B >= A:
+        return _radon_all_angles(vol, angles, n_det)
+
+    pad = (-A) % B
+    ang = angles
+    if pad:
+        ang = jnp.concatenate([ang, ang[..., :pad]], axis=-1)
+    C = ang.shape[-1] // B
+    if ang.ndim == 2:  # per-frame: (M, C*B) -> (C, M, B)
+        chunks = jnp.moveaxis(ang.reshape(ang.shape[0], C, B), 1, 0)
+    else:
+        chunks = ang.reshape(C, B)
+    out = jax.lax.map(lambda a: _radon_all_angles(vol, a, n_det), chunks)
+    # (C, Nz, M, B, n_det) -> (Nz, M, C*B, n_det)
+    out = jnp.moveaxis(out, 0, 2).reshape(Nz, M, C * B, n_det)
+    return out[:, :, :A]
+
+
 def make_projector(vol_shape, angles, n_det: Optional[int] = None,
-                   dtype=jnp.float32):
+                   dtype=jnp.float32, angle_batch: Optional[int] = None):
     """Build ``(A, A_T)`` for a fixed geometry.  ``A_T`` is the exact
-    transpose of the linear map ``A`` (via ``jax.linear_transpose``), so
-    ``<y, A x> == <A_T y, x>`` holds to fp precision — the same adjointness
-    contract the TV operators satisfy (SURVEY.md section 4 oracle 1)."""
+    transpose of the linear map ``A`` (its vjp — exact since A is linear),
+    so ``<y, A x> == <A_T y, x>`` holds to fp precision — the same
+    adjointness contract the TV operators satisfy (SURVEY.md section 4
+    oracle 1).  ``angle_batch`` as in :func:`radon` (vjp is used rather
+    than ``jax.linear_transpose`` because the latter cannot transpose
+    through the chunked ``lax.map`` sweep)."""
     angles = jnp.asarray(angles, dtype)
     n_det = n_det or vol_shape[-1]
 
     def A(x):
-        return radon(x, angles, n_det=n_det)
-
-    primal = jax.ShapeDtypeStruct(tuple(vol_shape), dtype)
-    transpose = jax.linear_transpose(A, primal)
+        return radon(x, angles, n_det=n_det, angle_batch=angle_batch)
 
     def A_T(y):
-        (x_bar,) = transpose(y)
+        _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
+        (x_bar,) = vjp(y)
         return x_bar
 
     return A, A_T
@@ -163,24 +200,42 @@ def cp_reconstruct(
     return CPReconResult(x=res.x, loss=res.loss)
 
 
-def _backproject(sino, angles, N: int):
+def _backproject(sino, angles, N: int, angle_batch: Optional[int] = None):
     """Direct (unfiltered) backprojection of one slice's sinogram
     (n_angles, n_det) onto an (N, N) grid — gather-based, fast on TPU but
     NOT the exact adjoint of :func:`radon` (use make_projector's A_T inside
-    primal-dual solvers; this feeds :func:`fbp`)."""
+    primal-dual solvers; this feeds :func:`fbp`).  ``angle_batch`` bounds
+    the in-flight gather like :func:`radon`'s (chunks run under lax.map,
+    sequential per slice but still batched across any outer vmap)."""
     n_det = sino.shape[-1]
+    A = sino.shape[0]
     c = (N - 1) / 2.0
     r = jnp.arange(N, dtype=sino.dtype) - c
-    R, C = jnp.meshgrid(r, r, indexing="ij")
+    R, C2 = jnp.meshgrid(r, r, indexing="ij")
 
     def one_angle(p, theta):
         cos, sin = jnp.cos(theta), jnp.sin(theta)
-        s = R * cos - C * sin + (n_det - 1) / 2.0
+        s = R * cos - C2 * sin + (n_det - 1) / 2.0
         return jax.scipy.ndimage.map_coordinates(
             p, [s], order=1, mode="constant", cval=0.0
         )
 
-    return jnp.sum(jax.vmap(one_angle)(sino, angles), axis=0)
+    B = min(int(angle_batch), A) if angle_batch else A
+    if B >= A:
+        return jnp.sum(jax.vmap(one_angle)(sino, angles), axis=0)
+    pad = (-A) % B
+    if pad:
+        zeros = jnp.zeros((pad,) + sino.shape[1:], sino.dtype)
+        sino = jnp.concatenate([sino, zeros], axis=0)
+        angles = jnp.concatenate([angles, angles[:pad]], axis=0)
+    nC = sino.shape[0] // B
+    s_chunks = sino.reshape(nC, B, n_det)
+    a_chunks = angles.reshape(nC, B)
+    parts = jax.lax.map(
+        lambda pa: jnp.sum(jax.vmap(one_angle)(pa[0], pa[1]), axis=0),
+        (s_chunks, a_chunks),
+    )
+    return jnp.sum(parts, axis=0)
 
 
 def fbp(sino, angles, n_out: Optional[int] = None):
@@ -198,13 +253,17 @@ def fbp(sino, angles, n_out: Optional[int] = None):
     Nz, M, n_angles, n_det = sino.shape
     N = n_out or n_det
 
+    per_angle = Nz * M * N * N * jnp.dtype(sino.dtype).itemsize
+    angle_batch = max(1, _RADON_GATHER_BUDGET // max(per_angle, 1))
+
     freqs = jnp.fft.fftfreq(n_det).astype(sino.dtype)
     ramp = jnp.abs(freqs)
 
     def slice_fbp(p, thetas):
         filtered = jnp.real(jnp.fft.ifft(jnp.fft.fft(p, axis=-1) * ramp,
                                          axis=-1)).astype(sino.dtype)
-        return _backproject(filtered, thetas, N) * (jnp.pi / (2 * n_angles))
+        return _backproject(filtered, thetas, N,
+                            angle_batch=angle_batch) * (jnp.pi / (2 * n_angles))
 
     per_frame = angles.ndim == 2
     if per_frame:
