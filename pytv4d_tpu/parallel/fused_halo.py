@@ -130,6 +130,7 @@ def make_sharded_cp_solver_fused(
     tau=None,
     shard_time: bool = True,
     dual_dtype=None,
+    dtype="float32",
     interpret: bool = None,
     mask_static=None,
     weight_time=None,
@@ -143,6 +144,11 @@ def make_sharded_cp_solver_fused(
     Channel gating uses the GLOBAL Nz/M (the kernels are built for the local
     block shape but the channel table must not change per shard).
 
+    ``dtype``: HBM storage dtype of x / y_A / x_noisy ('float32' or
+    'bfloat16' — kernels always COMPUTE in f32, as on the unsharded path);
+    the caller passes state arrays already in this dtype.  ``dual_dtype``
+    defaults to ``dtype``.
+
     ``mask_static`` / ``weight_time``: plane-shaped ``(1, 1, N, N)`` per the
     reference contract; the (N_row, N_col) multiplier plane is replicated
     across the (z, t) mesh (the mesh shards z/t only, never rows/cols).
@@ -154,8 +160,11 @@ def make_sharded_cp_solver_fused(
         tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
     if interpret is None:
         interpret = default_interpret()
+    dt_name = jnp.dtype(dtype).name
+    if dt_name not in ("float32", "bfloat16"):
+        raise ValueError(f"dtype must be float32 or bfloat16, got {dt_name}")
     tmul = t_plane_multiplier(tuple(global_shape), cfg, mask_static,
-                              weight_time)
+                              weight_time, dtype=dt_name)
     t_plane = tmul is not None
 
     ctx = _ShardCtx(mesh, shard_time)
@@ -171,7 +180,6 @@ def make_sharded_cp_solver_fused(
     # reproduces it on the local block (reg flags are global properties)
     chans, _ = scheme_channels(cfg.scheme, Nz_g, M_g, cfg.reg_z_over_reg,
                                cfg.reg_time)
-    dt_name = "float32"
     dual_name = dual_dtype or dt_name
     table_dims = (Nz_g, M_g)
     t_sharded = ctx.nt > 1
@@ -387,6 +395,7 @@ def make_sharded_gd_solver_fused(
     n_iter,
     step_size=5e-3,
     shard_time: bool = True,
+    dtype="float32",
     interpret: bool = None,
     mask_static=None,
     weight_time=None,
@@ -395,17 +404,21 @@ def make_sharded_gd_solver_fused(
     fused tv-norms and subgradient kernels per shard, ghost-plane halos
     (1-deep for the norms pass, 2-deep for the G pass), psum for the loss.
     Supports both TV norms (iso L2,1 and aniso L1,1) and plane-shaped
-    static masks / weight_time, like the unsharded fused path.
+    static masks / weight_time, like the unsharded fused path, and bf16
+    primary storage (``dtype='bfloat16'``; compute stays f32 in-kernel).
     ``solve(x_noisy, x) -> (x, losses)``; inputs sharded with
-    ``parallel.mesh.shard_volume``."""
+    ``parallel.mesh.shard_volume``, in ``dtype``."""
     from ..kernels.dispatch import default_interpret, t_plane_multiplier
     from ..kernels.fused import make_tv_norms_kernel, make_tv_subgrad_kernel
 
     if interpret is None:
         interpret = default_interpret()
+    dt_name = jnp.dtype(dtype).name
+    if dt_name not in ("float32", "bfloat16"):
+        raise ValueError(f"dtype must be float32 or bfloat16, got {dt_name}")
     aniso = cfg.norm == "aniso"
     tmul = t_plane_multiplier(tuple(global_shape), cfg, mask_static,
-                              weight_time)
+                              weight_time, dtype=dt_name)
     t_plane = tmul is not None
 
     ctx = _ShardCtx(mesh, shard_time)
@@ -420,10 +433,10 @@ def make_sharded_gd_solver_fused(
     chans, _ = scheme_channels(cfg.scheme, Nz_g, M_g, cfg.reg_z_over_reg,
                                cfg.reg_time)
 
-    norms_k = make_tv_norms_kernel(cfg, local_shape, "float32", interpret,
+    norms_k = make_tv_norms_kernel(cfg, local_shape, dt_name, interpret,
                                    halo_mode=True, table_dims=table_dims,
                                    t_plane=t_plane)
-    sub_k = make_tv_subgrad_kernel(cfg, local_shape, "float32", interpret,
+    sub_k = make_tv_subgrad_kernel(cfg, local_shape, dt_name, interpret,
                                    halo_mode=True, table_dims=table_dims,
                                    t_plane=t_plane)
 

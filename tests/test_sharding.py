@@ -478,3 +478,72 @@ def test_sharded_cp_overlap_row_tiled(monkeypatch):
                   F.make_cp_dual_boundary_kernel,
                   F.make_cp_primal_boundary_kernel):
             f.cache_clear()
+
+
+def test_sharded_fused_cp_bf16_primary():
+    """bf16 PRIMARY storage (x / y_A / x0) on the sharded fused CP: both the
+    ghost and the overlapped halo path must track the unsharded fused solver
+    run at the same storage dtypes (kernels compute f32 everywhere, so the
+    paths round the same values; only reduction order differs)."""
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import (
+        internal_d_sharding,
+        make_sharded_cp_solver_fused,
+    )
+
+    rng = np.random.default_rng(62)
+    mesh = make_mesh(z=8, t=1)
+    shape = (32, 3, 16, 32)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 2.0, jnp.bfloat16)
+
+    ref = chambolle_pock(noisy, n_iter=12, reg=0.4, cfg=cfg)  # fused, bf16
+    assert ref.x.dtype == jnp.bfloat16 and ref.state.y_D.dtype == jnp.bfloat16
+
+    st = init_state(noisy, cfg)
+    args = (
+        shard_volume(noisy, mesh, shard_time=False),
+        shard_volume(st.x, mesh, shard_time=False),
+        shard_volume(st.y_A, mesh, shard_time=False),
+        jax.device_put(to_internal_layout(st.y_D),
+                       internal_d_sharding(mesh, shard_time=False)),
+    )
+    for ov in (False, True):
+        solve = make_sharded_cp_solver_fused(
+            mesh, cfg, shape, reg=0.4, n_iter=12, shard_time=False,
+            dtype="bfloat16", overlap=ov)
+        x, y_A, y_D_int, losses = solve(*args)
+        assert x.dtype == jnp.bfloat16 and y_D_int.dtype == jnp.bfloat16
+        np.testing.assert_allclose(np.asarray(losses, np.float32),
+                                   np.asarray(ref.loss, np.float32),
+                                   rtol=1e-4, err_msg=f"overlap={ov}")
+        np.testing.assert_allclose(np.asarray(x, np.float32),
+                                   np.asarray(ref.x, np.float32),
+                                   atol=3e-2, rtol=2e-2)
+
+
+def test_sharded_fused_gd_bf16_primary():
+    """bf16 primary storage on the sharded fused GD path vs the unsharded
+    fused solver at the same dtype."""
+    from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+    from pytv4d_tpu.solvers.gd import subgradient_descent
+
+    rng = np.random.default_rng(63)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 2.0, jnp.bfloat16)
+    mesh = _mesh42()
+
+    ref = subgradient_descent(noisy, n_iter=12, reg=0.4, step_size=1e-2,
+                              cfg=cfg)  # fused, bf16
+    assert ref.x.dtype == jnp.bfloat16
+    solve = make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4,
+                                         n_iter=12, step_size=1e-2,
+                                         dtype="bfloat16")
+    x, losses = solve(shard_volume(noisy, mesh), shard_volume(noisy, mesh))
+    assert x.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(losses, np.float32),
+                               np.asarray(ref.loss, np.float32), rtol=2e-2)
+    np.testing.assert_allclose(np.asarray(x, np.float32),
+                               np.asarray(ref.x, np.float32),
+                               atol=3e-2, rtol=2e-2)
