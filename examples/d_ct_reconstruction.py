@@ -43,3 +43,18 @@ res4d = cp_reconstruct(sino4d, frame_angles, vol.shape, n_iter=150, reg=0.01,
 corr4d = np.corrcoef(np.asarray(res4d.x).ravel(), vol.ravel())[0, 1]
 print(f"dynamic 4D: {M} frames x {n_per_frame} views each, time-coupled TV, "
       f"corr(truth) = {corr4d:.3f}")
+
+# ---- fan-beam geometry + ordered-subsets SART warm start -----------------
+from pytv4d_tpu.models.ct import FanBeamGeometry, radon_fan, sart
+
+geom = FanBeamGeometry(source_dist=128.0, det_dist=32.0)
+angles_fan = jnp.linspace(0, 2 * np.pi, 48, endpoint=False)
+sino_fan = radon_fan(truth, angles_fan, geom)
+warm = sart(sino_fan, angles_fan, truth.shape, n_iter=4, n_subsets=8,
+            project_fn=lambda v, a: radon_fan(v, a, geom))
+res_fan = cp_reconstruct(sino_fan, angles_fan, truth.shape, n_iter=60,
+                         reg=0.01, geom=geom, x_init=warm.x)
+corr_fan = np.corrcoef(np.asarray(res_fan.x).ravel(), truth.ravel())[0, 1]
+print(f"fan-beam: {len(angles_fan)} views, OS-SART warm start "
+      f"(residual {float(warm.residual[0]):.2e} -> {float(warm.residual[-1]):.2e}), "
+      f"TV recon corr(truth) = {corr_fan:.3f}")

@@ -1,3 +1,12 @@
 from . import ct, denoise
-from .ct import cp_reconstruct, fbp, make_projector, radon
+from .ct import (
+    FanBeamGeometry,
+    cp_reconstruct,
+    fbp,
+    make_fan_projector,
+    make_projector,
+    radon,
+    radon_fan,
+    sart,
+)
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

@@ -175,10 +175,12 @@ def cp_reconstruct(
     n_det: Optional[int] = None,
     op_norm: Optional[float] = None,
     x_init=None,
+    geom: Optional[FanBeamGeometry] = None,
 ):
     """TV-regularized reconstruction ``min_x 1/2||A x - b||^2 + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
-    (step rule ``tau * sigma * (||A||^2 + ||D||^2) <= 1``)."""
+    (step rule ``tau * sigma * (||A||^2 + ||D||^2) <= 1``).  ``geom``
+    selects fan-beam geometry (default: parallel beam)."""
     sino = jnp.asarray(sino)
     dtype = sino.dtype
     angles_arr = jnp.asarray(angles)
@@ -190,7 +192,11 @@ def cp_reconstruct(
             f"{tuple(vol_shape)} with {n_angles} angles — expected {want} "
             f"(layout (Nz, M, n_angles, n_det))"
         )
-    A, A_T = make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
+    if geom is None:
+        A, A_T = make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
+    else:
+        A, A_T = make_fan_projector(vol_shape, angles, geom, n_det=n_det,
+                                    dtype=dtype)
     from ..solvers.inverse import cp_inverse
 
     res = cp_inverse(
@@ -198,6 +204,237 @@ def cp_reconstruct(
         op_norm=op_norm, x_init=x_init,
     )
     return CPReconResult(x=res.x, loss=res.loss)
+
+
+class FanBeamGeometry(NamedTuple):
+    """Flat-detector (equidistant) fan-beam geometry, in pixel units.
+
+    - ``source_dist``: source-to-isocenter distance (D_so).
+    - ``det_dist``: isocenter-to-detector distance (D_od); the detector line
+      is perpendicular to the central ray.
+    - ``det_spacing``: detector cell pitch.  Defaults (``None``) to the
+      magnification ``(D_so + D_od) / D_so`` so n_det = N cells cover the
+      magnified object, converging to unit pitch in the parallel limit.
+    - ``step``: integration step along each ray (default 1 pixel, the
+      parallel projector's implicit step).
+
+    As ``source_dist -> inf`` the fan opens to parallel beam; see
+    ``test_fan_parallel_limit``.
+    """
+    source_dist: float
+    det_dist: float = 0.0
+    det_spacing: Optional[float] = None
+    step: float = 1.0
+
+    @property
+    def magnification(self) -> float:
+        return (self.source_dist + self.det_dist) / self.source_dist
+
+    def spacing(self) -> float:
+        return self.det_spacing if self.det_spacing is not None else self.magnification
+
+
+def _slice_radon_fan(img2d, betas, n_det: int, geom: FanBeamGeometry):
+    """Fan-beam projection of one (N, N) slice: line integral from the point
+    source at angle ``beta`` to each flat-detector cell, sampled with
+    bilinear interpolation on an equispaced grid along the ray (linear in
+    ``img2d``, so the vjp is the exact adjoint).  Sampling covers the
+    ball |P| <= 0.75 N around the isocenter (the image fits inside),
+    centered at each ray's closest approach."""
+    N = img2d.shape[-1]
+    c = (N - 1) / 2.0
+    dt = img2d.dtype
+    pitch = jnp.asarray(geom.spacing(), dt)
+    u_axis = (jnp.arange(n_det, dtype=dt) - (n_det - 1) / 2.0) * pitch
+    half = 0.75 * N
+    n_samples = max(int(np.ceil(2.0 * half / geom.step)), 2)
+    ds = 2.0 * half / n_samples
+    s_axis = (jnp.arange(n_samples, dtype=dt) + 0.5) * ds - half
+
+    def one_angle(beta):
+        cosb, sinb = jnp.cos(beta), jnp.sin(beta)
+        # central-ray direction v = (sinb, cosb), detector axis u = (cosb, -sinb)
+        # (matches the parallel projector's convention at beta = theta)
+        src_r, src_c = -geom.source_dist * sinb, -geom.source_dist * cosb
+        det_r = geom.det_dist * sinb + u_axis * cosb
+        det_c = geom.det_dist * cosb - u_axis * sinb
+        dr, dc = det_r - src_r, det_c - src_c
+        inv_len = 1.0 / jnp.sqrt(dr * dr + dc * dc)
+        dr, dc = dr * inv_len, dc * inv_len          # unit ray directions
+        t_star = -(src_r * dr + src_c * dc)          # closest approach to O
+        t = t_star[:, None] + s_axis[None, :]        # (n_det, n_samples)
+        rows = c + src_r + t * dr[:, None]
+        cols = c + src_c + t * dc[:, None]
+        vals = jax.scipy.ndimage.map_coordinates(
+            img2d, [rows, cols], order=1, mode="constant", cval=0.0
+        )
+        return jnp.sum(vals, axis=-1) * ds
+
+    return jax.vmap(one_angle)(betas)  # (n_angles, n_det)
+
+
+def radon_fan(vol, angles, geom: FanBeamGeometry,
+              n_det: Optional[int] = None,
+              angle_batch: Optional[int] = None):
+    """Fan-beam forward projection of a ``(Nz, M, N, N)`` volume (the beam
+    fans in-plane; z decomposes exactly as in parallel geometry, so the same
+    (z, t) mesh sharding applies).  ``angles`` is ``(n_angles,)`` shared or
+    ``(M, n_angles)`` per-frame; returns ``(Nz, M, n_angles, n_det)``.
+    ``angle_batch`` bounds the in-flight gather as in :func:`radon`."""
+    vol = jnp.asarray(vol)
+    angles = jnp.asarray(angles, vol.dtype)
+    Nz, M, N = vol.shape[0], vol.shape[1], vol.shape[-1]
+    n_det = n_det or N
+    A = angles.shape[-1]
+
+    def sweep(v, a):
+        fn = functools.partial(_slice_radon_fan, n_det=n_det, geom=geom)
+        if a.ndim == 2:
+            over_m = jax.vmap(fn, in_axes=(0, 0))
+            return jax.vmap(over_m, in_axes=(0, None))(v, a)
+        over_m = jax.vmap(fn, in_axes=(0, None))
+        return jax.vmap(over_m, in_axes=(0, None))(v, a)
+
+    if angle_batch is None:
+        n_samples = int(np.ceil(1.5 * N / geom.step))
+        per_angle = Nz * M * n_det * n_samples * jnp.dtype(vol.dtype).itemsize
+        angle_batch = max(1, _RADON_GATHER_BUDGET // max(per_angle, 1))
+    B = min(int(angle_batch), A)
+    if B >= A:
+        return sweep(vol, angles)
+    pad = (-A) % B
+    ang = angles
+    if pad:
+        ang = jnp.concatenate([ang, ang[..., :pad]], axis=-1)
+    C = ang.shape[-1] // B
+    if ang.ndim == 2:
+        chunks = jnp.moveaxis(ang.reshape(ang.shape[0], C, B), 1, 0)
+    else:
+        chunks = ang.reshape(C, B)
+    out = jax.lax.map(lambda a: sweep(vol, a), chunks)
+    out = jnp.moveaxis(out, 0, 2).reshape(Nz, M, C * B, n_det)
+    return out[:, :, :A]
+
+
+def make_fan_projector(vol_shape, angles, geom: FanBeamGeometry,
+                       n_det: Optional[int] = None, dtype=jnp.float32,
+                       angle_batch: Optional[int] = None):
+    """``(A, A_T)`` for a fixed fan-beam geometry; ``A_T`` is the exact
+    transpose (vjp of the linear map), same adjointness contract as
+    :func:`make_projector`."""
+    angles = jnp.asarray(angles, dtype)
+    n_det = n_det or vol_shape[-1]
+
+    def A(x):
+        return radon_fan(x, angles, geom, n_det=n_det,
+                         angle_batch=angle_batch)
+
+    def A_T(y):
+        _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
+        (x_bar,) = vjp(y)
+        return x_bar
+
+    return A, A_T
+
+
+class SARTResult(NamedTuple):
+    x: jax.Array          # reconstructed volume (Nz, M, N, N)
+    residual: jax.Array   # per-epoch ||A x - b|| history (n_iter,)
+
+
+def sart(
+    sino,
+    angles,
+    vol_shape,
+    n_iter: int = 10,
+    n_subsets: int = 8,
+    relax: float = 1.0,
+    nonneg: bool = True,
+    x_init=None,
+    project_fn=None,
+    n_det: Optional[int] = None,
+):
+    """Ordered-subsets SART reconstruction (Andersen & Kak 1984; OS splitting
+    a la OSEM): each sub-iteration corrects x with one angle subset,
+
+        ``x <- x + relax * A_s^T((b_s - A_s x) / (A_s 1)) / (A_s^T 1)``,
+
+    cycling subsets with stride-interleaved angle ordering (subset k takes
+    ``angles[k::n_subsets]``, maximizing angular separation per subset).
+    One epoch touches every projection once but updates x ``n_subsets``
+    times — typically ~n_subsets-fold fewer epochs than SIRT for the same
+    residual.  Runs as a ``lax.scan`` over (epoch, subset) on device.
+
+    Unregularized: use directly for well-sampled data, or as ``x_init`` for
+    :func:`cp_reconstruct` (TV-regularized) on sparse/dynamic data.
+
+    ``angles`` is ``(n_angles,)`` shared or ``(M, n_angles)`` per-frame;
+    ``n_angles`` must be divisible by ``n_subsets`` (pick a divisor or pad
+    the scan).  ``project_fn(vol, angles_subset) -> sino`` defaults to the
+    parallel-beam :func:`radon`; pass
+    ``functools.partial(radon_fan, geom=geom)`` for fan-beam.
+    """
+    sino = jnp.asarray(sino)
+    dtype = sino.dtype
+    angles = jnp.asarray(angles, dtype)
+    A = angles.shape[-1]
+    if A % n_subsets:
+        raise ValueError(
+            f"n_angles={A} not divisible by n_subsets={n_subsets}; choose a "
+            f"divisor (e.g. {[k for k in range(1, min(A, 17)) if A % k == 0]})"
+        )
+    n_det = n_det or vol_shape[-1]
+    if project_fn is None:
+        project_fn = functools.partial(radon, n_det=n_det)
+
+    # stride-interleaved subsets along the angle axis
+    idx = np.arange(A).reshape(-1, n_subsets).T          # (S, A//S)
+    ang_sub = jnp.stack([angles[..., jnp.asarray(k)] for k in idx])
+    sino_sub = jnp.stack([sino[:, :, jnp.asarray(k)] for k in idx])
+
+    ones_vol = jnp.ones(tuple(vol_shape), dtype)
+
+    def subset_ops(a):
+        def P(x):
+            return project_fn(x, a)
+
+        def P_T(y):
+            _, vjp = jax.vjp(P, jnp.zeros(tuple(vol_shape), dtype))
+            (x_bar,) = vjp(y)
+            return x_bar
+
+        return P, P_T
+
+    # per-subset normalizers: row sums A_s 1 (sino space), col sums A_s^T 1
+    def norms_for(a):
+        P, P_T = subset_ops(a)
+        row = P(ones_vol)
+        col = P_T(jnp.ones_like(row))
+        return row, col
+
+    row_sums, col_sums = jax.lax.map(norms_for, ang_sub)
+    eps = jnp.asarray(1e-6, dtype)
+
+    def sub_step(x, inp):
+        a, b_s, row, col = inp
+        P, P_T = subset_ops(a)
+        r = (b_s - P(x)) / jnp.maximum(row, eps)
+        upd = P_T(r) / jnp.maximum(col, eps)
+        x = x + relax * upd
+        if nonneg:
+            x = jnp.maximum(x, 0.0)
+        return x, None
+
+    def epoch(x, _):
+        x, _ = jax.lax.scan(sub_step, x,
+                            (ang_sub, sino_sub, row_sums, col_sums))
+        res = jnp.sqrt(jnp.sum(jnp.square(project_fn(x, angles) - sino)))
+        return x, res
+
+    x0 = (jnp.zeros(tuple(vol_shape), dtype) if x_init is None
+          else jnp.asarray(x_init, dtype))
+    x, residuals = jax.lax.scan(jax.jit(epoch), x0, length=n_iter)
+    return SARTResult(x=x, residual=residuals)
 
 
 def _backproject(sino, angles, N: int, angle_batch: Optional[int] = None):
