@@ -1,5 +1,6 @@
-from . import checks, images, profiling, runlog
+from . import checks, compile_cache, images, profiling, runlog
 from .checks import assert_finite, checkified
+from .compile_cache import enable_compile_cache, warm_compile
 from .images import as_volume, cameraman, has_real_cameraman, synthetic_phantom
 from .profiling import IterationTimer, cp_traffic_model, roofline_fraction, trace
 from .runlog import log_run

@@ -101,3 +101,27 @@ def test_example_scripts_run():
     longer)."""
     for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py"):
         runpy.run_path(script, run_name="__main__")
+
+
+def test_compile_cache_and_warm_compile(tmp_path):
+    """enable_compile_cache points the persistent cache at the dir (entries
+    appear after a compile) and warm_compile pre-compiles a jitted solver
+    from ShapeDtypeStructs without running it."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+    from pytv4d_tpu.utils import enable_compile_cache, warm_compile
+
+    d = str(tmp_path / "jc")
+    assert enable_compile_cache(d, min_compile_time_secs=0.0) == d
+    try:
+        compiled = warm_compile(
+            chambolle_pock,
+            jax.ShapeDtypeStruct((1, 1, 32, 32), jnp.float32),
+            n_iter=5,
+        )
+        assert hasattr(compiled, "as_text")
+        assert len(list((tmp_path / "jc").iterdir())) >= 1
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)

@@ -58,5 +58,41 @@ def main():
     print(f"wrote {os.path.abspath(OUT)} with {len(out)} arrays")
 
 
+OUT_BOUNDARY = os.path.join(os.path.dirname(__file__), "..", "tests",
+                            "golden", "golden_boundary.npz")
+
+
+def main_boundary():
+    """Boundary-heavy shapes where stencil rewrites silently diverge
+    (SURVEY.md section 7 hard part 1): Nz==2 (every z difference touches a
+    boundary), M==2 with time coupling (central's documented upwind
+    fallback along t, tv_operators_CPU.py:347-348), and odd plane sizes.
+    central x Nz==2 is NOT recordable: the reference CPU implementation
+    crashes there (defect, SURVEY.md section 2.4.1)."""
+    rng = np.random.default_rng(321)
+    shapes = {
+        "nz2": (rng.random((2, 3, 8, 8)), dict(reg_time=0.7)),
+        "m2": (rng.random((4, 2, 8, 8)), dict(reg_time=0.7,
+                                              reg_z_over_reg=0.6)),
+        "odd": (rng.random((3, 2, 9, 9)), dict(reg_time=0.5)),
+    }
+    out = {f"img_{k}": v[0] for k, v in shapes.items()}
+    for scheme in SCHEMES:
+        for sname, (img, kw) in shapes.items():
+            if scheme == "central" and sname == "nz2":
+                continue  # reference defect: IndexError (do not replicate)
+            D = getattr(pytv.tv_operators_CPU, f"D_{scheme}")(img, **kw)
+            DT = getattr(pytv.tv_operators_CPU, f"D_T_{scheme}")(D, **kw)
+            tv, G = getattr(pytv.tv_CPU, f"tv_{scheme}")(img, **kw)
+            key = f"{scheme}_{sname}"
+            out[f"{key}_D"] = D
+            out[f"{key}_DT"] = DT
+            out[f"{key}_tv"] = np.float64(tv)
+            out[f"{key}_G"] = G
+    np.savez_compressed(OUT_BOUNDARY, **out)
+    print(f"wrote {os.path.abspath(OUT_BOUNDARY)} with {len(out)} arrays")
+
+
 if __name__ == "__main__":
     main()
+    main_boundary()
