@@ -53,7 +53,7 @@ def bench_cp_cameraman(n_iter=300, repeats=8):
 
 
 def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
-                repeats=5):
+                repeats=5, primary_dtype="float32"):
     """Secondary: big-4D CP (fused Pallas path) throughput + roofline
     fraction on BOTH traffic models (minimal = unique bytes, the honest
     denominator; actual = counts redundant neighbor DMA)."""
@@ -66,14 +66,15 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
     from pytv4d_tpu.utils.profiling import cp_traffic_model, roofline_fraction
 
     rng = np.random.default_rng(0)
-    noisy = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+    noisy = jnp.asarray(rng.random(shape), dtype=primary_dtype)
     cfg = TVConfig(scheme="hybrid", reg_time=0.5)
 
     def run():
         res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
                              dual_dtype=dual_dtype)
         jax.block_until_ready(res.loss)
-        return float(jnp.sum(res.x))  # full sync past async dispatch queues
+        # full sync past async dispatch queues
+        return float(jnp.sum(res.x.astype(jnp.float32)))
 
     run()
     best = float("inf")
@@ -85,11 +86,14 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
     it_s = n_iter / best
     nd = num_channels(cfg.scheme, shape[0], shape[1], cfg.reg_z_over_reg,
                       cfg.reg_time)
-    t_min = cp_traffic_model(shape, nd, model="minimal",
+    t_min = cp_traffic_model(shape, nd, dtype=primary_dtype, model="minimal",
                              dual_dtype=dual_dtype)
-    t_act = cp_traffic_model(shape, nd, model="actual", dual_dtype=dual_dtype)
+    t_act = cp_traffic_model(shape, nd, dtype=primary_dtype, model="actual",
+                             dual_dtype=dual_dtype)
     frac_min = roofline_fraction(t_min, it_s)
-    tag = f"{dual_dtype}-dual" if dual_dtype else "f32"
+    tag = primary_dtype if primary_dtype != "float32" else "f32"
+    if dual_dtype:
+        tag += f"+{dual_dtype}-dual"
     log(
         f"cp 4D {shape} fused {tag}: {it_s:.1f} it/s, "
         f"{vox * it_s / 1e9:.2f} Gvox-it/s, "
@@ -113,6 +117,10 @@ def main():
         extras["fused_4d_roofline_minimal"] = round(frac_min, 3)
         it4b, _ = bench_cp_4d(dual_dtype="bfloat16", repeats=3)
         extras["fused_4d_bf16_it_s"] = round(it4b, 1)
+        # flagship storage config (the north-star one): bf16 primary + dual
+        it4pd, _ = bench_cp_4d(dual_dtype="bfloat16",
+                               primary_dtype="bfloat16", repeats=3)
+        extras["fused_4d_bf16pd_it_s"] = round(it4pd, 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
 
