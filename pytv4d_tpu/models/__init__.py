@@ -8,5 +8,6 @@ from .ct import (
     radon,
     radon_fan,
     sart,
+    sinogram_sharding,
 )
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

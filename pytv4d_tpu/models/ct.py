@@ -160,6 +160,24 @@ def estimate_op_norm(A, A_T, vol_shape, n_iter: int = 12, seed: int = 0,
     return jnp.sqrt(norms[-1])
 
 
+def sinogram_sharding(mesh, shard_time: bool = True):
+    """NamedSharding for a ``(Nz, M, n_angles, n_det)`` sinogram on the
+    (z, t) mesh.  Parallel-beam CT decomposes exactly along z (the very
+    reason the reference chose the (Nz, M, N, N) layout, ``README.md:235``):
+    place the sinogram and the volume with matching z/t shardings and the
+    jitted :func:`cp_reconstruct` runs SPMD with zero communication in the
+    projector — only the TV stencil's one-plane halos and the loss psum."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import T_AXIS, Z_AXIS
+
+    t_spec = T_AXIS if (shard_time and mesh.shape[T_AXIS] > 1) else None
+    return NamedSharding(
+        mesh, P(Z_AXIS if mesh.shape[Z_AXIS] > 1 else None, t_spec,
+                None, None)
+    )
+
+
 class CPReconResult(NamedTuple):
     x: jax.Array       # reconstructed volume (Nz, M, N, N)
     loss: jax.Array    # per-iteration 1/2||Ax-b||^2 + reg*TV history

@@ -87,10 +87,43 @@ def denoise_tv_chambolle(
     weight: float = 0.1,
     max_num_iter: int = 200,
     scheme: str = "hybrid",
+    channel_axis: int = None,
 ):
     """scikit-image-compatible TV denoising (the reference's to-do item,
     ``README.md:260``): minimizes ``1/2 ||x - x0||^2 + weight * TV(x)`` with
-    the Chambolle-Pock solver and returns a numpy array of the input rank."""
-    model = TVDenoiser(reg=weight, cfg=TVConfig(scheme=scheme))
-    res = model.cp(image, n_iter=max_num_iter)
-    return np.asarray(res.x)
+    the Chambolle-Pock solver and returns a numpy array of the input rank.
+
+    ``channel_axis`` (scikit-image convention) marks an axis of independent
+    channels: 2D multichannel ``(H, W, C)``-style or 3D z-stack multichannel.
+    Channels ride ONE device-resident solve by mapping them onto a decoupled
+    volume axis (z with ``reg_z_over_reg=0`` for 2D, the time axis with
+    ``reg_time=0`` for 3D) — mathematically identical to solving each
+    channel separately.  Note scikit-image couples channels in the TV norm;
+    here channels are independent (per-channel TV), which is the reference
+    library's semantics for uncoupled frames.
+    """
+    if channel_axis is None:
+        model = TVDenoiser(reg=weight, cfg=TVConfig(scheme=scheme))
+        res = model.cp(image, n_iter=max_num_iter)
+        return np.asarray(res.x)
+
+    img = np.asarray(image)
+    ch_first = np.moveaxis(img, channel_axis, 0)
+    if ch_first.ndim == 3:       # 2D multichannel: channels -> decoupled z
+        vol = ch_first[:, None]  # (C, 1, H, W)
+        cfg = TVConfig(scheme=scheme, reg_z_over_reg=0.0)
+        res = chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
+                             reg=weight, cfg=cfg)
+        out = np.asarray(res.x)[:, 0]
+    elif ch_first.ndim == 4:     # 3D z-stack multichannel: channels -> t
+        vol = np.moveaxis(ch_first, 0, 1)  # (Nz, C, H, W), reg_time=0
+        cfg = TVConfig(scheme=scheme)
+        res = chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
+                             reg=weight, cfg=cfg)
+        out = np.moveaxis(np.asarray(res.x), 1, 0)
+    else:
+        raise ValueError(
+            f"channel_axis given but image has rank {img.ndim}; expected 3 "
+            f"(2D multichannel) or 4 (3D z-stack multichannel)"
+        )
+    return np.moveaxis(out, 0, channel_axis)

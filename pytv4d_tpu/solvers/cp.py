@@ -139,7 +139,8 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
 @functools.partial(
     jax.jit,
     static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
-                     "fused", "dual_dtype", "return_dual"),
+                     "fused", "dual_dtype", "return_dual", "progress_every",
+                     "progress_fn"),
 )
 def chambolle_pock(
     x_noisy,
@@ -155,6 +156,8 @@ def chambolle_pock(
     fused: bool = None,
     dual_dtype: str = None,
     return_dual: bool = True,
+    progress_every: int = 0,
+    progress_fn=None,
 ) -> CPResult:
     """Run ``n_iter`` Chambolle-Pock iterations on device.
 
@@ -171,6 +174,9 @@ def chambolle_pock(
     ``return_dual=False`` drops y_D from the result (state.y_D is None) —
     needed when the volume is so large that converting the dual back to the
     public layout would not fit HBM.
+    ``progress_every=k`` invokes ``progress_fn(iteration, loss)`` on the
+    host every k iterations from inside the scan (``solvers.progress``;
+    zero cost when 0; ``progress_fn`` must be hashable).
     """
     from ..kernels.dispatch import (
         can_fuse,
@@ -223,17 +229,20 @@ def chambolle_pock(
                 y_D_int = y_D_int.astype(dual_dtype)
             x, y_A = state.x, state.y_A
 
-        def body_fused(carry, _):
+        from .progress import emit_progress
+
+        def body_fused(carry, i):
             x, y_A, y_D_int = carry
             x, y_A, y_D_int, loss = cp_step_fused_internal(
                 x, y_A, y_D_int, x_noisy, reg=reg, sigma_D=sigma_D,
                 sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
                 tmul=tmul,
             )
+            emit_progress(i, loss, progress_every, progress_fn)
             return (x, y_A, y_D_int), loss
 
         (x, y_A, y_D_int), losses = jax.lax.scan(
-            body_fused, (x, y_A, y_D_int), length=n_iter
+            body_fused, (x, y_A, y_D_int), jnp.arange(n_iter)
         )
         y_D_out = (
             from_internal_layout(y_D_int).astype(out_dual_dtype)
@@ -245,13 +254,16 @@ def chambolle_pock(
     if state is None:
         state = init_state(x_noisy, cfg)
 
-    def body(st, _):
+    from .progress import emit_progress
+
+    def body(st, i):
         st, loss = cp_step(
             st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
             tau=tau, cfg=cfg, mask_static=mask_static,
             weight_time=weight_time,
         )
+        emit_progress(i, loss, progress_every, progress_fn)
         return st, loss
 
-    final, losses = jax.lax.scan(body, state, length=n_iter)
+    final, losses = jax.lax.scan(body, state, jnp.arange(n_iter))
     return CPResult(x=final.x, state=final, loss=losses)

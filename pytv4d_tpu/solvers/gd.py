@@ -43,7 +43,8 @@ def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None,
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "cfg", "reg", "step_size", "fused")
+    jax.jit, static_argnames=("n_iter", "cfg", "reg", "step_size", "fused",
+                              "progress_every", "progress_fn")
 )
 def subgradient_descent(
     x_noisy,
@@ -55,6 +56,8 @@ def subgradient_descent(
     mask_static=None,
     weight_time=None,
     fused: bool = None,
+    progress_every: int = 0,
+    progress_fn=None,
 ) -> GDResult:
     """Run ``n_iter`` subgradient-descent iterations on device.
 
@@ -63,6 +66,12 @@ def subgradient_descent(
     image, as in the recipe.  ``fused=None`` auto-selects the fused Pallas
     tv+subgradient kernels when supported (all four schemes, iso and aniso
     norms, ``(1, 1, N, N)`` static masks / weight_time planes).
+
+    ``progress_every=k`` invokes ``progress_fn(iteration, loss)`` on the
+    host every k iterations from inside the device-resident scan (a gated
+    ``jax.debug.callback``; zero cost when 0).  ``progress_fn`` defaults to
+    a stderr printer; it must be hashable (a plain function, not a lambda
+    built per call site, or jit re-traces).
     """
     from ..kernels.dispatch import (
         can_fuse,
@@ -83,7 +92,9 @@ def subgradient_descent(
         if fused else None
     )
 
-    def body(x, _):
+    from .progress import emit_progress
+
+    def body(x, i):
         if fused:
             from ..kernels.fused import tv_and_subgrad_fused
 
@@ -96,7 +107,8 @@ def subgradient_descent(
             )
         x_new = x - step_size * ((x - x0) + reg * G)
         loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv
+        emit_progress(i, loss, progress_every, progress_fn)
         return x_new, (loss, tv)
 
-    x_final, (losses, tvs) = jax.lax.scan(body, x, length=n_iter)
+    x_final, (losses, tvs) = jax.lax.scan(body, x, jnp.arange(n_iter))
     return GDResult(x=x_final, loss=losses, tv=tvs)

@@ -547,3 +547,30 @@ def test_sharded_fused_gd_bf16_primary():
     np.testing.assert_allclose(np.asarray(x, np.float32),
                                np.asarray(ref.x, np.float32),
                                atol=3e-2, rtol=2e-2)
+
+
+def test_sharded_ct_reconstruction():
+    """The CT model family under GSPMD on the (z, t) mesh: sinogram and
+    volume share z/t shardings, the projector runs with zero communication
+    (it vmaps over z/t), the TV stencil halos and loss psum come from the
+    partitioner — losses track the unsharded solve."""
+    from pytv4d_tpu.models.ct import cp_reconstruct, radon, sinogram_sharding
+    from pytv4d_tpu.utils import synthetic_phantom
+
+    truth2d = synthetic_phantom(24).astype(np.float32) / 255.0
+    truth = np.stack([np.roll(truth2d, z, axis=0) for z in range(8)])[:, None]
+    truth = np.tile(truth, (1, 2, 1, 1))  # (8, 2, 24, 24)
+    angles = jnp.linspace(0, np.pi, 16, endpoint=False)
+    sino = radon(truth, angles)
+
+    ref = cp_reconstruct(sino, angles, truth.shape, n_iter=30, reg=0.02,
+                         op_norm=24.0)
+
+    mesh = _mesh42()
+    sino_sh = jax.device_put(jnp.asarray(sino), sinogram_sharding(mesh))
+    res = cp_reconstruct(sino_sh, angles, truth.shape, n_iter=30, reg=0.02,
+                         op_norm=24.0)
+    np.testing.assert_allclose(np.asarray(res.loss), np.asarray(ref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               atol=1e-5, rtol=1e-4)

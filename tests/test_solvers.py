@@ -324,3 +324,62 @@ def test_4d_solver_trajectory_parity():
                         tau=float(golden["tau"]))
     np.testing.assert_allclose(np.asarray(cp.loss), golden["cp_losses"],
                                rtol=1e-9)
+
+
+def test_progress_callbacks(noisy_small, capsys):
+    """progress_every invokes progress_fn(i, loss) from inside the scan on
+    both the jnp and fused paths, and the default printer writes stderr."""
+    import jax
+
+    seen = []
+
+    def collect(i, loss):
+        seen.append((int(i), float(loss)))
+
+    res = subgradient_descent(noisy_small, n_iter=12, reg=1.0,
+                              progress_every=5, progress_fn=collect)
+    jax.block_until_ready(res.loss)
+    jax.effects_barrier()
+    assert [i for i, _ in sorted(seen)] == [0, 5, 10]
+    for i, loss in seen:
+        assert loss == pytest.approx(float(res.loss[i]), rel=1e-6)
+
+    seen.clear()
+    res = chambolle_pock(noisy_small, n_iter=7, reg=1.0, progress_every=3,
+                         progress_fn=collect)
+    jax.block_until_ready(res.loss)
+    jax.effects_barrier()
+    assert [i for i, _ in sorted(seen)] == [0, 3, 6]
+
+    # default printer -> stderr
+    res = chambolle_pock(noisy_small, n_iter=4, reg=1.0, progress_every=2)
+    jax.block_until_ready(res.loss)
+    jax.effects_barrier()
+    err = capsys.readouterr().err
+    assert "[pytv4d_tpu] iter" in err
+
+
+def test_denoise_channel_axis():
+    """channel_axis: channels ride one decoupled solve, equal to solving
+    each channel separately (2D multichannel and 3D z-stack multichannel)."""
+    from pytv4d_tpu.models import denoise_tv_chambolle
+
+    rng = np.random.default_rng(77)
+    img = rng.random((12, 12, 3)).astype(np.float32) * 10
+    joint = denoise_tv_chambolle(img, weight=0.5, max_num_iter=40,
+                                 channel_axis=-1)
+    assert joint.shape == img.shape
+    for c in range(3):
+        solo = denoise_tv_chambolle(img[..., c], weight=0.5, max_num_iter=40)
+        np.testing.assert_allclose(joint[..., c], solo, rtol=1e-4, atol=1e-5)
+
+    zstack = rng.random((2, 4, 10, 10)).astype(np.float32) * 10  # C first
+    joint3 = denoise_tv_chambolle(zstack, weight=0.5, max_num_iter=30,
+                                  channel_axis=0)
+    assert joint3.shape == zstack.shape
+    for c in range(2):
+        solo = denoise_tv_chambolle(zstack[c], weight=0.5, max_num_iter=30)
+        np.testing.assert_allclose(joint3[c], solo, rtol=1e-4, atol=1e-5)
+
+    with pytest.raises(ValueError, match="channel_axis"):
+        denoise_tv_chambolle(img[..., 0], weight=0.5, channel_axis=-1)
