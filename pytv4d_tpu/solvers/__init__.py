@@ -22,6 +22,7 @@ from .state import (
     load_state,
     load_state_orbax,
     run_checkpointed,
+    run_until_converged,
     save_state,
     save_state_orbax,
 )

@@ -105,3 +105,47 @@ def run_checkpointed(
 
     full_loss = np.concatenate(losses) if losses else np.zeros((0,))
     return result._replace(loss=full_loss)
+
+
+def run_until_converged(
+    solver,
+    x_noisy,
+    tol: float = 1e-6,
+    chunk: int = 50,
+    max_iter: int = 5000,
+    **solver_kwargs,
+):
+    """Tolerance-based stopping for the fixed-length ``lax.scan`` solvers:
+    run ``solver`` in device-resident chunks and stop when the relative loss
+    change across a chunk, ``|loss[0] - loss[-1]| / |loss[-1]|``, falls
+    below ``tol`` (or at ``max_iter``).  Only one scalar crosses to the host
+    per chunk — the XLA-friendly alternative to a per-iteration
+    ``while_loop`` (which would forbid the stacked loss history).
+
+    Works with any solver following the package convention: ``chambolle_pock``
+    and ``admm`` resume via their ``state`` kwarg; ``subgradient_descent``
+    (no carried dual) resumes via ``x_init``.  Returns the solver's result
+    type with the concatenated loss history.
+    """
+    import inspect
+
+    takes_state = "state" in inspect.signature(solver).parameters
+    state = None
+    x_init = None
+    losses = []
+    done = 0
+    result = None
+    while done < max_iter:
+        n = min(chunk, max_iter - done)
+        if takes_state:
+            result = solver(x_noisy, n_iter=n, state=state, **solver_kwargs)
+            state = result.state
+        else:
+            result = solver(x_noisy, n_iter=n, x_init=x_init, **solver_kwargs)
+            x_init = result.x
+        loss = np.asarray(result.loss)
+        losses.append(loss)
+        done += n
+        if abs(float(loss[0]) - float(loss[-1])) <= tol * abs(float(loss[-1])):
+            break
+    return result._replace(loss=np.concatenate(losses))

@@ -383,3 +383,26 @@ def test_denoise_channel_axis():
 
     with pytest.raises(ValueError, match="channel_axis"):
         denoise_tv_chambolle(img[..., 0], weight=0.5, channel_axis=-1)
+
+
+def test_run_until_converged(noisy_small):
+    """Tolerance stopping: CP stops well before max_iter on an easy problem
+    (via state resume), GD resumes via x_init, and chunked losses equal one
+    continuous run."""
+    from pytv4d_tpu.solvers import run_until_converged
+
+    res = run_until_converged(chambolle_pock, noisy_small, tol=1e-5,
+                              chunk=25, max_iter=2000, reg=1.0)
+    n_run = len(res.loss)
+    assert n_run < 2000 and n_run % 25 == 0
+    rel = abs(res.loss[-25] - res.loss[-1]) / abs(res.loss[-1])
+    assert rel <= 1e-5
+
+    cont = chambolle_pock(noisy_small, n_iter=n_run, reg=1.0)
+    np.testing.assert_allclose(res.loss, np.asarray(cont.loss), rtol=1e-6)
+
+    res_gd = run_until_converged(subgradient_descent, noisy_small, tol=1e-4,
+                                 chunk=20, max_iter=400, reg=1.0)
+    cont_gd = subgradient_descent(noisy_small, n_iter=len(res_gd.loss), reg=1.0)
+    np.testing.assert_allclose(res_gd.loss, np.asarray(cont_gd.loss),
+                               rtol=1e-6)
