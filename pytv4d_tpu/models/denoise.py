@@ -18,6 +18,7 @@ from ..solvers.admm import admm
 from ..solvers.cp import chambolle_pock
 from ..solvers.fista import fista
 from ..solvers.gd import subgradient_descent
+from ..solvers.tgv import tgv_denoise
 
 
 def add_noise(img, noise_level: float = 100.0, seed: int = 0) -> np.ndarray:
@@ -79,6 +80,16 @@ class TVDenoiser:
     def fista(self, noisy, n_iter: int = 100, **kw):
         x, ndim = _to_volume(noisy)
         res = fista(x, n_iter=n_iter, reg=self.reg, cfg=self.cfg, **kw)
+        return res._replace(x=_from_volume(res.x, ndim))
+
+    def tgv(self, noisy, n_iter: int = 300, alpha0: float = None, **kw):
+        """Second-order TGV denoising (``solvers.tgv``): ``reg`` plays
+        alpha1; ``alpha0`` defaults to ``2 * reg`` (the customary ratio).
+        Fixes TV's staircasing on piecewise-linear content."""
+        x, ndim = _to_volume(noisy)
+        res = tgv_denoise(x, n_iter=n_iter, alpha1=self.reg,
+                          alpha0=2.0 * self.reg if alpha0 is None else alpha0,
+                          **kw)
         return res._replace(x=_from_volume(res.x, ndim))
 
 

@@ -406,3 +406,44 @@ def test_run_until_converged(noisy_small):
     cont_gd = subgradient_descent(noisy_small, n_iter=len(res_gd.loss), reg=1.0)
     np.testing.assert_allclose(res_gd.loss, np.asarray(cont_gd.loss),
                                rtol=1e-6)
+
+
+def test_tgv_denoise_fixes_staircasing():
+    """TGV-2: E's exact adjoint (linear_transpose), and the canonical ramp
+    experiment — on piecewise-linear content TGV recovers the slope and
+    beats first-order TV's staircased RMSE."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.models import TVDenoiser
+    from pytv4d_tpu.solvers.tgv import (
+        _d_fwd,
+        _sym_grad,
+        _transpose_of,
+        tgv_denoise,
+    )
+
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.random((2, 2, 3, 16, 16)))
+    q = jnp.asarray(rng.random((2, 3, 3, 16, 16)))
+    ET = _transpose_of(_sym_grad, w.shape, w.dtype)
+    lhs = float(jnp.sum(q * _sym_grad(w)))
+    rhs = float(jnp.sum(ET(q) * w))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    N = 64
+    ramp = np.linspace(0, 100, N)[None, :] * np.ones((N, 1))
+    noisy = (ramp + 10 * rng.standard_normal((N, N))).astype(np.float64)
+    tv = TVDenoiser(reg=8.0).cp(noisy, n_iter=400)
+    tgv = TVDenoiser(reg=8.0).tgv(noisy, n_iter=800)
+    err_tv = float(np.sqrt(np.mean((np.asarray(tv.x) - ramp) ** 2)))
+    err_tgv = float(np.sqrt(np.mean((np.asarray(tgv.x) - ramp) ** 2)))
+    assert err_tgv < err_tv < 10.0, (err_tgv, err_tv)
+    assert err_tgv < 2.0
+
+    loss = np.asarray(tgv.loss)
+    assert loss[-1] < 0.5 * loss[0]
+    assert tgv.x.shape == noisy.shape  # 2D in -> 2D out
+
+    with pytest.raises(ValueError, match="rank-4"):
+        tgv_denoise(noisy)
