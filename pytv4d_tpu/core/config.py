@@ -25,24 +25,35 @@ class TVConfig:
     factor_reg_static : extra sqrt-factor applied to time channels under the
                         static mask (``tv_operators_CPU.py:148-151``)
     norm              : 'iso' = isotropic L2,1 TV (the reference's definition);
-                        'aniso' = anisotropic L1,1 TV (sum of |differences| —
-                        a framework extension, not in the reference)
+                        'aniso' = anisotropic L1,1 TV (sum of |differences|);
+                        'huber' = Huber-smoothed isotropic TV (quadratic below
+                        ``huber_delta`` — differentiable everywhere, no
+                        inf-trick needed; framework extensions, not in the
+                        reference)
+    huber_delta       : Huber transition point (only meaningful with
+                        norm='huber'; must be > 0 there)
     """
 
     scheme: str = "hybrid"
     reg_z_over_reg: float = 1.0
     reg_time: float = 0.0
     factor_reg_static: float = 0.0
-    norm: str = "iso"  # 'iso' (L2,1 — the reference's TV) or 'aniso' (L1,1)
+    norm: str = "iso"  # 'iso' (L2,1), 'aniso' (L1,1) or 'huber'
+    huber_delta: float = 1.0
 
     def __post_init__(self):
         if self.scheme not in SCHEMES:
             raise ValueError(
                 f"unknown scheme {self.scheme!r}; expected one of {SCHEMES}"
             )
-        if self.norm not in ("iso", "aniso"):
+        if self.norm not in ("iso", "aniso", "huber"):
             raise ValueError(
-                f"unknown norm {self.norm!r}; expected 'iso' or 'aniso'"
+                f"unknown norm {self.norm!r}; expected 'iso', 'aniso' or "
+                f"'huber'"
+            )
+        if self.norm == "huber" and not self.huber_delta > 0:
+            raise ValueError(
+                f"norm='huber' needs huber_delta > 0, got {self.huber_delta}"
             )
 
     def kwargs(self) -> dict:

@@ -74,6 +74,8 @@ def can_fuse(shape, cfg: TVConfig, mask_static=None, dtype="float32",
     """Whether the fused kernels support this problem instance."""
     if len(shape) != 4:
         return False
+    if cfg.norm not in ("iso", "aniso"):
+        return False  # huber prox/gradient stay on the jnp path
     if mask_enabled(mask_static) and not _is_plane(mask_static, shape):
         return False  # full (Nz, M, N, N) masks stay on the jnp path
     if weight_time is not None and not _is_plane(weight_time, shape):

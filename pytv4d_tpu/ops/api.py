@@ -17,7 +17,7 @@ from . import operators as _ops
 from . import tv as _tv
 
 _STATIC_D = ("scheme", "reg_z_over_reg", "reg_time", "factor_reg_static")
-_STATIC_TV = _STATIC_D + ("return_grad_norms", "norm_type")
+_STATIC_TV = _STATIC_D + ("return_grad_norms", "norm_type", "huber_delta")
 
 D = jax.jit(_ops.D, static_argnames=_STATIC_D)
 D_T = jax.jit(_ops.D_T, static_argnames=_STATIC_D)
@@ -51,7 +51,7 @@ def _tv_fused(img, mask_static, weight_time, scheme, reg_z_over_reg,
 def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
                    reg_time=0.0, mask_static=None, factor_reg_static=0.0,
                    weight_time=None, return_grad_norms=False,
-                   norm_type="iso"):
+                   norm_type="iso", huber_delta=1.0):
     """tv + subgradient, auto-dispatched to the fused Pallas kernels on TPU
     when the instance supports them (iso or aniso norm, plane-shaped static
     masks / weight_time, plane fits VMEM), else the jnp path — numerics
@@ -77,7 +77,7 @@ def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
                    factor_reg_static=factor_reg_static,
                    weight_time=weight_time,
                    return_grad_norms=return_grad_norms,
-                   norm_type=norm_type)
+                   norm_type=norm_type, huber_delta=huber_delta)
 
 
 def normalize_mask(mask_static):

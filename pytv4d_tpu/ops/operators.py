@@ -205,11 +205,30 @@ def compute_L11_norm(D_img, return_array: bool = False, *, xp=jnp):
     return total
 
 
-def tv_norm(D_img, norm: str = "iso", return_array: bool = False, *, xp=jnp):
-    """The TV reduction for either norm type."""
+def tv_norm(D_img, norm: str = "iso", return_array: bool = False,
+            huber_delta: float = 1.0, *, xp=jnp):
+    """The TV reduction for any norm type ('iso', 'aniso', 'huber')."""
     if norm == "aniso":
         return compute_L11_norm(D_img, return_array=return_array, xp=xp)
+    if norm == "huber":
+        return compute_huber_norm(D_img, huber_delta,
+                                  return_array=return_array, xp=xp)
     return compute_L21_norm(D_img, return_array=return_array, xp=xp)
+
+
+def compute_huber_norm(D_img, delta: float, return_array: bool = False, *,
+                       xp=jnp):
+    """Huber-smoothed L2,1 norm: per-pixel gradient magnitude n = |D[i,:]|_2
+    scored ``n^2/(2 delta)`` below ``delta`` and ``n - delta/2`` above —
+    the Moreau envelope of the isotropic TV (quadratic near 0, so
+    differentiable everywhere; Chambolle & Pock 2011 section 6.2).
+    Optionally also returns the per-pixel magnitude array."""
+    n = xp.sqrt(xp.sum(xp.square(D_img), axis=1))
+    val = xp.sum(xp.where(n <= delta, xp.square(n) / (2.0 * delta),
+                          n - delta / 2.0))
+    if return_array:
+        return val, n
+    return val
 
 
 def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):

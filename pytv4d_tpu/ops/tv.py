@@ -67,6 +67,7 @@ def tv_and_subgrad(
     weight_time=None,
     return_grad_norms: bool = False,
     norm_type: str = "iso",
+    huber_delta: float = 1.0,
     *,
     xp=jnp,
 ):
@@ -84,6 +85,10 @@ def tv_and_subgrad(
     extension): ``tv = sum |D x|`` and the TRUE subgradient
     ``G = D^T sign(D x)`` (full weights — unlike the isotropic path, which
     reproduces the reference's unweighted-scatter convention).
+
+    ``norm_type='huber'`` computes the Huber-smoothed isotropic TV and its
+    TRUE gradient ``G = D^T(D x / max(|D x|_2, delta))`` (smooth — no
+    inf-trick; full weights like the aniso path).
     """
     if mask_enabled(mask):
         img = xp.where(mask, img, xp.zeros_like(img))
@@ -102,6 +107,16 @@ def tv_and_subgrad(
         G = D_T(xp.sign(D_img), scheme, xp=xp, **kw)
         if return_grad_norms:
             return tv, G, abs_sums
+        return tv, G
+    if norm_type == "huber":
+        from .operators import compute_huber_norm
+
+        tv, n = compute_huber_norm(D_img, huber_delta, return_array=True,
+                                   xp=xp)
+        G = D_T(D_img / xp.maximum(n, huber_delta)[:, None], scheme, xp=xp,
+                **kw)
+        if return_grad_norms:
+            return tv, G, n
         return tv, G
     tv, grad_norms = compute_L21_norm(D_img, return_array=True, xp=xp)
     grad_norms = xp.where(grad_norms == 0, xp.inf, grad_norms)

@@ -269,10 +269,16 @@ def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
 
         y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
         D_x = _local_D(x, cfg, ctx, global_shape)
-        y_D = dual_prox(y_D + sigma_D * D_x, reg, cfg.norm)
+        y_D = dual_prox(y_D + sigma_D * D_x, reg, cfg.norm, sigma_D,
+                        cfg.huber_delta)
         x = x - tau * y_A - tau * _local_D_T(y_D, cfg, ctx, global_shape)
         if cfg.norm == "aniso":
             tv_local = jnp.sum(jnp.abs(D_x))
+        elif cfg.norm == "huber":
+            n = jnp.sqrt(jnp.sum(jnp.square(D_x), axis=1))
+            d = cfg.huber_delta
+            tv_local = jnp.sum(jnp.where(n <= d, jnp.square(n) / (2.0 * d),
+                                         n - d / 2.0))
         else:
             tv_local = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=1)))
         loss_local = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_local

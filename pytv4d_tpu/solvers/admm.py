@@ -56,12 +56,21 @@ def _cg_solve(apply_A, b, x0, n_iter: int):
     return x
 
 
-def group_soft_threshold(v, thresh, norm: str = "iso"):
+def group_soft_threshold(v, thresh, norm: str = "iso",
+                         huber_delta: float = 1.0):
     """Prox of ``thresh * TV-norm``: group (L2,1) shrinkage per pixel for
-    isotropic TV, elementwise soft threshold for anisotropic L1,1."""
+    isotropic TV, elementwise soft threshold for anisotropic L1,1, and for
+    Huber the scale-or-shrink form (``v/(1+thresh/delta)`` inside the
+    quadratic region ``|v| <= delta + thresh``, soft shrink outside —
+    continuous at the boundary)."""
     if norm == "aniso":
         return jnp.sign(v) * jnp.maximum(jnp.abs(v) - thresh, 0.0)
     norms = jnp.sqrt(jnp.sum(jnp.square(v), axis=1, keepdims=True))
+    if norm == "huber":
+        shrink = 1.0 - thresh / jnp.maximum(norms, 1e-30)
+        scale = jnp.where(norms <= huber_delta + thresh,
+                          1.0 / (1.0 + thresh / huber_delta), shrink)
+        return v * scale
     scale = jnp.maximum(0.0, 1.0 - thresh / jnp.maximum(norms, 1e-30))
     return v * scale
 
@@ -77,9 +86,10 @@ def admm_step(state: ADMMState, x_noisy, *, reg, rho, cg_iter, cfg: TVConfig,
     b = x_noisy + rho * D_T(z - u, cfg.scheme, **kw)
     x = _cg_solve(apply_A, b, x, cg_iter)
     D_x = D(x, cfg.scheme, **kw)
-    z = group_soft_threshold(D_x + u, reg / rho, cfg.norm)
+    z = group_soft_threshold(D_x + u, reg / rho, cfg.norm, cfg.huber_delta)
     u = u + D_x - z
-    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(D_x, cfg.norm)
+    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
+        D_x, cfg.norm, huber_delta=cfg.huber_delta)
     return ADMMState(x, z, u), loss
 
 

@@ -40,12 +40,17 @@ def default_tau(cfg: TVConfig, Nz: int, M: int, sigma_A: float = 1.0) -> float:
     return 1.0 / (L2 + sigma_A)
 
 
-def dual_prox(p, reg, norm: str):
-    """Projection onto the dual ball of the TV norm: the L2 reg-ball per
-    pixel for isotropic TV (``README.md:150-151``), the [-reg, reg] box for
-    anisotropic L1,1 TV."""
+def dual_prox(p, reg, norm: str, sigma=1.0, huber_delta: float = 1.0):
+    """Prox of the TV term's convex conjugate: the per-pixel L2 reg-ball
+    projection for isotropic TV (``README.md:150-151``), the [-reg, reg] box
+    for anisotropic L1,1, and for Huber-TV a shrink by ``1 + sigma*delta/reg``
+    before the ball projection (F* gains the quadratic
+    ``delta/(2 reg) |y|^2``, Chambolle & Pock 2011 section 6.2; ``sigma``
+    may be a per-slot map for the preconditioned solver)."""
     if norm == "aniso":
         return jnp.clip(p, -reg, reg)
+    if norm == "huber":
+        p = p / (1.0 + sigma * huber_delta / reg)
     p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
     return p / jnp.maximum(1.0, p_norms / reg)
 
@@ -66,9 +71,10 @@ def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfi
     y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
     D_x = D(x, cfg.scheme, **kw)
     p = y_D + sigma_D * D_x
-    y_D = dual_prox(p, reg, cfg.norm)
+    y_D = dual_prox(p, reg, cfg.norm, sigma_D, cfg.huber_delta)
     x = x - tau * y_A - tau * D_T(y_D, cfg.scheme, **kw)
-    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(D_x, cfg.norm)
+    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
+        D_x, cfg.norm, huber_delta=cfg.huber_delta)
     return CPState(x, y_A, y_D), loss
 
 
@@ -83,11 +89,11 @@ def cp_step_precond(state_and_bar, x_noisy, *, reg, sigma_D_map, tau_map,
     y_A = (y_A + sigma_A * (x_bar - x_noisy)) / (1.0 + sigma_A)
     D_x = D(x_bar, cfg.scheme, **kw)
     p = y_D + sigma_D_map * D_x
-    y_D = dual_prox(p, reg, cfg.norm)
+    y_D = dual_prox(p, reg, cfg.norm, sigma_D_map, cfg.huber_delta)
     x_new = x - tau_map * (y_A + D_T(y_D, cfg.scheme, **kw))
     x_bar = 2.0 * x_new - x
     loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv_norm(
-        D(x_new, cfg.scheme, **kw), cfg.norm
+        D(x_new, cfg.scheme, **kw), cfg.norm, huber_delta=cfg.huber_delta
     )
     return (x_new, x_bar, y_A, y_D), loss
 

@@ -56,6 +56,12 @@ def fista(
     PRIMAL objective at each iterate for comparability with the other
     solvers.
     """
+    if cfg.norm == "huber":
+        raise ValueError(
+            "fista supports norm='iso'/'aniso' only (the Huber dual adds a "
+            "quadratic term to the ball constraint); use chambolle_pock or "
+            "admm for Huber-TV"
+        )
     kw = cfg.kwargs()
     if L is None:
         L = operator_norm_bound_sq(cfg.scheme, x_noisy.shape[0],

@@ -35,7 +35,7 @@ def gd_step(x, x_noisy, *, reg, step_size, cfg: TVConfig, mask_static=None,
     """
     tv, G = tv_and_subgrad(
         x, cfg.scheme, mask_static=mask_static, weight_time=weight_time,
-        norm_type=cfg.norm, **cfg.kwargs()
+        norm_type=cfg.norm, huber_delta=cfg.huber_delta, **cfg.kwargs()
     )
     x_new = x - step_size * ((x - x_noisy) + reg * G)
     loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv
@@ -103,7 +103,8 @@ def subgradient_descent(
         else:
             tv, G = tv_and_subgrad(
                 x, cfg.scheme, mask_static=mask_static,
-                weight_time=weight_time, norm_type=cfg.norm, **cfg.kwargs()
+                weight_time=weight_time, norm_type=cfg.norm,
+                huber_delta=cfg.huber_delta, **cfg.kwargs()
             )
         x_new = x - step_size * ((x - x0) + reg * G)
         loss = 0.5 * jnp.sum(jnp.square(x_new - x0)) + reg * tv

@@ -104,12 +104,13 @@ def cp_inverse(
             from .cp import dual_prox
 
             p = y_D + sigma * D(x_bar, cfg.scheme, **kw)
-            y_D = dual_prox(p, reg, cfg.norm)
+            y_D = dual_prox(p, reg, cfg.norm, sigma, cfg.huber_delta)
             x_new = x - tau * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
             x_bar = 2.0 * x_new - x
             resid = A(x_new) - b
             loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * tv_norm(
-                D(x_new, cfg.scheme, **kw), cfg.norm
+                D(x_new, cfg.scheme, **kw), cfg.norm,
+                huber_delta=cfg.huber_delta
             )
             return (x_new, x_bar, y_A, y_D), loss
 

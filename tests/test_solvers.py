@@ -447,3 +447,74 @@ def test_tgv_denoise_fixes_staircasing():
 
     with pytest.raises(ValueError, match="rank-4"):
         tgv_denoise(noisy)
+
+
+def test_huber_tv_norm_family():
+    """Huber-smoothed TV: value matches the closed form, the gradient is the
+    TRUE gradient (checked vs jax.grad), delta->0 recovers isotropic TV,
+    and CP/GD/ADMM all support it (FISTA and the fused kernels gate)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.kernels.dispatch import can_fuse
+    from pytv4d_tpu.ops.operators import D, compute_huber_norm
+    from pytv4d_tpu.ops.tv import tv_and_subgrad
+    from pytv4d_tpu.solvers.fista import fista
+
+    rng = np.random.default_rng(9)
+    img = jnp.asarray(rng.random((4, 2, 12, 12)) * 5)
+    delta = 0.5
+
+    D_img = D(img, "hybrid", reg_time=0.5)
+    n = np.sqrt(np.sum(np.asarray(D_img) ** 2, axis=1))
+    manual = np.sum(np.where(n <= delta, n**2 / (2 * delta), n - delta / 2))
+    got = float(compute_huber_norm(D_img, delta))
+    assert got == pytest.approx(manual, rel=1e-12)
+
+    # true gradient: matches autodiff of the smooth primal (no inf-trick)
+    tv_h, G_h = tv_and_subgrad(img, "hybrid", reg_time=0.5,
+                               norm_type="huber", huber_delta=delta)
+    auto = jax.grad(
+        lambda x: compute_huber_norm(D(x, "hybrid", reg_time=0.5), delta)
+    )(img)
+    np.testing.assert_allclose(np.asarray(G_h), np.asarray(auto), rtol=1e-10,
+                               atol=1e-12)
+
+    # delta -> 0 recovers the isotropic TV value
+    tv_iso, _ = tv_and_subgrad(img, "hybrid", reg_time=0.5)
+    tv_small = float(compute_huber_norm(D_img, 1e-6))
+    assert tv_small == pytest.approx(float(tv_iso), rel=1e-5)
+
+    noisy = jnp.asarray(rng.random((1, 1, 24, 24)) * 10 + 5)
+    cfg = TVConfig(scheme="hybrid", norm="huber", huber_delta=0.3)
+    cp_h = chambolle_pock(noisy, n_iter=150, reg=2.0, cfg=cfg)
+    assert float(cp_h.loss[-1]) < float(cp_h.loss[0])
+    gd_h = subgradient_descent(noisy, n_iter=150, reg=2.0, step_size=1e-2,
+                               cfg=cfg)
+    assert float(gd_h.loss[-1]) < float(gd_h.loss[0])
+    from pytv4d_tpu.solvers.admm import admm
+    ad_h = admm(noisy, n_iter=40, reg=2.0, cfg=cfg)
+    # all three minimize the same (smooth) objective - agree closely
+    assert float(ad_h.loss[-1]) == pytest.approx(float(cp_h.loss[-1]), rel=2e-3)
+    assert float(gd_h.loss[-1]) == pytest.approx(float(cp_h.loss[-1]), rel=2e-2)
+
+    # tiny delta tracks the isotropic CP solve
+    cfg_t = TVConfig(scheme="hybrid", norm="huber", huber_delta=1e-5)
+    cp_iso = chambolle_pock(noisy, n_iter=150, reg=2.0,
+                            cfg=TVConfig(scheme="hybrid"), fused=False)
+    cp_tiny = chambolle_pock(noisy, n_iter=150, reg=2.0, cfg=cfg_t)
+    assert float(cp_tiny.loss[-1]) == pytest.approx(float(cp_iso.loss[-1]),
+                                                    rel=1e-4)
+
+    assert not can_fuse((4, 2, 16, 16), cfg)  # stays on the jnp path
+    with pytest.raises(ValueError, match="Huber"):
+        fista(noisy, cfg=cfg)
+    with pytest.raises(ValueError, match="iso"):
+        from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+        from pytv4d_tpu.parallel.mesh import make_mesh
+        make_sharded_gd_solver_fused(make_mesh(z=1, t=1,
+                                               devices=jax.devices()[:1]),
+                                     cfg, (4, 2, 16, 16), reg=1.0, n_iter=1)
+    with pytest.raises(ValueError, match="huber_delta"):
+        TVConfig(norm="huber", huber_delta=0.0)
