@@ -70,12 +70,17 @@ def t_plane_multiplier(shape, cfg: TVConfig, mask_static=None,
 
 
 def can_fuse(shape, cfg: TVConfig, mask_static=None, dtype="float32",
-             weight_time=None) -> bool:
-    """Whether the fused kernels support this problem instance."""
+             weight_time=None, for_gd: bool = False) -> bool:
+    """Whether the fused kernels support this problem instance.
+
+    ``for_gd``: the tv-norms/subgradient kernels (GD path) support iso and
+    aniso only; the CP kernels additionally support the Huber conjugate
+    prox in-kernel."""
     if len(shape) != 4:
         return False
-    if cfg.norm not in ("iso", "aniso"):
-        return False  # huber prox/gradient stay on the jnp path
+    allowed = ("iso", "aniso") if for_gd else ("iso", "aniso", "huber")
+    if cfg.norm not in allowed:
+        return False  # huber GD gradient stays on the jnp path
     if mask_enabled(mask_static) and not _is_plane(mask_static, shape):
         return False  # full (Nz, M, N, N) masks stay on the jnp path
     if weight_time is not None and not _is_plane(weight_time, shape):

@@ -539,12 +539,23 @@ def _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
         norms_sq = ds[0] * ds[0]
         for d in ds[1:]:
             norms_sq = norms_sq + d * d
-        _write_part(l21_out, jnp.sum(jnp.sqrt(norms_sq)), dtype)
+        n = jnp.sqrt(norms_sq)
+        if cfg.norm == "huber":
+            dlt = cfg.huber_delta
+            _write_part(l21_out, jnp.sum(
+                jnp.where(n <= dlt, norms_sq / (2.0 * dlt), n - dlt / 2.0)),
+                dtype)
+        else:
+            _write_part(l21_out, jnp.sum(n), dtype)
 
+        # huber conjugate prox = shrink by 1 + sigma*delta/reg, then the
+        # same ball projection (solvers.cp.dual_prox)
+        shrink = (1.0 / (1.0 + sigma_D * cfg.huber_delta / reg)
+                  if cfg.norm == "huber" else 1.0)
         ps = []
         p_sq = None
         for i, d in enumerate(ds):
-            p = yD_ref[0, :, i].astype(dtype) + sigma_D * d
+            p = (yD_ref[0, :, i].astype(dtype) + sigma_D * d) * shrink
             ps.append(p)
             p_sq = p * p if p_sq is None else p_sq + p * p
         inv_scale = 1.0 / jnp.maximum(1.0, jnp.sqrt(p_sq) / reg)

@@ -66,7 +66,7 @@ def tv_and_subgrad(img, scheme="hybrid", mask=None, reg_z_over_reg=1.0,
             and len(img.shape) == 4 and jax.default_backend() == "tpu"
             and can_fuse(tuple(img.shape), cfg, mask_static=mask_static,
                          dtype=jax.numpy.asarray(img).dtype.name,
-                         weight_time=weight_time)):
+                         weight_time=weight_time, for_gd=True)):
         return _tv_fused(jax.numpy.asarray(img), mask_static, weight_time,
                          scheme, reg_z_over_reg, reg_time,
                          factor_reg_static, norm_type, return_grad_norms,

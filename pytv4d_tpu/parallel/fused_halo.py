@@ -160,11 +160,6 @@ def make_sharded_cp_solver_fused(
         tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
     if interpret is None:
         interpret = default_interpret()
-    if cfg.norm not in ("iso", "aniso"):
-        raise ValueError(
-            f"the fused kernels support norm='iso'/'aniso' only, got "
-            f"{cfg.norm!r}; use parallel.halo.make_sharded_cp_solver"
-        )
     dt_name = jnp.dtype(dtype).name
     if dt_name not in ("float32", "bfloat16"):
         raise ValueError(f"dtype must be float32 or bfloat16, got {dt_name}")

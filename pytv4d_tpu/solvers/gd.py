@@ -85,6 +85,7 @@ def subgradient_descent(
         fused = can_fuse(
             tuple(x_noisy.shape), cfg, mask_static=mask_static,
             dtype=jnp.dtype(x_noisy.dtype).name, weight_time=weight_time,
+            for_gd=True,
         )
     tmul = (
         t_plane_multiplier(tuple(x_noisy.shape), cfg, mask_static,

@@ -164,3 +164,33 @@ def test_fused_cp_long_horizon_parity(x0):
     b = chambolle_pock(x0, n_iter=300, reg=0.4, cfg=cfg, fused=True)
     rel = np.abs(np.asarray(b.loss) - np.asarray(a.loss)) / np.asarray(a.loss)
     assert float(rel.max()) < 1e-4, float(rel.max())
+
+
+@pytest.mark.parametrize("scheme", ["hybrid", "central"])
+def test_cp_step_fused_huber(x0, scheme):
+    """The in-kernel Huber conjugate prox (shrink-then-project) and the
+    huber loss partials must match the jnp step to f32 round-off, and the
+    fused solver must track the jnp huber solve end-to-end."""
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    cfg = TVConfig(scheme=scheme, reg_time=0.5, norm="huber",
+                   huber_delta=0.3)
+    tau = default_tau(cfg, SHAPE[0], SHAPE[1])
+    rng = np.random.default_rng(2)
+    st = init_state(x0, cfg)
+    st = CPState(st.x, jnp.asarray(rng.random(SHAPE), jnp.float32),
+                 jnp.asarray(rng.random(st.y_D.shape), jnp.float32) * 0.1)
+    ref, loss_ref = cp_step(st, x0, reg=0.5, sigma_D=0.5, sigma_A=1.0,
+                            tau=tau, cfg=cfg)
+    got, loss_got = cp_step_fused(st, x0, reg=0.5, sigma_D=0.5, sigma_A=1.0,
+                                  tau=tau, cfg=cfg, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.x), np.asarray(ref.x),
+                               atol=2e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(got.y_D), np.asarray(ref.y_D),
+                               atol=2e-6, rtol=1e-5)
+    assert float(loss_got) == pytest.approx(float(loss_ref), rel=1e-5)
+
+    a = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=False)
+    b = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=True)
+    np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
+                               rtol=1e-4)

@@ -399,6 +399,7 @@ def test_sharded_cp_overlap_matches_ghost_path():
         ("central", dict(), dict()),
         ("hybrid", dict(), dict()),
         ("hybrid", dict(norm="aniso"), dict()),
+        ("hybrid", dict(norm="huber", huber_delta=0.3), dict()),
         ("hybrid", dict(), dict(dual_dtype="bfloat16")),
         ("hybrid", dict(factor_reg_static=0.3), dict(mask_static=mask)),
     ]

@@ -507,7 +507,10 @@ def test_huber_tv_norm_family():
     assert float(cp_tiny.loss[-1]) == pytest.approx(float(cp_iso.loss[-1]),
                                                     rel=1e-4)
 
-    assert not can_fuse((4, 2, 16, 16), cfg)  # stays on the jnp path
+    # the CP kernels fuse the huber conjugate prox; the GD norms/G kernels
+    # do not (huber G needs the weighted adjoint) and stay on the jnp path
+    assert can_fuse((4, 2, 16, 16), cfg)
+    assert not can_fuse((4, 2, 16, 16), cfg, for_gd=True)
     with pytest.raises(ValueError, match="Huber"):
         fista(noisy, cfg=cfg)
     with pytest.raises(ValueError, match="iso"):
