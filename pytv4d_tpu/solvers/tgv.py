@@ -11,11 +11,13 @@ operators, ``tv_operators_CPU.py:222-286``) and ``E`` is the symmetrized
 Jacobian of the 2-vector field ``w``.  On piecewise-LINEAR signals TGV
 recovers the slope (w tracks the gradient) where TV produces staircases.
 
-Scope: TGV acts in-plane per (z, t) slice, batched over the canonical
-``(Nz, M, N_row, N_col)`` volume — the classic 2D TGV applied slice-wise
-(z/t coupling stays the business of the first-order TV solvers).  Solved
-with Chambolle-Pock over K = [[D, -I], [0, E]]; ``E``'s exact adjoint comes
-from ``jax.linear_transpose``, so the adjointness contract holds to fp
+Scope: by default (``axes='2d'``) TGV acts in-plane per (z, t) slice,
+batched over the canonical ``(Nz, M, N_row, N_col)`` volume — the classic
+2D TGV applied slice-wise.  ``axes='3d'`` couples (z, row, col): ``w``
+becomes a 3-field and ``E`` the 3x3 symmetrized Jacobian (6 channels), for
+volumes that are piecewise-linear along z too.  Solved with Chambolle-Pock
+over K = [[D, -I], [0, E]]; ``E``'s exact adjoint comes from
+``jax.linear_transpose``, so the adjointness contract holds to fp
 precision by construction.
 """
 
@@ -60,6 +62,41 @@ def _sym_grad(w):
     return jnp.stack([d_r(wr), d_c(wc), 0.5 * (d_c(wr) + d_r(wc))], axis=1)
 
 
+def _d_fwd3(x):
+    """Volumetric forward differences (Nz, M, Nr, Nc) -> (Nz, 3, M, Nr, Nc)
+    with components [z, row, col], zero at the far boundary."""
+    dz = jnp.pad(x[1:] - x[:-1], ((0, 1), (0, 0), (0, 0), (0, 0)))
+    dr = jnp.pad(x[:, :, 1:] - x[:, :, :-1], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    dc = jnp.pad(x[..., 1:] - x[..., :-1], ((0, 0), (0, 0), (0, 0), (0, 1)))
+    return jnp.stack([dz, dr, dc], axis=1)
+
+
+def _sym_grad3(w):
+    """Symmetrized Jacobian of the 3-field w (Nz, 3, M, Nr, Nc) ->
+    (Nz, 6, M, Nr, Nc): diagonals [d_z w_z, d_r w_r, d_c w_c] then
+    off-diagonals [(d_r w_z + d_z w_r)/2, (d_c w_z + d_z w_c)/2,
+    (d_c w_r + d_r w_c)/2]; backward differences, zero at the first slot."""
+    wz, wr, wc = w[:, 0], w[:, 1], w[:, 2]
+
+    def d_z(a):
+        return jnp.pad(a[1:] - a[:-1], ((1, 0), (0, 0), (0, 0), (0, 0)))
+
+    def d_r(a):
+        return jnp.pad(a[:, :, 1:] - a[:, :, :-1],
+                       ((0, 0), (0, 0), (1, 0), (0, 0)))
+
+    def d_c(a):
+        return jnp.pad(a[..., 1:] - a[..., :-1],
+                       ((0, 0), (0, 0), (0, 0), (1, 0)))
+
+    return jnp.stack([
+        d_z(wz), d_r(wr), d_c(wc),
+        0.5 * (d_r(wz) + d_z(wr)),
+        0.5 * (d_c(wz) + d_z(wc)),
+        0.5 * (d_c(wr) + d_r(wc)),
+    ], axis=1)
+
+
 def _l21(v):
     return jnp.sum(jnp.sqrt(jnp.sum(jnp.square(v), axis=1)))
 
@@ -70,7 +107,8 @@ def _proj_ball(p, radius):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split")
+    jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
+                              "axes")
 )
 def tgv_denoise(
     x_noisy,
@@ -78,13 +116,17 @@ def tgv_denoise(
     alpha1: float = 25.0,
     alpha0: float = 50.0,
     sigma_tau_split: float = 1.0,
+    axes: str = "2d",
 ) -> TGVResult:
-    """TGV-2 denoising with Chambolle-Pock; accepts 2D/3D/4D input like the
-    TV solvers (``utils.as_volume``).  ``alpha1`` weighs first-order
+    """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
-    choice is ``alpha0 = 2 * alpha1``.  Step sizes: sigma = split/L,
-    tau = 1/(split*L) with L^2 >= ||K||^2 = 12 + sqrt(136) (Bredies et al.,
-    section 6, 2D bound for [[D, -I], [0, E]]).
+    choice is ``alpha0 = 2 * alpha1``.
+
+    ``axes='2d'`` (default): in-plane TGV per (z, t) slice — step sizes use
+    the exact 2D bound ``||K||^2 = 12 + sqrt(136)`` (Bredies et al. sec. 6).
+    ``axes='3d'``: volumetric TGV coupling (z, row, col) — w is a 3-field,
+    E the 3x3 symmetrized Jacobian (6 channels), steps from the conservative
+    bound ``||K||^2 <= max(2 ||D||^2, 2 + ||E||^2) = 24``.
 
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
@@ -95,31 +137,40 @@ def tgv_denoise(
             f"shape {tuple(x0.shape)}; use models.TVDenoiser(...).tgv for "
             f"2D/3D inputs"
         )
+    if axes not in ("2d", "3d"):
+        raise ValueError(f"axes must be '2d' or '3d', got {axes!r}")
     dtype = x0.dtype
 
-    L = jnp.sqrt(12.0 + jnp.sqrt(136.0)).astype(dtype)
+    if axes == "3d":
+        d_fwd, sym_grad = _d_fwd3, _sym_grad3
+        n_w, n_q = 3, 6
+        L = jnp.sqrt(24.0).astype(dtype)
+    else:
+        d_fwd, sym_grad = _d_fwd, _sym_grad
+        n_w, n_q = 2, 3
+        L = jnp.sqrt(12.0 + jnp.sqrt(136.0)).astype(dtype)
     sigma = (sigma_tau_split / L).astype(dtype)
     tau = (1.0 / (sigma_tau_split * L)).astype(dtype)
 
     Nz, M, Nr, Nc = x0.shape
-    w0 = jnp.zeros((Nz, 2, M, Nr, Nc), dtype)
-    p0 = jnp.zeros_like(w0)                       # dual of (Dx - w)
-    q0 = jnp.zeros((Nz, 3, M, Nr, Nc), dtype)     # dual of (E w)
+    w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
+    p0 = jnp.zeros_like(w0)                        # dual of (Dx - w)
+    q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)    # dual of (E w)
 
-    sym_T = _transpose_of(_sym_grad, w0.shape, dtype)
-    d_T = _transpose_of(_d_fwd, x0.shape, dtype)
+    sym_T = _transpose_of(sym_grad, w0.shape, dtype)
+    d_T = _transpose_of(d_fwd, x0.shape, dtype)
 
     def step(carry, _):
         x, xb, w, wb, p, q = carry
-        p = _proj_ball(p + sigma * (_d_fwd(xb) - wb), alpha1)
-        q = _proj_ball(q + sigma * _sym_grad(wb), alpha0)
+        p = _proj_ball(p + sigma * (d_fwd(xb) - wb), alpha1)
+        q = _proj_ball(q + sigma * sym_grad(wb), alpha0)
         x_new = (x - tau * d_T(p) + tau * x0) / (1.0 + tau)
         w_new = w - tau * (-p + sym_T(q))
         xb = 2.0 * x_new - x
         wb = 2.0 * w_new - w
         loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
-                + alpha1 * _l21(_d_fwd(x_new) - w_new)
-                + alpha0 * _l21(_sym_grad(w_new)))
+                + alpha1 * _l21(d_fwd(x_new) - w_new)
+                + alpha0 * _l21(sym_grad(w_new)))
         return (x_new, xb, w_new, wb, p, q), loss
 
     (x, _, w, _, _, _), losses = jax.lax.scan(

@@ -449,6 +449,56 @@ def test_tgv_denoise_fixes_staircasing():
         tgv_denoise(noisy)
 
 
+def test_tgv_denoise_3d_axes():
+    """Volumetric TGV (``axes='3d'``): the 6-channel symmetrized Jacobian's
+    exact adjoint, convergence, and the z-coupling experiment — on a volume
+    that is piecewise-linear ALONG z, 3D TGV recovers the z-slope while
+    slice-wise 2D TGV (blind to z) cannot."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import (
+        _d_fwd3,
+        _sym_grad3,
+        _transpose_of,
+        tgv_denoise,
+    )
+
+    rng = np.random.default_rng(1)
+    w = jnp.asarray(rng.random((6, 3, 2, 12, 12)))
+    q = jnp.asarray(rng.random((6, 6, 2, 12, 12)))
+    ET = _transpose_of(_sym_grad3, w.shape, w.dtype)
+    lhs = float(jnp.sum(q * _sym_grad3(w)))
+    rhs = float(jnp.sum(ET(q) * w))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    x = jnp.asarray(rng.random((6, 2, 12, 12)))
+    p = jnp.asarray(rng.random((6, 3, 2, 12, 12)))
+    DT = _transpose_of(_d_fwd3, x.shape, x.dtype)
+    lhs = float(jnp.sum(p * _d_fwd3(x)))
+    rhs = float(jnp.sum(DT(p) * x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    # z-ramp volume: each (row, col) plane is constant, value linear in z.
+    Nz, N = 32, 8
+    clean = (np.linspace(0.0, 100.0, Nz)[:, None, None, None]
+             * np.ones((Nz, 1, N, N)))
+    noisy = clean + 10.0 * rng.standard_normal(clean.shape)
+    res3 = tgv_denoise(noisy, n_iter=600, alpha1=8.0, alpha0=16.0,
+                       axes="3d")
+    res2 = tgv_denoise(noisy, n_iter=600, alpha1=8.0, alpha0=16.0)
+    err3 = float(np.sqrt(np.mean((np.asarray(res3.x) - clean) ** 2)))
+    err2 = float(np.sqrt(np.mean((np.asarray(res2.x) - clean) ** 2)))
+    assert err3 < err2, (err3, err2)
+    assert err3 < 2.0
+
+    loss = np.asarray(res3.loss)
+    assert loss[-1] < 0.5 * loss[0]
+    assert res3.w.shape == (Nz, 3, 1, N, N)
+
+    with pytest.raises(ValueError, match="axes"):
+        tgv_denoise(noisy, axes="4d")
+
+
 def test_huber_tv_norm_family():
     """Huber-smoothed TV: value matches the closed form, the gradient is the
     TRUE gradient (checked vs jax.grad), delta->0 recovers isotropic TV,
