@@ -2,8 +2,10 @@
 interpreter on CPU (numerics-identical, used by the test suite), jnp fallback
 when a plane does not fit VMEM or a feature combination is unsupported.
 
-Feature coverage of the fused path: all four schemes, iso ('iso' L2,1) and
-aniso ('aniso' L1,1) norms, bf16 dual storage, static masks and per-pixel
+Feature coverage of the fused path: all four schemes, iso ('iso' L2,1),
+aniso ('aniso' L1,1) and Huber-smoothed ('huber') norms — on both the CP
+prox kernels and the GD tv-norms/subgradient kernels — bf16 dual storage,
+static masks and per-pixel
 ``weight_time`` planes shaped like the reference's ``(1, 1, N, N)`` contract
 (``tv_operators_CPU.py:148-151``, ``README.md:258``).  Full per-voxel
 ``(Nz, M, N, N)`` weight fields stay on the jnp path.
@@ -73,14 +75,12 @@ def can_fuse(shape, cfg: TVConfig, mask_static=None, dtype="float32",
              weight_time=None, for_gd: bool = False) -> bool:
     """Whether the fused kernels support this problem instance.
 
-    ``for_gd``: the tv-norms/subgradient kernels (GD path) support iso and
-    aniso only; the CP kernels additionally support the Huber conjugate
-    prox in-kernel."""
+    ``for_gd``: kept for call-site symmetry — both kernel families (CP
+    prox and tv-norms/subgradient) now cover iso, aniso and huber."""
     if len(shape) != 4:
         return False
-    allowed = ("iso", "aniso") if for_gd else ("iso", "aniso", "huber")
-    if cfg.norm not in allowed:
-        return False  # huber GD gradient stays on the jnp path
+    if cfg.norm not in ("iso", "aniso", "huber"):
+        return False
     if mask_enabled(mask_static) and not _is_plane(mask_static, shape):
         return False  # full (Nz, M, N, N) masks stay on the jnp path
     if weight_time is not None and not _is_plane(weight_time, shape):

@@ -1212,6 +1212,11 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
     partial is the L1,1 sum, matching ``ops.tv.tv_and_subgrad``'s aniso
     return.
 
+    ``cfg.norm='huber'``: the tv partial is the Huber-smoothed value and
+    the per-pixel array stays the RAW magnitude (no inf convention — the
+    gradient divides by ``max(n, delta) >= delta > 0``), matching the jnp
+    path's ``return_grad_norms`` contract (``ops/tv.py:111-120``).
+
     ``halo_mode``: sharded execution — x arrives extended by 1 ghost plane
     per side along z and t (the time ghosts ride inside the tile); z/t
     gating is disabled (parallel/fused_halo.py)."""
@@ -1250,6 +1255,13 @@ def make_tv_norms_kernel(cfg: TVConfig, shape, dtype_name="float32",
         for d in ds[1:]:
             norms_sq = norms_sq + d * d
         norms = jnp.sqrt(norms_sq)
+        if cfg.norm == "huber":
+            dlt = cfg.huber_delta
+            _write_part(tv_out, jnp.sum(
+                jnp.where(norms <= dlt, norms_sq / (2.0 * dlt),
+                          norms - dlt / 2.0)), dtype)
+            norms_out[0] = norms
+            return
         _write_part(tv_out, jnp.sum(norms), dtype)
         # inf convention (tv_CPU.py:85-86): zero-norm pixels contribute 0
         norms_out[0] = jnp.where(norms == 0, jnp.inf, norms)
@@ -1326,6 +1338,13 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     ``cfg.norm='aniso'``: G = D_T(sign(D x)) with FULL weights (the true
     L1,1 subgradient) — no norms operands at all (``call(x, None)``).
 
+    ``cfg.norm='huber'``: G = D_T(D x / max(n, delta)) with FULL weights
+    (the TRUE smooth gradient, ``ops/tv.py:111-120``) — iso's dataflow
+    (norms operands, per-pixel division) with aniso's weighting (weights
+    re-applied in the adjoint, no trailing norm factor); the divisor is
+    clamped at ``huber_delta`` in-kernel, so pass 1's raw magnitudes are
+    consumed directly and no inf convention is involved.
+
     ``t_plane``: (Nr, Nc) multiplier on the time channels of D; the iso G
     scatters it as part of ``D_x / norms`` (the reference does not re-apply
     weights in G); the aniso G additionally re-applies it, like D_T.
@@ -1335,6 +1354,8 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
     gate = not halo_mode
     need_z = _needs_z(chans)
     aniso = cfg.norm == "aniso"
+    huber = cfg.norm == "huber"
+    dlt = cfg.huber_delta
     e2 = 2 if halo_mode else 0   # x extended by 2 ghost planes per side
     en = 1 if halo_mode else 0   # norms extended by 1
     M, TR, Nc = sp.M, sp.TR, sp.Nc
@@ -1372,7 +1393,9 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
         g_out = next(it)
 
         z, r = pl.program_id(0), pl.program_id(1)
-        inv_n = None if aniso else 1.0 / n_c
+        # huber divides by max(n, delta) — raw pass-1 magnitudes, no inf
+        safe = (lambda a: jnp.maximum(a, dlt)) if huber else (lambda a: a)
+        inv_n = None if aniso else 1.0 / safe(n_c)
         zero_row = jnp.zeros((M, 1, Nc), dtype)
 
         def row_of(offset):
@@ -1400,7 +1423,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 return v * w * div if div is not None else v * w
 
             def inv(arr):
-                return None if aniso else 1.0 / arr
+                return None if aniso else 1.0 / safe(arr)
 
             if ch.axis == AXIS_COL:
                 y = y_val(_ax_d(x_c, 2, ch.kind), inv_n)
@@ -1429,8 +1452,8 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                     else:
                         d_up = ext_u[:, 2:3] - ext_u[:, 0:1]
                         d_dn = ext_d[:, 2:3] - ext_d[:, 0:1]
-                    y_up = y_val(d_up, None if aniso else 1.0 / nu_row)
-                    y_dn = y_val(d_dn, None if aniso else 1.0 / nd_row)
+                    y_up = y_val(d_up, None if aniso else 1.0 / safe(nu_row))
+                    y_dn = y_val(d_dn, None if aniso else 1.0 / safe(nd_row))
                 else:
                     y_up = y_dn = zero_row
                 c = _row_dt(ch.kind, y_c, y_up, y_dn, r, sp.R)
@@ -1472,7 +1495,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                     if aniso:
                         Ye = jnp.sign(d_ext)
                     else:
-                        Ye = d_ext * w / nt_raw
+                        Ye = d_ext * w / safe(nt_raw)
                     if ch.kind == FWD:
                         c = Ye[0:M] - Ye[1:M + 1]
                     elif ch.kind == BWD:
@@ -1482,7 +1505,7 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
                 else:
                     Y = y_val(_ax_d(x_c, 0, ch.kind), inv_n)
                     c = _ax_dt(Y, 0, ch.kind)
-            if aniso:
+            if aniso or huber:
                 # re-apply the full weight (and the per-pixel time
                 # multiplier) in the adjoint, exactly like D_T
                 c = c * w
@@ -1491,10 +1514,10 @@ def make_tv_subgrad_kernel(cfg: TVConfig, shape, dtype_name="float32",
             G = c if G is None else G + c
         # iso: G = norm * unweighted-adjoint(D/norms) and the y values above
         # already carry one norm factor inside w -> total norm^2, matching
-        # the reference's double application (tv_CPU.py:124,328).  aniso:
-        # the per-channel w (= channel_weight * norm) applied above already
-        # folds D_T's trailing norm.
-        g_out[0] = (G * norm if not aniso else G).astype(store)
+        # the reference's double application (tv_CPU.py:124,328).  aniso/
+        # huber: the per-channel w (= channel_weight * norm) applied above
+        # already folds D_T's trailing norm.
+        g_out[0] = (G * norm if not (aniso or huber) else G).astype(store)
 
     n_xs = 1 + 4 * need_z
     n_ns = 0 if aniso else 1 + 2 * need_z

@@ -403,9 +403,10 @@ def make_sharded_gd_solver_fused(
     """jit(lax.scan(fused subgradient-descent step under shard_map)): the
     fused tv-norms and subgradient kernels per shard, ghost-plane halos
     (1-deep for the norms pass, 2-deep for the G pass), psum for the loss.
-    Supports both TV norms (iso L2,1 and aniso L1,1) and plane-shaped
-    static masks / weight_time, like the unsharded fused path, and bf16
-    primary storage (``dtype='bfloat16'``; compute stays f32 in-kernel).
+    Supports all three TV norms (iso L2,1, aniso L1,1 and Huber-smoothed)
+    and plane-shaped static masks / weight_time, like the unsharded fused
+    path, and bf16 primary storage (``dtype='bfloat16'``; compute stays
+    f32 in-kernel).
     ``solve(x_noisy, x) -> (x, losses)``; inputs sharded with
     ``parallel.mesh.shard_volume``, in ``dtype``."""
     from ..kernels.dispatch import default_interpret, t_plane_multiplier
@@ -413,9 +414,9 @@ def make_sharded_gd_solver_fused(
 
     if interpret is None:
         interpret = default_interpret()
-    if cfg.norm not in ("iso", "aniso"):
+    if cfg.norm not in ("iso", "aniso", "huber"):
         raise ValueError(
-            f"the fused kernels support norm='iso'/'aniso' only, got "
+            f"the fused kernels support norm='iso'/'aniso'/'huber', got "
             f"{cfg.norm!r}"
         )
     dt_name = jnp.dtype(dtype).name

@@ -232,6 +232,18 @@ def sharded_tv_and_subgrad(mesh: Mesh, cfg: TVConfig, global_shape,
             # true subgradient D^T sign(D x), full weights (ops/tv.py aniso)
             G = _local_D_T(jnp.sign(D_img), cfg, ctx, global_shape)
             return tv, G
+        if cfg.norm == "huber":
+            norms = jnp.sqrt(jnp.sum(jnp.square(D_img), axis=1))
+            d = cfg.huber_delta
+            tv = jnp.sum(jnp.where(norms <= d,
+                                   jnp.square(norms) / (2.0 * d),
+                                   norms - d / 2.0))
+            if axes:
+                tv = lax.psum(tv, axes)
+            # true smooth gradient D^T(D x / max(n, delta)), full weights
+            G = _local_D_T(D_img / jnp.maximum(norms, d)[:, None], cfg,
+                           ctx, global_shape)
+            return tv, G
         norms = jnp.sqrt(jnp.sum(jnp.square(D_img), axis=1))
         tv = jnp.sum(norms)
         if axes:

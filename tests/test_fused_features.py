@@ -44,7 +44,7 @@ def _combos(mask, wt):
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
-@pytest.mark.parametrize("norm", ["iso", "aniso"])
+@pytest.mark.parametrize("norm", ["iso", "aniso", "huber"])
 def test_tv_subgrad_fused_mask_weight(x0, mask, wt, scheme, norm):
     for ms, w_t, label in _combos(mask, wt):
         cfg = TVConfig(scheme=scheme, reg_time=0.7, factor_reg_static=0.3,
@@ -63,7 +63,7 @@ def test_tv_subgrad_fused_mask_weight(x0, mask, wt, scheme, norm):
 
 
 @pytest.mark.parametrize("scheme", SCHEMES)
-@pytest.mark.parametrize("norm", ["iso", "aniso"])
+@pytest.mark.parametrize("norm", ["iso", "aniso", "huber"])
 def test_cp_step_fused_mask_weight(x0, mask, wt, scheme, norm):
     rng = np.random.default_rng(5)
     for ms, w_t, label in _combos(mask, wt):
@@ -231,10 +231,19 @@ def test_api_tv_fused_wrapper_covers_features(x0, mask, wt):
     """ops.api._tv_fused (the TPU auto-dispatch target) with masks/aniso."""
     from pytv4d_tpu.ops.api import _tv_fused
 
-    got = _tv_fused(x0, mask, wt, "hybrid", 1.0, 0.7, 0.3, "aniso", False,
-                    True)
+    got = _tv_fused(x0, mask, wt, "hybrid", 1.0, 0.7, 0.3, "aniso", 1.0,
+                    False, True)
     ref = tv_and_subgrad(x0, "hybrid", reg_time=0.7, factor_reg_static=0.3,
                          mask_static=mask, weight_time=wt, norm_type="aniso")
+    assert float(got[0]) == pytest.approx(float(ref[0]), rel=1e-5)
+    np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
+                               atol=5e-6, rtol=1e-4)
+
+    got = _tv_fused(x0, mask, wt, "hybrid", 1.0, 0.7, 0.3, "huber", 0.3,
+                    False, True)
+    ref = tv_and_subgrad(x0, "hybrid", reg_time=0.7, factor_reg_static=0.3,
+                         mask_static=mask, weight_time=wt, norm_type="huber",
+                         huber_delta=0.3)
     assert float(got[0]) == pytest.approx(float(ref[0]), rel=1e-5)
     np.testing.assert_allclose(np.asarray(got[1]), np.asarray(ref[1]),
                                atol=5e-6, rtol=1e-4)

@@ -194,3 +194,33 @@ def test_cp_step_fused_huber(x0, scheme):
     b = chambolle_pock(x0, n_iter=20, reg=0.3, cfg=cfg, fused=True)
     np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
                                rtol=1e-4)
+
+
+@pytest.mark.parametrize("scheme", SCHEMES)
+def test_tv_subgrad_fused_huber(x0, scheme):
+    """Huber tv-norms/subgradient kernels: the Huber value, the TRUE smooth
+    gradient D^T(D x / max(n, delta)) and the RAW grad_norms (no inf
+    convention — ops/tv.py:111-120) must match the jnp path; GD auto-selects
+    the fused kernels for huber now."""
+    cfg = TVConfig(scheme=scheme, reg_time=0.5, norm="huber",
+                   huber_delta=0.3)
+    tv_r, G_r, n_r = tv_and_subgrad(x0, scheme, reg_time=0.5,
+                                    norm_type="huber", huber_delta=0.3,
+                                    return_grad_norms=True)
+    tv_g, G_g, n_g = tv_and_subgrad_fused(x0, cfg, interpret=True,
+                                          return_grad_norms=True)
+    assert float(tv_g) == pytest.approx(float(tv_r), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(G_g), np.asarray(G_r),
+                               atol=3e-6, rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(n_g), np.asarray(n_r),
+                               atol=3e-6, rtol=1e-5)
+
+    assert can_fuse(SHAPE, cfg, for_gd=True)
+    ga = subgradient_descent(x0, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=False)
+    gb = subgradient_descent(x0, n_iter=20, reg=0.3, step_size=1e-2, cfg=cfg,
+                             fused=True)
+    np.testing.assert_allclose(np.asarray(gb.loss), np.asarray(ga.loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(gb.x), np.asarray(ga.x),
+                               atol=1e-5, rtol=1e-4)

@@ -523,6 +523,41 @@ def test_sharded_fused_cp_bf16_primary():
                                    atol=3e-2, rtol=2e-2)
 
 
+def test_sharded_huber_gd_paths():
+    """Huber on the sharded GD paths: the jnp shard_map tv/G (true smooth
+    gradient + Huber value under psum) and the sharded FUSED norms/subgrad
+    kernels must both track the unsharded solve."""
+    from pytv4d_tpu.ops.tv import tv_and_subgrad
+    from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+    from pytv4d_tpu.solvers.gd import subgradient_descent
+
+    rng = np.random.default_rng(64)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5, norm="huber",
+                   huber_delta=0.3)
+    img = rng.random(shape)
+    mesh = _mesh42()
+
+    tv_s, G_s = sharded_tv_and_subgrad(mesh, cfg, shape)(
+        shard_volume(jnp.asarray(img), mesh))
+    tv_l, G_l = tv_and_subgrad(jnp.asarray(img), "hybrid", reg_time=0.5,
+                               norm_type="huber", huber_delta=0.3)
+    assert float(tv_s) == pytest.approx(float(tv_l), rel=1e-6)
+    np.testing.assert_allclose(np.asarray(G_s), np.asarray(G_l),
+                               atol=1e-6, rtol=1e-5)
+
+    noisy = jnp.asarray(rng.random(shape) + 2.0, jnp.float32)
+    gref = subgradient_descent(noisy, n_iter=15, reg=0.4, step_size=1e-2,
+                               cfg=cfg, fused=False)
+    gsolve = make_sharded_gd_solver_fused(mesh, cfg, shape, reg=0.4,
+                                          n_iter=15, step_size=1e-2)
+    gx, glosses = gsolve(shard_volume(noisy, mesh), shard_volume(noisy, mesh))
+    np.testing.assert_allclose(np.asarray(glosses), np.asarray(gref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(gx), np.asarray(gref.x),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_sharded_fused_gd_bf16_primary():
     """bf16 primary storage on the sharded fused GD path vs the unsharded
     fused solver at the same dtype."""

@@ -557,17 +557,18 @@ def test_huber_tv_norm_family():
     assert float(cp_tiny.loss[-1]) == pytest.approx(float(cp_iso.loss[-1]),
                                                     rel=1e-4)
 
-    # the CP kernels fuse the huber conjugate prox; the GD norms/G kernels
-    # do not (huber G needs the weighted adjoint) and stay on the jnp path
+    # both kernel families fuse huber: the CP conjugate prox AND the GD
+    # norms/G kernels (tests/test_kernels.py::test_tv_subgrad_fused_huber)
     assert can_fuse((4, 2, 16, 16), cfg)
-    assert not can_fuse((4, 2, 16, 16), cfg, for_gd=True)
+    assert can_fuse((4, 2, 16, 16), cfg, for_gd=True)
     with pytest.raises(ValueError, match="Huber"):
         fista(noisy, cfg=cfg)
-    with pytest.raises(ValueError, match="iso"):
-        from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
-        from pytv4d_tpu.parallel.mesh import make_mesh
-        make_sharded_gd_solver_fused(make_mesh(z=1, t=1,
-                                               devices=jax.devices()[:1]),
-                                     cfg, (4, 2, 16, 16), reg=1.0, n_iter=1)
+    # the sharded fused GD factory accepts huber now (end-to-end parity in
+    # tests/test_sharding.py::test_sharded_huber_gd_paths)
+    from pytv4d_tpu.parallel import make_sharded_gd_solver_fused
+    from pytv4d_tpu.parallel.mesh import make_mesh
+    make_sharded_gd_solver_fused(make_mesh(z=1, t=1,
+                                           devices=jax.devices()[:1]),
+                                 cfg, (4, 2, 16, 16), reg=1.0, n_iter=1)
     with pytest.raises(ValueError, match="huber_delta"):
         TVConfig(norm="huber", huber_delta=0.0)
