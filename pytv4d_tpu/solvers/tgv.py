@@ -15,7 +15,8 @@ Scope: by default (``axes='2d'``) TGV acts in-plane per (z, t) slice,
 batched over the canonical ``(Nz, M, N_row, N_col)`` volume — the classic
 2D TGV applied slice-wise.  ``axes='3d'`` couples (z, row, col): ``w``
 becomes a 3-field and ``E`` the 3x3 symmetrized Jacobian (6 channels), for
-volumes that are piecewise-linear along z too.  Solved with Chambolle-Pock
+volumes that are piecewise-linear along z too.  ``axes='4d'`` additionally
+couples time (4-field ``w``, 10-channel ``E``).  Solved with Chambolle-Pock
 over K = [[D, -I], [0, E]]; ``E``'s exact adjoint comes from
 ``jax.linear_transpose``, so the adjointness contract holds to fp
 precision by construction.
@@ -97,6 +98,38 @@ def _sym_grad3(w):
     ], axis=1)
 
 
+def _d_fwd4(x):
+    """Space-time forward differences (Nz, M, Nr, Nc) -> (Nz, 4, M, Nr, Nc)
+    with components [z, t, row, col], zero at the far boundary."""
+    dz = jnp.pad(x[1:] - x[:-1], ((0, 1), (0, 0), (0, 0), (0, 0)))
+    dt = jnp.pad(x[:, 1:] - x[:, :-1], ((0, 0), (0, 1), (0, 0), (0, 0)))
+    dr = jnp.pad(x[:, :, 1:] - x[:, :, :-1], ((0, 0), (0, 0), (0, 1), (0, 0)))
+    dc = jnp.pad(x[..., 1:] - x[..., :-1], ((0, 0), (0, 0), (0, 0), (0, 1)))
+    return jnp.stack([dz, dt, dr, dc], axis=1)
+
+
+def _sym_grad4(w):
+    """Symmetrized Jacobian of the 4-field w (Nz, 4, M, Nr, Nc) ->
+    (Nz, 10, M, Nr, Nc): diagonals [d_z w_z, d_t w_t, d_r w_r, d_c w_c]
+    then off-diagonals for the pairs (z,t), (z,r), (z,c), (t,r), (t,c),
+    (r,c); backward differences, zero at the first slot."""
+    wz, wt, wr, wc = w[:, 0], w[:, 1], w[:, 2], w[:, 3]
+
+    def d(a, axis):
+        pad = [(0, 0)] * 4
+        pad[axis] = (1, 0)
+        sl = [slice(None)] * 4
+        lo, hi = list(sl), list(sl)
+        lo[axis], hi[axis] = slice(1, None), slice(None, -1)
+        return jnp.pad(a[tuple(lo)] - a[tuple(hi)], pad)
+
+    fields = (wz, wt, wr, wc)
+    diag = [d(f, i) for i, f in enumerate(fields)]
+    off = [0.5 * (d(fields[i], j) + d(fields[j], i))
+           for i in range(4) for j in range(i + 1, 4)]
+    return jnp.stack(diag + off, axis=1)
+
+
 def _l21(v):
     return jnp.sum(jnp.sqrt(jnp.sum(jnp.square(v), axis=1)))
 
@@ -127,6 +160,10 @@ def tgv_denoise(
     ``axes='3d'``: volumetric TGV coupling (z, row, col) — w is a 3-field,
     E the 3x3 symmetrized Jacobian (6 channels), steps from the conservative
     bound ``||K||^2 <= max(2 ||D||^2, 2 + ||E||^2) = 24``.
+    ``axes='4d'``: full space-time coupling (z, t, row, col) — w is a
+    4-field, E the 4x4 symmetrized Jacobian (10 channels), bound
+    ``max(2*16, 2 + 10) = 32``; for volumes piecewise-linear along time
+    too (e.g. steady motion between frames).
 
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
@@ -137,11 +174,15 @@ def tgv_denoise(
             f"shape {tuple(x0.shape)}; use models.TVDenoiser(...).tgv for "
             f"2D/3D inputs"
         )
-    if axes not in ("2d", "3d"):
-        raise ValueError(f"axes must be '2d' or '3d', got {axes!r}")
+    if axes not in ("2d", "3d", "4d"):
+        raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
     dtype = x0.dtype
 
-    if axes == "3d":
+    if axes == "4d":
+        d_fwd, sym_grad = _d_fwd4, _sym_grad4
+        n_w, n_q = 4, 10
+        L = jnp.sqrt(32.0).astype(dtype)
+    elif axes == "3d":
         d_fwd, sym_grad = _d_fwd3, _sym_grad3
         n_w, n_q = 3, 6
         L = jnp.sqrt(24.0).astype(dtype)
