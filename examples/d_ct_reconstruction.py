@@ -58,3 +58,24 @@ corr_fan = np.corrcoef(np.asarray(res_fan.x).ravel(), truth.ravel())[0, 1]
 print(f"fan-beam: {len(angles_fan)} views, OS-SART warm start "
       f"(residual {float(warm.residual[0]):.2e} -> {float(warm.residual[-1]):.2e}), "
       f"TV recon corr(truth) = {corr_fan:.3f}")
+
+# ---- cone-beam geometry + FDK warm start ---------------------------------
+# The cone couples z: the sinogram is (M, n_angles, n_det_v, n_det_u) and a
+# full-circle orbit feeds the classical Feldkamp (FDK) reconstruction,
+# which in turn warm-starts the TV-regularized solve.
+from pytv4d_tpu.models.ct import ConeBeamGeometry, fdk, radon_cone
+
+Nz = 8
+truth3d = np.stack([
+    truth[0, 0] * (0.6 + 0.4 * np.cos(np.pi * (z - (Nz - 1) / 2) / Nz))
+    for z in range(Nz)
+])[:, None]                                      # (Nz, 1, N, N)
+geom_c = ConeBeamGeometry(source_dist=96.0, det_dist=24.0)
+angles_c = jnp.linspace(0, 2 * np.pi, 48, endpoint=False)
+sino_c = radon_cone(truth3d, angles_c, geom_c, n_det_v=2 * Nz)
+rec_fdk = fdk(sino_c, angles_c, geom_c, truth3d.shape)
+res_c = cp_reconstruct(sino_c, angles_c, truth3d.shape, n_iter=60, reg=0.01,
+                       geom=geom_c, x_init=rec_fdk)
+corr_c = np.corrcoef(np.asarray(res_c.x).ravel(), truth3d.ravel())[0, 1]
+print(f"cone-beam: {len(angles_c)} views, FDK warm start, "
+      f"TV recon corr(truth) = {corr_c:.3f}")

@@ -1,11 +1,15 @@
 from . import ct, denoise
 from .ct import (
+    ConeBeamGeometry,
     FanBeamGeometry,
     cp_reconstruct,
     fbp,
+    fdk,
+    make_cone_projector,
     make_fan_projector,
     make_projector,
     radon,
+    radon_cone,
     radon_fan,
     sart,
     sinogram_sharding,

@@ -79,19 +79,41 @@ def test_cp_reconstruction_recovers_phantom():
     assert corr > 0.95, f"reconstruction correlation {corr:.3f}"
 
 
+def _disk_phantom(N: int, dtype=np.float32):
+    """Phantom masked to a centered disk — FBP/FDK assume compact support
+    inside the scan FOV (an object filling the frame has truncated
+    projections -> cupping, regardless of filter quality)."""
+    base = synthetic_phantom(N).astype(dtype) / 255.0
+    yy, xx = np.meshgrid(np.arange(N) - (N - 1) / 2,
+                         np.arange(N) - (N - 1) / 2, indexing="ij")
+    return base * ((yy ** 2 + xx ** 2) <= (0.45 * N) ** 2)
+
+
 def test_fbp_reconstructs_well_sampled():
-    """FBP on densely-sampled data recovers the phantom (classical result),
-    and warm-starting the TV solver with it speeds convergence."""
+    """FBP on densely-sampled data recovers the phantom (classical result)
+    at the CORRECT absolute scale (bandlimited Ram-Lak — the exact
+    real-space taps, not a sampled |f|), and warm-starting the TV solver
+    with it speeds convergence."""
     from pytv4d_tpu.models.ct import fbp
 
-    truth = (synthetic_phantom(48).astype(np.float32) / 255.0)[None, None]
+    truth = _disk_phantom(48)[None, None]
     angles = jnp.linspace(0, np.pi, 90, endpoint=False)
     sino = radon(truth, angles)
     rec = fbp(sino, angles)
     assert rec.shape == truth.shape
     corr = np.corrcoef(np.asarray(rec).ravel(), truth.ravel())[0, 1]
-    # ramp-filter ringing on a 48^2 grid caps FBP quality; ~0.89 is expected
-    assert corr > 0.85, corr
+    assert corr > 0.97, corr
+    scale = (np.percentile(np.asarray(rec), 95)
+             / np.percentile(truth, 95))
+    assert 0.95 < scale < 1.05, scale  # absolute calibration
+
+    # apodized variants run and stay close (smoother, slightly softer)
+    for fn in ("shepp-logan", "cosine", "hann", "hamming"):
+        rec_w = fbp(sino, angles, filter_name=fn)
+        corr_w = np.corrcoef(np.asarray(rec_w).ravel(), truth.ravel())[0, 1]
+        assert corr_w > 0.95, (fn, corr_w)
+    with pytest.raises(ValueError, match="filter"):
+        fbp(sino, angles, filter_name="nope")
 
     cold = cp_reconstruct(sino, angles, truth.shape, n_iter=20, reg=0.01)
     warm = cp_reconstruct(sino, angles, truth.shape, n_iter=20, reg=0.01,
@@ -261,3 +283,142 @@ def test_radon_angle_batching_matches_single_sweep():
     finally:
         ct._RADON_GATHER_BUDGET = old
     np.testing.assert_allclose(b, a, rtol=1e-5, atol=1e-6)
+
+
+def test_cone_projector_adjointness():
+    """Cone-beam A/A_T pass the dot-product oracle (SURVEY.md section 4
+    oracle 1), incl. non-default detector dims."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, make_cone_projector
+
+    shape = (6, 2, 20, 20)
+    angles = jnp.linspace(0, 2 * np.pi, 8, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=50.0, det_dist=25.0)
+    A, A_T = make_cone_projector(shape, angles, geom, n_det_v=10,
+                                 n_det_u=24, dtype=jnp.float64)
+    rng = np.random.default_rng(30)
+    x = jnp.asarray(rng.random(shape))
+    y = jnp.asarray(rng.random((2, 8, 10, 24)))
+    lhs = float(jnp.sum(y * A(x)))
+    rhs = float(jnp.sum(A_T(y) * x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+
+def test_cone_parallel_limit():
+    """As source_dist -> inf the cone closes to parallel beam: detector row
+    v reads the parallel sinogram of slice z = v (unit detector pitch)."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone
+
+    N, Nz, sig = 32, 6, 4.0
+    c = (N - 1) / 2
+    rr, cc = np.meshgrid(np.arange(N) - c, np.arange(N) - c, indexing="ij")
+    vol = np.stack([
+        (z + 1) * np.exp(-((rr - 4.0) ** 2 + (cc + 6.0) ** 2) / (2 * sig**2))
+        for z in range(Nz)
+    ])[:, None]                                     # (Nz, 1, N, N)
+    vol = jnp.asarray(vol, jnp.float64)
+    angles = jnp.asarray(np.linspace(0, np.pi, 5, endpoint=False))
+    par = np.asarray(radon(vol, angles))            # (Nz, 1, A, N)
+    geom = ConeBeamGeometry(source_dist=1e6, det_dist=0.0,
+                            det_spacing_u=1.0, det_spacing_v=1.0)
+    cone = np.asarray(radon_cone(vol, angles, geom))  # (1, A, Nz, N)
+    for z in range(Nz):
+        assert (np.abs(cone[0, :, z] - par[z, 0]).max() / par.max()) < 2e-2
+
+
+def test_cone_angle_batching_matches_single_sweep():
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone
+
+    rng = np.random.default_rng(31)
+    vol = jnp.asarray(rng.random((4, 2, 16, 16)), jnp.float32)
+    angles = jnp.linspace(0.0, 2 * np.pi, 7, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=40.0, det_dist=10.0)
+    full = radon_cone(vol, angles, geom, angle_batch=100)
+    assert full.shape == (2, 7, 4, 16)
+    for B in (1, 3):
+        got = radon_cone(vol, angles, geom, angle_batch=B)
+        np.testing.assert_allclose(np.asarray(got), np.asarray(full),
+                                   rtol=1e-5, atol=1e-4)
+    pf = jnp.stack([angles, angles + 0.1])
+    full_pf = radon_cone(vol, pf, geom, angle_batch=100)
+    got_pf = radon_cone(vol, pf, geom, angle_batch=3)
+    np.testing.assert_allclose(np.asarray(got_pf), np.asarray(full_pf),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_fdk_parallel_limit_matches_fbp():
+    """In the parallel limit FDK reduces exactly to per-slice FBP (all cone
+    weights -> 1, shared filter and backprojection normalization) — a tight
+    structural oracle on the weighting/backprojection path."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, fbp, fdk
+
+    N, Nz = 32, 4
+    base = _disk_phantom(N, np.float64)
+    truth = np.stack([base for _ in range(Nz)])[:, None]
+    angles = jnp.asarray(np.linspace(0, 2 * np.pi, 64, endpoint=False))
+    geom = ConeBeamGeometry(source_dist=1e6, det_dist=0.0,
+                            det_spacing_u=1.0, det_spacing_v=1.0)
+    # identical data through both pipelines: the parallel sinogram
+    # (Nz, M, A, U) rearranged into the cone layout (M, A, V=Nz, U)
+    sino_p = radon(jnp.asarray(truth), angles)
+    sino_c = jnp.transpose(sino_p, (1, 2, 0, 3))
+    rec_fdk = np.asarray(fdk(sino_c, angles, geom, truth.shape))
+    rec_fbp = np.asarray(fbp(sino_p, angles))
+    z = Nz // 2
+    np.testing.assert_allclose(rec_fdk[z, 0], rec_fbp[z, 0],
+                               atol=1e-3 * rec_fbp.max())
+
+
+def test_fdk_reconstructs_phantom():
+    """FDK on a full-circle cone scan recovers a compactly-supported
+    phantom at the correct absolute scale (exact in the source plane,
+    approximate off-plane — the usual FDK property)."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, fdk, radon_cone
+
+    N, Nz = 32, 8
+    base = _disk_phantom(N, np.float64)
+    truth = np.stack([base * (0.5 + 0.5 * np.cos(np.pi * (z - 3.5) / 8))
+                      for z in range(Nz)])[:, None]   # (Nz, 1, N, N)
+    angles = jnp.asarray(np.linspace(0, 2 * np.pi, 64, endpoint=False))
+    geom = ConeBeamGeometry(source_dist=64.0, det_dist=16.0)
+    sino = radon_cone(jnp.asarray(truth), angles, geom, n_det_v=2 * Nz)
+    rec = np.asarray(fdk(sino, angles, geom, truth.shape))
+    assert rec.shape == truth.shape
+    for z in (3, 4):   # central slices closest to the source plane
+        corr = np.corrcoef(rec[z, 0].ravel(), truth[z, 0].ravel())[0, 1]
+        assert corr > 0.97, f"slice {z} corr {corr:.3f}"
+        scale = (np.percentile(rec[z, 0], 95)
+                 / np.percentile(truth[z, 0], 95))
+        assert 0.9 < scale < 1.1, f"slice {z} scale {scale:.3f}"
+    corr_all = np.corrcoef(rec.ravel(), truth.ravel())[0, 1]
+    assert corr_all > 0.95, f"volume corr {corr_all:.3f}"
+
+
+def test_cone_cp_reconstruction_and_sart():
+    """TV-regularized CP reconstruction and OS-SART through the cone-beam
+    projector (angle_axis=1 for the (M, A, V, U) sinogram layout)."""
+    import functools
+
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone, sart
+
+    N, Nz = 16, 4
+    base = synthetic_phantom(N).astype(np.float32) / 255.0
+    truth = np.stack([base for _ in range(Nz)])[:, None]
+    angles = jnp.asarray(np.linspace(0, 2 * np.pi, 24, endpoint=False),
+                         jnp.float32)
+    geom = ConeBeamGeometry(source_dist=32.0, det_dist=8.0)
+    sino = radon_cone(jnp.asarray(truth), angles, geom)
+    res = cp_reconstruct(sino, angles, truth.shape, n_iter=60, reg=0.02,
+                         cfg=TVConfig(scheme="hybrid"), geom=geom)
+    loss = np.asarray(res.loss)
+    assert loss[-1] < 0.1 * loss[0]
+    corr = np.corrcoef(np.asarray(res.x).ravel(), truth.ravel())[0, 1]
+    assert corr > 0.9, f"cone CP reconstruction correlation {corr:.3f}"
+
+    with pytest.raises(ValueError, match="cone-beam sinogram"):
+        cp_reconstruct(sino[:, :, :2], angles, (Nz, 2, N, N), geom=geom)
+
+    res_s = sart(sino, angles, truth.shape, n_iter=3, n_subsets=4,
+                 project_fn=functools.partial(radon_cone, geom=geom),
+                 angle_axis=1)
+    r = np.asarray(res_s.residual)
+    assert r[-1] < r[0]
