@@ -141,7 +141,7 @@ def _proj_ball(p, radius):
 
 @functools.partial(
     jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
-                              "axes")
+                              "axes", "compute_loss")
 )
 def tgv_denoise(
     x_noisy,
@@ -150,6 +150,7 @@ def tgv_denoise(
     alpha0: float = 50.0,
     sigma_tau_split: float = 1.0,
     axes: str = "2d",
+    compute_loss: bool = True,
 ) -> TGVResult:
     """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
@@ -164,6 +165,10 @@ def tgv_denoise(
     4-field, E the 4x4 symmetrized Jacobian (10 channels), bound
     ``max(2*16, 2 + 10) = 32``; for volumes piecewise-linear along time
     too (e.g. steady motion between frames).
+
+    ``compute_loss=False`` skips the per-iteration objective (which costs
+    an extra ``D`` + ``E`` application per step); ``loss`` then comes back
+    empty, shape ``(0,)``.
 
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
@@ -209,14 +214,19 @@ def tgv_denoise(
         w_new = w - tau * (-p + sym_T(q))
         xb = 2.0 * x_new - x
         wb = 2.0 * w_new - w
-        loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
-                + alpha1 * _l21(d_fwd(x_new) - w_new)
-                + alpha0 * _l21(sym_grad(w_new)))
+        if compute_loss:
+            loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
+                    + alpha1 * _l21(d_fwd(x_new) - w_new)
+                    + alpha0 * _l21(sym_grad(w_new)))
+        else:
+            loss = None
         return (x_new, xb, w_new, wb, p, q), loss
 
     (x, _, w, _, _, _), losses = jax.lax.scan(
         step, (x0, x0, w0, w0, p0, q0), length=n_iter
     )
+    if losses is None:
+        losses = jnp.zeros((0,), dtype)
     return TGVResult(x=x, w=w, loss=losses)
 
 

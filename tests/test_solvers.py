@@ -449,6 +449,24 @@ def test_tgv_denoise_fixes_staircasing():
         tgv_denoise(noisy)
 
 
+def test_tgv_compute_loss_false_same_iterates():
+    """``compute_loss=False`` skips the objective (an extra D+E application
+    per step) without changing the iterates; ``loss`` comes back empty."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(3)
+    x = jnp.asarray(rng.random((3, 2, 12, 12)))
+    for axes in ("2d", "3d", "4d"):
+        full = tgv_denoise(x, n_iter=25, alpha1=2.0, alpha0=4.0, axes=axes)
+        lean = tgv_denoise(x, n_iter=25, alpha1=2.0, alpha0=4.0, axes=axes,
+                           compute_loss=False)
+        np.testing.assert_array_equal(np.asarray(full.x), np.asarray(lean.x))
+        np.testing.assert_array_equal(np.asarray(full.w), np.asarray(lean.w))
+        assert lean.loss.shape == (0,)
+
+
 def test_tgv_denoise_3d_axes():
     """Volumetric TGV (``axes='3d'``): the 6-channel symmetrized Jacobian's
     exact adjoint, convergence, and the z-coupling experiment — on a volume
