@@ -1,4 +1,4 @@
-from . import fused_halo, halo, mesh, multihost
+from . import fused_halo, halo, mesh, multihost, tgv_sharded
 from .fused_halo import (
     internal_d_sharding,
     make_sharded_cp_solver_fused,
@@ -11,6 +11,7 @@ from .halo import (
     sharded_D_T,
     sharded_tv_and_subgrad,
 )
+from .tgv_sharded import tgv_denoise_sharded
 from .mesh import (
     T_AXIS,
     Z_AXIS,

@@ -141,7 +141,7 @@ def _proj_ball(p, radius):
 
 @functools.partial(
     jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
-                              "axes", "compute_loss")
+                              "axes", "compute_loss", "fused")
 )
 def tgv_denoise(
     x_noisy,
@@ -151,6 +151,7 @@ def tgv_denoise(
     sigma_tau_split: float = 1.0,
     axes: str = "2d",
     compute_loss: bool = True,
+    fused: bool = None,
 ) -> TGVResult:
     """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
@@ -170,6 +171,13 @@ def tgv_denoise(
     an extra ``D`` + ``E`` application per step); ``loss`` then comes back
     empty, shape ``(0,)``.
 
+    ``fused=None`` auto-selects the slice-resident Pallas kernel
+    (kernels/tgv_resident.py) on TPU for ``axes='2d'`` when one slice's
+    whole-solve state fits VMEM — slices are independent subproblems there,
+    so the entire solve runs in one kernel with zero per-iteration HBM
+    traffic.  ``fused=False`` forces the jnp scan; ``fused=True`` forces
+    the kernel (interpreter off-TPU — used by the parity tests).
+
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
     x0 = jnp.asarray(x_noisy)
@@ -182,6 +190,31 @@ def tgv_denoise(
     if axes not in ("2d", "3d", "4d"):
         raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
     dtype = x0.dtype
+
+    if fused and axes != "2d":
+        raise ValueError(
+            "fused=True supports axes='2d' only (3d/4d couple slices and "
+            "stay on the jnp scan)"
+        )
+    if fused is None:
+        from ..kernels.tgv_resident import tgv_resident_fits
+
+        fused = (
+            axes == "2d"
+            and jax.default_backend() == "tpu"
+            and tgv_resident_fits(x0.shape, dtype, n_iter, compute_loss)
+        )
+    if fused:
+        from ..kernels.dispatch import default_interpret
+        from ..kernels.tgv_resident import make_resident_tgv_solver
+
+        solve = make_resident_tgv_solver(
+            tuple(x0.shape), n_iter, alpha1, alpha0, sigma_tau_split,
+            dtype_name=jnp.dtype(dtype).name, compute_loss=compute_loss,
+            interpret=default_interpret(),
+        )
+        x, w, losses = solve(x0)
+        return TGVResult(x=x, w=w, loss=losses)
 
     if axes == "4d":
         d_fwd, sym_grad = _d_fwd4, _sym_grad4

@@ -610,3 +610,54 @@ def test_sharded_ct_reconstruction():
                                rtol=1e-5)
     np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                atol=1e-5, rtol=1e-4)
+
+
+def test_tgv_sharded_2d_slot_exact():
+    """axes='2d' TGV under shard_map: slices are independent subproblems, so
+    the sharded solve matches single-device to fp round-off (1e-12, the
+    usual XLA fusion/fma freedom across different compiled shapes) and the
+    only collective is the loss psum.  Covers both the jnp scan and the
+    slice-resident Pallas kernel (interpreter mode) inside shard_map."""
+    from pytv4d_tpu.parallel import tgv_denoise_sharded
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(41)
+    x = jnp.asarray(rng.random((8, 4, 12, 16)))
+    ref = tgv_denoise(x, n_iter=15, alpha1=2.0, alpha0=4.0)
+    mesh = _mesh42()
+    xs = shard_volume(x, mesh)
+
+    for fused in (False, True):
+        res = tgv_denoise_sharded(xs, mesh, n_iter=15, alpha1=2.0,
+                                  alpha0=4.0, fused=fused)
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.loss),
+                                   np.asarray(ref.loss), rtol=1e-12)
+
+    lean = tgv_denoise_sharded(xs, mesh, n_iter=15, alpha1=2.0, alpha0=4.0,
+                               compute_loss=False)
+    np.testing.assert_allclose(np.asarray(lean.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    assert lean.loss.shape == (0,)
+
+
+@pytest.mark.parametrize("axes", ["3d", "4d"])
+def test_tgv_gspmd_3d_4d(axes):
+    """Volumetric / space-time TGV on sharded inputs via GSPMD: the z/t
+    coupling crosses shard boundaries, and XLA's partitioner inserts the
+    halo collective-permutes for the pad/slice stencils automatically."""
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(42)
+    x = jnp.asarray(rng.random((8, 4, 12, 16)))
+    ref = tgv_denoise(x, n_iter=15, alpha1=2.0, alpha0=4.0, axes=axes)
+    mesh = _mesh42()
+    xs = shard_volume(x, mesh)
+    res = tgv_denoise(xs, n_iter=15, alpha1=2.0, alpha0=4.0, axes=axes)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res.loss), np.asarray(ref.loss),
+                               rtol=1e-12)

@@ -467,6 +467,36 @@ def test_tgv_compute_loss_false_same_iterates():
         assert lean.loss.shape == (0,)
 
 
+def test_tgv_fused_resident_parity():
+    """The slice-resident Pallas TGV kernel (kernels/tgv_resident.py,
+    interpreter mode here) matches the jnp scan to fp round-off — same
+    algebra by construction, gridded per (z, t) slice."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(7)
+    x = jnp.asarray(rng.random((2, 2, 12, 20)))
+
+    ref = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, fused=False)
+    fus = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, fused=True)
+    np.testing.assert_allclose(np.asarray(fus.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.w), np.asarray(ref.w),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.loss), np.asarray(ref.loss),
+                               rtol=1e-10)
+
+    lean = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, fused=True,
+                       compute_loss=False)
+    np.testing.assert_allclose(np.asarray(lean.x), np.asarray(fus.x),
+                               rtol=1e-12, atol=1e-12)
+    assert lean.loss.shape == (0,)
+
+    with pytest.raises(ValueError, match="axes='2d'"):
+        tgv_denoise(x, n_iter=5, axes="3d", fused=True)
+
+
 def test_tgv_denoise_3d_axes():
     """Volumetric TGV (``axes='3d'``): the 6-channel symmetrized Jacobian's
     exact adjoint, convergence, and the z-coupling experiment — on a volume
