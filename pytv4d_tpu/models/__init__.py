@@ -13,5 +13,6 @@ from .ct import (
     radon_fan,
     sart,
     sinogram_sharding,
+    tgv_reconstruct,
 )
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

@@ -203,9 +203,21 @@ def cp_reconstruct(
     = cone (sinogram ``(M, n_angles, n_det_v, n_det_u)``; ``n_det``
     ignored — detector dims come from the sinogram)."""
     sino = jnp.asarray(sino)
+    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
+    from ..solvers.inverse import cp_inverse
+
+    res = cp_inverse(
+        A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
+        op_norm=op_norm, x_init=x_init,
+    )
+    return CPReconResult(x=res.x, loss=res.loss)
+
+
+def _select_projector(sino, angles, vol_shape, n_det, geom):
+    """Validate the sinogram layout for the requested beam geometry and
+    build the matching (A, A_T) projector pair."""
     dtype = sino.dtype
-    angles_arr = jnp.asarray(angles)
-    n_angles = angles_arr.shape[-1]
+    n_angles = jnp.asarray(angles).shape[-1]
     if isinstance(geom, ConeBeamGeometry):
         want = (vol_shape[1], n_angles)
         if tuple(sino.shape[:2]) != want:
@@ -215,28 +227,49 @@ def cp_reconstruct(
                 f"— expected (M={vol_shape[1]}, {n_angles}, n_det_v, "
                 f"n_det_u)"
             )
-        A, A_T = make_cone_projector(vol_shape, angles, geom,
-                                     n_det_v=sino.shape[2],
-                                     n_det_u=sino.shape[3], dtype=dtype)
-    else:
-        want = (vol_shape[0], vol_shape[1], n_angles, n_det or vol_shape[-1])
-        if tuple(sino.shape) != want:
-            raise ValueError(
-                f"sinogram shape {tuple(sino.shape)} does not match "
-                f"vol_shape {tuple(vol_shape)} with {n_angles} angles — "
-                f"expected {want} (layout (Nz, M, n_angles, n_det))"
-            )
-        if geom is None:
-            A, A_T = make_projector(vol_shape, angles, n_det=n_det,
-                                    dtype=dtype)
-        else:
-            A, A_T = make_fan_projector(vol_shape, angles, geom, n_det=n_det,
-                                        dtype=dtype)
-    from ..solvers.inverse import cp_inverse
+        return make_cone_projector(vol_shape, angles, geom,
+                                   n_det_v=sino.shape[2],
+                                   n_det_u=sino.shape[3], dtype=dtype)
+    want = (vol_shape[0], vol_shape[1], n_angles, n_det or vol_shape[-1])
+    if tuple(sino.shape) != want:
+        raise ValueError(
+            f"sinogram shape {tuple(sino.shape)} does not match "
+            f"vol_shape {tuple(vol_shape)} with {n_angles} angles — "
+            f"expected {want} (layout (Nz, M, n_angles, n_det))"
+        )
+    if geom is None:
+        return make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
+    return make_fan_projector(vol_shape, angles, geom, n_det=n_det,
+                              dtype=dtype)
 
-    res = cp_inverse(
-        A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
-        op_norm=op_norm, x_init=x_init,
+
+def tgv_reconstruct(
+    sino,
+    angles,
+    vol_shape,
+    n_iter: int = 100,
+    alpha1: float = 1.0,
+    alpha0: float = 2.0,
+    axes: str = "2d",
+    n_det: Optional[int] = None,
+    op_norm: Optional[float] = None,
+    x_init=None,
+    geom=None,
+):
+    """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
+    second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV
+    (``solvers.tgv.tgv_inverse``): staircasing-free reconstructions of
+    piecewise-linear objects (classic TGV-CT).  Same sinogram layouts and
+    ``geom`` selection as :func:`cp_reconstruct`; ``axes`` picks in-plane
+    ('2d', per (z, t) slice), volumetric ('3d') or space-time ('4d') TGV
+    coupling."""
+    sino = jnp.asarray(sino)
+    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
+    from ..solvers.tgv import tgv_inverse
+
+    res = tgv_inverse(
+        A, sino, vol_shape, A_T=A_T, n_iter=n_iter, alpha1=alpha1,
+        alpha0=alpha0, axes=axes, op_norm=op_norm, x_init=x_init,
     )
     return CPReconResult(x=res.x, loss=res.loss)
 

@@ -18,7 +18,7 @@ from .inverse import (
     power_iteration,
 )
 from .gd import GDResult, gd_step, subgradient_descent
-from .tgv import TGVResult, tgv_denoise
+from .tgv import TGVResult, tgv_denoise, tgv_inverse
 from .state import (
     load_state,
     load_state_orbax,

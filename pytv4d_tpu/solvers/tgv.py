@@ -25,6 +25,7 @@ precision by construction.
 from __future__ import annotations
 
 import functools
+import math
 from typing import NamedTuple
 
 import jax
@@ -216,18 +217,9 @@ def tgv_denoise(
         x, w, losses = solve(x0)
         return TGVResult(x=x, w=w, loss=losses)
 
-    if axes == "4d":
-        d_fwd, sym_grad = _d_fwd4, _sym_grad4
-        n_w, n_q = 4, 10
-        L = jnp.sqrt(32.0).astype(dtype)
-    elif axes == "3d":
-        d_fwd, sym_grad = _d_fwd3, _sym_grad3
-        n_w, n_q = 3, 6
-        L = jnp.sqrt(24.0).astype(dtype)
-    else:
-        d_fwd, sym_grad = _d_fwd, _sym_grad
-        n_w, n_q = 2, 3
-        L = jnp.sqrt(12.0 + jnp.sqrt(136.0)).astype(dtype)
+    d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
+        axes, tuple(x0.shape), dtype)
+    L = jnp.sqrt(jnp.asarray(L_sq)).astype(dtype)
     sigma = (sigma_tau_split / L).astype(dtype)
     tau = (1.0 / (sigma_tau_split * L)).astype(dtype)
 
@@ -235,9 +227,6 @@ def tgv_denoise(
     w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
     p0 = jnp.zeros_like(w0)                        # dual of (Dx - w)
     q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)    # dual of (E w)
-
-    sym_T = _transpose_of(sym_grad, w0.shape, dtype)
-    d_T = _transpose_of(d_fwd, x0.shape, dtype)
 
     def step(carry, _):
         x, xb, w, wb, p, q = carry
@@ -274,3 +263,101 @@ def _transpose_of(fn, in_shape, dtype):
         return x_bar
 
     return fn_T
+
+
+def _tgv_ops(axes: str, vol_shape, dtype):
+    """(d_fwd, sym_grad, their adjoints, n_w, n_q, ||K_tgv||^2 bound) for an
+    axes mode — the same table tgv_denoise uses."""
+    if axes == "4d":
+        d_fwd, sym_grad, n_w, n_q, L_sq = _d_fwd4, _sym_grad4, 4, 10, 32.0
+    elif axes == "3d":
+        d_fwd, sym_grad, n_w, n_q, L_sq = _d_fwd3, _sym_grad3, 3, 6, 24.0
+    elif axes == "2d":
+        d_fwd, sym_grad, n_w, n_q = _d_fwd, _sym_grad, 2, 3
+        L_sq = 12.0 + math.sqrt(136.0)
+    else:
+        raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
+    Nz, M, Nr, Nc = vol_shape
+    w_shape = (Nz, n_w, M, Nr, Nc)
+    sym_T = _transpose_of(sym_grad, w_shape, dtype)
+    d_T = _transpose_of(d_fwd, tuple(vol_shape), dtype)
+    return d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq
+
+
+def tgv_inverse(
+    A,
+    b,
+    vol_shape,
+    A_T=None,
+    n_iter: int = 100,
+    alpha1: float = 1.0,
+    alpha0: float = 2.0,
+    axes: str = "2d",
+    op_norm: float = None,
+    x_init=None,
+) -> TGVResult:
+    """TGV-2-regularized linear inverse problem:
+
+        min_{x, w} 1/2 ||A x - b||^2 + a1 ||D x - w||_{2,1} + a0 ||E w||_{2,1}
+
+    for ANY jax-traceable linear forward operator ``A`` (CT projection,
+    blur, inpainting masks, ...) — the TGV counterpart of
+    ``solvers.cp_inverse``, removing first-order TV's staircasing from
+    reconstructions of piecewise-linear objects (classic TGV-CT: Bredies,
+    Kunisch & Pock 2010).  Chambolle-Pock over K = [[A, 0], [D, -I],
+    [0, E]]; ``A_T`` defaults to the exact transpose via
+    ``jax.linear_transpose``; step rule
+    ``sigma = tau = 1/sqrt(||A||^2 + ||K_tgv||^2)`` with the per-axes-mode
+    TGV block bound of ``tgv_denoise``.  ``models.ct.tgv_reconstruct`` is
+    this solver specialized to the CT projectors."""
+    from .inverse import exact_transpose, power_iteration
+
+    b = jnp.asarray(b)
+    dtype = b.dtype
+    vol_shape = tuple(vol_shape)
+    if len(vol_shape) != 4:
+        raise ValueError(
+            f"tgv_inverse expects a rank-4 (Nz, M, N_row, N_col) vol_shape, "
+            f"got {vol_shape}"
+        )
+    if A_T is None:
+        A_T = exact_transpose(A, vol_shape, dtype)
+    if op_norm is None:
+        op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
+    d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
+        axes, vol_shape, dtype)
+    sigma = tau = float(1.0 / jnp.sqrt(op_norm ** 2 + L_sq))
+    a1 = float(alpha1)
+    a0 = float(alpha0)
+    Nz, M, Nr, Nc = vol_shape
+    x0 = (jnp.zeros(vol_shape, dtype) if x_init is None
+          else jnp.asarray(x_init, dtype))
+
+    @jax.jit
+    def run(b, x0):
+        w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
+        p0 = jnp.zeros_like(w0)
+        q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)
+        y_A0 = jnp.zeros_like(b)
+
+        def step(carry, _):
+            x, xb, w, wb, y_A, p, q = carry
+            y_A = (y_A + sigma * (A(xb) - b)) / (1.0 + sigma)
+            p = _proj_ball(p + sigma * (d_fwd(xb) - wb), a1)
+            q = _proj_ball(q + sigma * sym_grad(wb), a0)
+            x_new = x - tau * (A_T(y_A) + d_T(p))
+            w_new = w - tau * (-p + sym_T(q))
+            xb = 2.0 * x_new - x
+            wb = 2.0 * w_new - w
+            loss = (0.5 * jnp.sum(jnp.square(A(x_new) - b))
+                    + a1 * _l21(d_fwd(x_new) - w_new)
+                    + a0 * _l21(sym_grad(w_new)))
+            return (x_new, xb, w_new, wb, y_A, p, q), loss
+
+        (x, _, w, _, _, _, _), losses = jax.lax.scan(
+            step, (x0, x0, w0, w0, y_A0, p0, q0), length=n_iter
+        )
+        return x, w, losses
+
+    x, w, losses = run(b, x0)
+    return TGVResult(x=x, w=w, loss=losses)

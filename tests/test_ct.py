@@ -422,3 +422,56 @@ def test_cone_cp_reconstruction_and_sart():
                  angle_axis=1)
     r = np.asarray(res_s.residual)
     assert r[-1] < r[0]
+
+
+def test_tgv_reconstruction_beats_tv_on_ramp():
+    """TGV-CT (models.tgv_reconstruct / solvers.tgv_inverse): on a
+    piecewise-LINEAR phantom the second-order regularizer recovers the
+    slope while TV staircases — lower RMSE at matched iteration count —
+    and the objective decreases."""
+    from pytv4d_tpu.models.ct import cp_reconstruct, radon, tgv_reconstruct
+
+    N = 24
+    yy = np.linspace(-1, 1, N)[:, None] * np.ones((1, N))
+    xx = np.ones((N, 1)) * np.linspace(-1, 1, N)[None, :]
+    disk = (xx ** 2 + yy ** 2) <= 0.81
+    ramp = np.where(disk, 0.5 + 0.5 * yy, 0.0)  # linear inside a disk
+    truth = ramp[None, None].astype(np.float64)  # (1, 1, N, N)
+
+    angles = jnp.linspace(0, np.pi, 16, endpoint=False)
+    sino = radon(truth, angles)
+    rng = np.random.default_rng(0)
+    sino_noisy = np.asarray(sino) + 0.4 * rng.standard_normal(sino.shape)
+
+    # TGV-CT converges slower than TV-CT — the advantage appears after
+    # ~1000 iterations (measured: at 300 TV still leads)
+    tv = cp_reconstruct(sino_noisy, angles, truth.shape, n_iter=1500,
+                        reg=1.2, op_norm=float(N))
+    tgv = tgv_reconstruct(sino_noisy, angles, truth.shape, n_iter=1500,
+                          alpha1=1.2, alpha0=2.4, op_norm=float(N))
+
+    mask = disk[None, None]
+    err_tv = float(np.sqrt(np.mean((np.asarray(tv.x) - truth)[mask] ** 2)))
+    err_tgv = float(np.sqrt(np.mean((np.asarray(tgv.x) - truth)[mask] ** 2)))
+    assert err_tgv < err_tv, (err_tgv, err_tv)
+    loss = np.asarray(tgv.loss)
+    assert loss[-1] < loss[10]
+    assert np.all(np.isfinite(loss))
+
+
+def test_tgv_inverse_identity_matches_denoise():
+    """tgv_inverse with A = identity solves the same objective as
+    tgv_denoise — the iterates differ (different step rule/formulation) but
+    both converge to the same unique minimizer of the strongly convex
+    problem."""
+    from pytv4d_tpu.solvers.tgv import tgv_denoise, tgv_inverse
+
+    rng = np.random.default_rng(5)
+    x0 = jnp.asarray(rng.random((2, 2, 16, 16)))
+    den = tgv_denoise(x0, n_iter=600, alpha1=0.1, alpha0=0.2)
+    inv = tgv_inverse(lambda v: v, x0, x0.shape, n_iter=600, alpha1=0.1,
+                      alpha0=0.2)
+    np.testing.assert_allclose(np.asarray(inv.x), np.asarray(den.x),
+                               atol=2e-4, rtol=1e-3)
+    with pytest.raises(ValueError, match="rank-4"):
+        tgv_inverse(lambda v: v, x0, (16, 16))
