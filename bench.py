@@ -105,6 +105,33 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
     return it_s, frac_min
 
 
+def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5):
+    """Secondary: slice-resident TGV-2 kernel (axes='2d' auto-dispatch)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+
+    def run():
+        res = tgv_denoise(x, n_iter=n_iter)
+        jax.block_until_ready(res.x)
+        return float(jnp.sum(res.x))
+
+    run()
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    it_s = n_iter / best
+    log(f"tgv 4D {shape} slice-resident: {it_s:.1f} it/s, "
+        f"{float(np.prod(shape)) * it_s / 1e9:.2f} Gvox-it/s")
+    return it_s
+
+
 def main():
     import jax
 
@@ -121,6 +148,7 @@ def main():
         it4pd, _ = bench_cp_4d(dual_dtype="bfloat16",
                                primary_dtype="bfloat16", repeats=3)
         extras["fused_4d_bf16pd_it_s"] = round(it4pd, 1)
+        extras["tgv_4d_it_s"] = round(bench_tgv_4d(), 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
 

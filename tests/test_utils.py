@@ -99,7 +99,8 @@ def test_example_scripts_run():
     """The scheme-math and sharded examples must execute end to end (the
     getting-started one is exercised via the solver tests; it just takes
     longer)."""
-    for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py"):
+    for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py",
+                   "examples/e_tgv.py"):
         runpy.run_path(script, run_name="__main__")
 
 
