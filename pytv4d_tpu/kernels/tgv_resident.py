@@ -64,12 +64,18 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
     program per (z, t) slice.  Returns ``solve(x0) -> (x, w, losses)`` with
     the public ``(Nz, 2, M, Nr, Nc)`` w layout; ``losses`` is ``(n_iter,)``
     (empty ``(0,)`` when ``compute_loss=False``)."""
-    from ..solvers.tgv import _d_fwd, _l21, _proj_ball, _sym_grad
+    from ..solvers.tgv import (
+        TGV_NORM_BOUND_SQ,
+        _d_fwd,
+        _l21,
+        _proj_ball,
+        _sym_grad,
+    )
 
     Nz, M, Nr, Nc = shape
     dtype = jnp.dtype(dtype_name)
     # exact 2D operator-norm bound (Bredies et al. sec. 6), as in tgv_denoise
-    L = math.sqrt(12.0 + math.sqrt(136.0))
+    L = math.sqrt(TGV_NORM_BOUND_SQ["2d"])
     # plain Python floats: weak-typed, so they inline into the kernel jaxpr
     # (Pallas rejects captured non-weak constants) and preserve x's dtype
     sigma = float(sigma_tau_split / L)

@@ -192,20 +192,43 @@ def tgv_denoise(
         raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
     dtype = x0.dtype
 
-    if fused and axes != "2d":
-        raise ValueError(
-            "fused=True supports axes='2d' only (3d/4d couple slices and "
-            "stay on the jnp scan)"
-        )
-    if fused is None:
+    path = "jnp"
+    if fused is not False:
         from ..kernels.tgv_resident import tgv_resident_fits
+        from ..kernels.tgv_stream import stream_fits
 
-        fused = (
-            axes == "2d"
-            and jax.default_backend() == "tpu"
-            and tgv_resident_fits(x0.shape, dtype, n_iter, compute_loss)
-        )
-    if fused:
+        resident_ok = (axes == "2d" and
+                       tgv_resident_fits(x0.shape, dtype, n_iter,
+                                         compute_loss))
+        stream_ok = (not compute_loss
+                     and stream_fits(tuple(x0.shape), axes, dtype))
+        if fused is None:
+            # auto: kernels on TPU only (off-TPU they would run the slow
+            # Pallas interpreter; tests opt in with fused=True)
+            if jax.default_backend() == "tpu":
+                path = ("resident" if resident_ok
+                        else "stream" if stream_ok else "jnp")
+        else:  # fused=True: force the kernel path
+            from ..kernels.tgv_stream import choose_tile_rows
+
+            tileable = choose_tile_rows(tuple(x0.shape), axes) is not None
+            if resident_ok or (axes == "2d"
+                               and (compute_loss or not tileable)):
+                # the fits guard is an auto-dispatch heuristic only; forced
+                # 2d solves take the resident kernel whenever the stream
+                # path cannot serve (no loss history, untileable rows)
+                path = "resident"
+            elif compute_loss:
+                raise ValueError(
+                    "fused=True needs compute_loss=False here: the "
+                    "streaming TGV kernel (kernels/tgv_stream.py, the only "
+                    "fused path for axes='3d'/'4d') does not produce the "
+                    "loss history"
+                )
+            else:
+                path = "stream"
+
+    if path == "resident":
         from ..kernels.dispatch import default_interpret
         from ..kernels.tgv_resident import make_resident_tgv_solver
 
@@ -216,6 +239,29 @@ def tgv_denoise(
         )
         x, w, losses = solve(x0)
         return TGVResult(x=x, w=w, loss=losses)
+
+    if path == "stream":
+        from ..kernels.dispatch import default_interpret
+        from ..kernels.tgv_stream import from_internal, make_tgv_stream_step
+
+        step = make_tgv_stream_step(
+            tuple(x0.shape), axes, alpha1, alpha0, sigma_tau_split,
+            dtype_name=jnp.dtype(dtype).name, interpret=default_interpret(),
+        )
+        n_w = {"2d": 2, "3d": 3, "4d": 4}[axes]
+        n_q = {"2d": 3, "3d": 6, "4d": 10}[axes]
+        Nz, M, Nr, Nc = x0.shape
+        w0 = jnp.zeros((Nz, M, n_w, Nr, Nc), dtype)
+        q0 = jnp.zeros((Nz, M, n_q, Nr, Nc), dtype)
+
+        def body(carry, _):
+            return step(*carry, x0), None
+
+        (x, _, w, _, _, _), _ = jax.lax.scan(
+            body, (x0, x0, w0, w0, w0, q0), length=n_iter
+        )
+        return TGVResult(x=x, w=from_internal(w),
+                         loss=jnp.zeros((0,), dtype))
 
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
         axes, tuple(x0.shape), dtype)
@@ -265,18 +311,27 @@ def _transpose_of(fn, in_shape, dtype):
     return fn_T
 
 
+# ||K_tgv||^2 bounds per axes mode: exact 2D (Bredies et al. sec. 6),
+# conservative max(2||D||^2, 2 + ||E||^2) for the coupled modes
+TGV_NORM_BOUND_SQ = {
+    "2d": 12.0 + math.sqrt(136.0),
+    "3d": 24.0,
+    "4d": 32.0,
+}
+
+
 def _tgv_ops(axes: str, vol_shape, dtype):
     """(d_fwd, sym_grad, their adjoints, n_w, n_q, ||K_tgv||^2 bound) for an
     axes mode — the same table tgv_denoise uses."""
     if axes == "4d":
-        d_fwd, sym_grad, n_w, n_q, L_sq = _d_fwd4, _sym_grad4, 4, 10, 32.0
+        d_fwd, sym_grad, n_w, n_q = _d_fwd4, _sym_grad4, 4, 10
     elif axes == "3d":
-        d_fwd, sym_grad, n_w, n_q, L_sq = _d_fwd3, _sym_grad3, 3, 6, 24.0
+        d_fwd, sym_grad, n_w, n_q = _d_fwd3, _sym_grad3, 3, 6
     elif axes == "2d":
         d_fwd, sym_grad, n_w, n_q = _d_fwd, _sym_grad, 2, 3
-        L_sq = 12.0 + math.sqrt(136.0)
     else:
         raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
+    L_sq = TGV_NORM_BOUND_SQ[axes]
     Nz, M, Nr, Nc = vol_shape
     w_shape = (Nz, n_w, M, Nr, Nc)
     sym_T = _transpose_of(sym_grad, w_shape, dtype)

@@ -224,3 +224,48 @@ def test_tv_subgrad_fused_huber(x0, scheme):
                                rtol=1e-4)
     np.testing.assert_allclose(np.asarray(gb.x), np.asarray(ga.x),
                                atol=1e-5, rtol=1e-4)
+
+
+@pytest.mark.parametrize("mode", ["2d", "3d", "4d"])
+def test_tgv_stream_matches_jnp(mode):
+    """The streaming two-pass TGV kernel (kernels/tgv_stream.py, interpreter
+    mode) matches the jnp scan to fp round-off for every axes mode —
+    single row tile, so no seam logic in play."""
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(11)
+    x = jnp.asarray(rng.random((3, 2, 16, 16)))
+    ref = tgv_denoise(x, n_iter=8, alpha1=2.0, alpha0=4.0, axes=mode,
+                      compute_loss=False, fused=False)
+    fus = tgv_denoise(x, n_iter=8, alpha1=2.0, alpha0=4.0, axes=mode,
+                      compute_loss=False, fused=True)
+    np.testing.assert_allclose(np.asarray(fus.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.w), np.asarray(ref.w),
+                               rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["2d", "3d", "4d"])
+def test_tgv_stream_row_tiled_matches_jnp(mode, monkeypatch):
+    """Row tiling (R=2): the cross-tile seam operands (thin row blocks) and
+    their gates must keep parity — forced by shrinking the tile budget so
+    TR=8 on a 16-row volume."""
+    from pytv4d_tpu.kernels import tgv_stream
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    M, Nc = 2, 16
+    target = tgv_stream._plane_count(mode) * M * 8 * Nc * 8 * 2
+    monkeypatch.setattr(tgv_stream, "_TILE_BYTES_TARGET", target)
+    tgv_stream.make_tgv_stream_step.cache_clear()
+
+    rng = np.random.default_rng(12)
+    x = jnp.asarray(rng.random((3, M, 16, Nc)))
+    ref = tgv_denoise(x, n_iter=8, alpha1=2.0, alpha0=4.0, axes=mode,
+                      compute_loss=False, fused=False)
+    fus = tgv_denoise(x, n_iter=8, alpha1=2.0, alpha0=4.0, axes=mode,
+                      compute_loss=False, fused=True)
+    tgv_stream.make_tgv_stream_step.cache_clear()
+    np.testing.assert_allclose(np.asarray(fus.x), np.asarray(ref.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(fus.w), np.asarray(ref.w),
+                               rtol=1e-12, atol=1e-12)

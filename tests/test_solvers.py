@@ -493,7 +493,9 @@ def test_tgv_fused_resident_parity():
                                rtol=1e-12, atol=1e-12)
     assert lean.loss.shape == (0,)
 
-    with pytest.raises(ValueError, match="axes='2d'"):
+    # fused=True for a coupled mode uses the streaming kernel, which cannot
+    # produce the loss history
+    with pytest.raises(ValueError, match="compute_loss=False"):
         tgv_denoise(x, n_iter=5, axes="3d", fused=True)
 
 
