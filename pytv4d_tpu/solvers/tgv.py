@@ -172,12 +172,14 @@ def tgv_denoise(
     an extra ``D`` + ``E`` application per step); ``loss`` then comes back
     empty, shape ``(0,)``.
 
-    ``fused=None`` auto-selects the slice-resident Pallas kernel
-    (kernels/tgv_resident.py) on TPU for ``axes='2d'`` when one slice's
-    whole-solve state fits VMEM — slices are independent subproblems there,
-    so the entire solve runs in one kernel with zero per-iteration HBM
-    traffic.  ``fused=False`` forces the jnp scan; ``fused=True`` forces
-    the kernel (interpreter off-TPU — used by the parity tests).
+    ``fused=None`` auto-selects a Pallas path on TPU: for ``axes='2d'``
+    the slice-resident whole-solve kernel (kernels/tgv_resident.py —
+    slices are independent subproblems, zero per-iteration HBM traffic)
+    when one slice's state fits VMEM; otherwise, and for the coupled
+    ``'3d'``/``'4d'`` modes, the streaming two-pass kernel
+    (kernels/tgv_stream.py) when ``compute_loss=False``.  ``fused=False``
+    forces the jnp scan; ``fused=True`` forces a kernel path (interpreter
+    off-TPU — used by the parity tests).
 
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
@@ -248,8 +250,8 @@ def tgv_denoise(
             tuple(x0.shape), axes, alpha1, alpha0, sigma_tau_split,
             dtype_name=jnp.dtype(dtype).name, interpret=default_interpret(),
         )
-        n_w = {"2d": 2, "3d": 3, "4d": 4}[axes]
-        n_q = {"2d": 3, "3d": 6, "4d": 10}[axes]
+        n_w = TGV_FIELDS[axes]
+        n_q = n_w * (n_w + 1) // 2
         Nz, M, Nr, Nc = x0.shape
         w0 = jnp.zeros((Nz, M, n_w, Nr, Nc), dtype)
         q0 = jnp.zeros((Nz, M, n_q, Nr, Nc), dtype)
@@ -318,6 +320,9 @@ TGV_NORM_BOUND_SQ = {
     "3d": 24.0,
     "4d": 32.0,
 }
+
+# number of w-fields per mode; E has n(n+1)/2 channels
+TGV_FIELDS = {"2d": 2, "3d": 3, "4d": 4}
 
 
 def _tgv_ops(axes: str, vol_shape, dtype):
