@@ -153,6 +153,7 @@ def tgv_denoise(
     axes: str = "2d",
     compute_loss: bool = True,
     fused: bool = None,
+    loss_every: int = 0,
 ) -> TGVResult:
     """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
