@@ -142,7 +142,7 @@ def _proj_ball(p, radius):
 
 @functools.partial(
     jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
-                              "axes", "compute_loss", "fused")
+                              "axes", "compute_loss", "fused", "loss_every")
 )
 def tgv_denoise(
     x_noisy,
@@ -171,7 +171,11 @@ def tgv_denoise(
 
     ``compute_loss=False`` skips the per-iteration objective (which costs
     an extra ``D`` + ``E`` application per step); ``loss`` then comes back
-    empty, shape ``(0,)``.
+    empty, shape ``(0,)``.  ``loss_every=k`` (k > 0, must divide
+    ``n_iter``) instead SAMPLES the objective after every k-th iteration —
+    ``loss`` has shape ``(n_iter // k,)`` — amortizing its cost to 1/k;
+    this is also the only way to get a loss series out of the streaming
+    kernel path, which cannot fuse the loss.
 
     ``fused=None`` auto-selects a Pallas path on TPU: for ``axes='2d'``
     the slice-resident whole-solve kernel (kernels/tgv_resident.py —
@@ -194,16 +198,24 @@ def tgv_denoise(
     if axes not in ("2d", "3d", "4d"):
         raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
     dtype = x0.dtype
+    if loss_every:
+        if loss_every < 0 or n_iter % loss_every:
+            raise ValueError(
+                f"loss_every must be a positive divisor of n_iter, got "
+                f"loss_every={loss_every} with n_iter={n_iter}"
+            )
 
     path = "jnp"
     if fused is not False:
         from ..kernels.tgv_resident import tgv_resident_fits
         from ..kernels.tgv_stream import stream_fits
 
-        resident_ok = (axes == "2d" and
+        # with sampled loss the resident kernel is excluded (it is a
+        # whole-solve kernel — no state passthrough to chunk over)
+        resident_ok = (axes == "2d" and not loss_every and
                        tgv_resident_fits(x0.shape, dtype, n_iter,
                                          compute_loss))
-        stream_ok = (not compute_loss
+        stream_ok = ((not compute_loss or bool(loss_every))
                      and stream_fits(tuple(x0.shape), axes, dtype))
         if fused is None:
             # auto: kernels on TPU only (off-TPU they would run the slow
@@ -215,18 +227,18 @@ def tgv_denoise(
             from ..kernels.tgv_stream import choose_tile_rows
 
             tileable = choose_tile_rows(tuple(x0.shape), axes) is not None
-            if resident_ok or (axes == "2d"
+            if resident_ok or (axes == "2d" and not loss_every
                                and (compute_loss or not tileable)):
                 # the fits guard is an auto-dispatch heuristic only; forced
                 # 2d solves take the resident kernel whenever the stream
                 # path cannot serve (no loss history, untileable rows)
                 path = "resident"
-            elif compute_loss:
+            elif compute_loss and not loss_every:
                 raise ValueError(
-                    "fused=True needs compute_loss=False here: the "
-                    "streaming TGV kernel (kernels/tgv_stream.py, the only "
-                    "fused path for axes='3d'/'4d') does not produce the "
-                    "loss history"
+                    "fused=True needs compute_loss=False or loss_every=k "
+                    "here: the streaming TGV kernel (kernels/tgv_stream.py, "
+                    "the only fused path for axes='3d'/'4d') cannot fuse "
+                    "the per-iteration loss"
                 )
             else:
                 path = "stream"
@@ -256,13 +268,32 @@ def tgv_denoise(
         Nz, M, Nr, Nc = x0.shape
         w0 = jnp.zeros((Nz, M, n_w, Nr, Nc), dtype)
         q0 = jnp.zeros((Nz, M, n_q, Nr, Nc), dtype)
+        init = (x0, x0, w0, w0, w0, q0)
+
+        if loss_every:
+            d_fwd, sym_grad, *_ = _tgv_ops(axes, tuple(x0.shape), dtype)
+            a1 = jnp.asarray(alpha1, dtype)
+            a0 = jnp.asarray(alpha0, dtype)
+
+            def chunk(carry, _):
+                carry = jax.lax.fori_loop(
+                    0, loss_every, lambda i, c: step(*c, x0), carry)
+                xc, _, wc, _, _, _ = carry
+                wpub = from_internal(wc)
+                loss = (0.5 * jnp.sum(jnp.square(xc - x0))
+                        + a1 * _l21(d_fwd(xc) - wpub)
+                        + a0 * _l21(sym_grad(wpub)))
+                return carry, loss
+
+            (x, _, w, _, _, _), losses = jax.lax.scan(
+                chunk, init, length=n_iter // loss_every
+            )
+            return TGVResult(x=x, w=from_internal(w), loss=losses)
 
         def body(carry, _):
             return step(*carry, x0), None
 
-        (x, _, w, _, _, _), _ = jax.lax.scan(
-            body, (x0, x0, w0, w0, w0, q0), length=n_iter
-        )
+        (x, _, w, _, _, _), _ = jax.lax.scan(body, init, length=n_iter)
         return TGVResult(x=x, w=from_internal(w),
                          loss=jnp.zeros((0,), dtype))
 
@@ -285,7 +316,7 @@ def tgv_denoise(
         w_new = w - tau * (-p + sym_T(q))
         xb = 2.0 * x_new - x
         wb = 2.0 * w_new - w
-        if compute_loss:
+        if compute_loss and not loss_every:
             loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
                     + alpha1 * _l21(d_fwd(x_new) - w_new)
                     + alpha0 * _l21(sym_grad(w_new)))
@@ -293,9 +324,23 @@ def tgv_denoise(
             loss = None
         return (x_new, xb, w_new, wb, p, q), loss
 
-    (x, _, w, _, _, _), losses = jax.lax.scan(
-        step, (x0, x0, w0, w0, p0, q0), length=n_iter
-    )
+    init = (x0, x0, w0, w0, p0, q0)
+    if loss_every:
+        def chunk(carry, _):
+            carry = jax.lax.fori_loop(
+                0, loss_every, lambda i, c: step(c, None)[0], carry)
+            xc, _, wc, _, _, _ = carry
+            loss = (0.5 * jnp.sum(jnp.square(xc - x0))
+                    + alpha1 * _l21(d_fwd(xc) - wc)
+                    + alpha0 * _l21(sym_grad(wc)))
+            return carry, loss
+
+        (x, _, w, _, _, _), losses = jax.lax.scan(
+            chunk, init, length=n_iter // loss_every
+        )
+        return TGVResult(x=x, w=w, loss=losses)
+
+    (x, _, w, _, _, _), losses = jax.lax.scan(step, init, length=n_iter)
     if losses is None:
         losses = jnp.zeros((0,), dtype)
     return TGVResult(x=x, w=w, loss=losses)

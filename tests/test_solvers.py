@@ -670,3 +670,32 @@ def test_huber_tv_norm_family():
                                  cfg, (4, 2, 16, 16), reg=1.0, n_iter=1)
     with pytest.raises(ValueError, match="huber_delta"):
         TVConfig(norm="huber", huber_delta=0.0)
+
+
+def test_tgv_loss_every_sampling():
+    """``loss_every=k`` samples the objective after every k-th iteration:
+    iterates identical to the continuous run, losses equal to every k-th
+    entry of the per-iteration series — on the jnp path AND the streaming
+    kernel path (the only way that path produces a loss series)."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(9)
+    x = jnp.asarray(rng.random((3, 2, 16, 16)))
+
+    for axes in ("2d", "3d", "4d"):
+        full = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, axes=axes)
+        for fused in (False, True):
+            res = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0,
+                              axes=axes, loss_every=5, fused=fused)
+            assert res.loss.shape == (4,)
+            np.testing.assert_allclose(np.asarray(res.x),
+                                       np.asarray(full.x),
+                                       rtol=1e-12, atol=1e-12)
+            np.testing.assert_allclose(np.asarray(res.loss),
+                                       np.asarray(full.loss)[4::5],
+                                       rtol=1e-10)
+
+    with pytest.raises(ValueError, match="divisor"):
+        tgv_denoise(x, n_iter=20, loss_every=3)
