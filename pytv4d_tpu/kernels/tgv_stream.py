@@ -21,9 +21,11 @@ boundary; row seams are 8-row thin blocks from the adjacent tile (the
 corrections are needed — the primal pass reads the dual's neighbors
 directly because the duals are already committed to HBM by pass PQ.
 
-The loss history is NOT computed (it would need a third pass over the new
+The loss history is NOT fused (it would need a third pass over the new
 iterate's differences): the streaming path requires ``compute_loss=False``
-— tgv_denoise falls back to the jnp scan otherwise.
+or the sampled ``loss_every=k`` mode — tgv_denoise falls back to the jnp
+scan otherwise.  State may be stored bf16 (kernels COMPUTE in f32, casting
+at the tile boundary — the fused.py convention) for ~half the HBM traffic.
 
 Numerics match the jnp scan to fp round-off (interpreter-mode parity:
 tests/test_kernels.py::test_tgv_stream_matches_jnp) — the channel order
@@ -171,7 +173,8 @@ def choose_tile_rows(shape, mode: str, bpe: int = 4):
 
 
 def stream_fits(shape, mode: str, dtype="float32") -> bool:
-    if jnp.dtype(dtype) != jnp.float32:
+    if jnp.dtype(dtype) not in (jnp.dtype(jnp.float32),
+                                jnp.dtype(jnp.bfloat16)):
         return False
     Nz, M, Nr, Nc = shape
     if Nc % 128 or Nr % _THIN:
@@ -212,8 +215,13 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                    if ax_list[i] == "row" or ax_list[j] == "row"]
 
     Nz, M, Nr, Nc = shape
-    dtype = jnp.dtype(dtype_name)
-    bpe = dtype.itemsize
+    store = jnp.dtype(dtype_name)
+    # bf16 is a storage/traffic format only — kernels COMPUTE in f32 and
+    # cast at the tile boundary (the fused.py convention); f64 stays f64
+    # (interpreter-mode tests)
+    compute = jnp.dtype(jnp.float32) if store == jnp.bfloat16 else store
+    # in-kernel f32 compute temporaries dominate the VMEM footprint
+    bpe = max(store.itemsize, 4)
     TR = tile_rows or choose_tile_rows(shape, mode, bpe)
     if TR is None:
         raise ValueError(
@@ -231,14 +239,15 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
     # ---- pass PQ: dual updates --------------------------------------------
     def pq_kernel(*refs):
         it = iter(refs)
-        xb = next(it)[0]
-        xb_zp = next(it)[0] if has_z else None
-        xb_dn = next(it)[0]
-        wb = next(it)[0]
-        wb_zm = next(it)[0] if has_z else None
-        wb_up = next(it)[0]
-        p_in = next(it)[0]
-        q_in = next(it)[0]
+        ld = lambda: next(it)[0].astype(compute)
+        xb = ld()
+        xb_zp = ld() if has_z else None
+        xb_dn = ld()
+        wb = ld()
+        wb_zm = ld() if has_z else None
+        wb_up = ld()
+        p_in = ld()
+        q_in = ld()
         p_out = next(it)
         q_out = next(it)
         z, r = pl.program_id(0), pl.program_id(1)
@@ -266,7 +275,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
               for i in range(n)]
         nrm = jnp.sqrt(sum(c * c for c in pc))
         scale = 1.0 / jnp.maximum(1.0, nrm / a1)
-        p_out[0] = jnp.stack([c * scale for c in pc], axis=1)
+        p_out[0] = jnp.stack([c * scale for c in pc], axis=1).astype(store)
 
         qc = []
         for (i, j) in pairs:
@@ -278,7 +287,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                           * (bwd_d(i, ax_list[j]) + bwd_d(j, ax_list[i])))
         nrm = jnp.sqrt(sum(c * c for c in qc))
         scale = 1.0 / jnp.maximum(1.0, nrm / a0)
-        q_out[0] = jnp.stack([c * scale for c in qc], axis=1)
+        q_out[0] = jnp.stack([c * scale for c in qc], axis=1).astype(store)
 
     pq_in_specs = [_vol_spec(sp)]
     if has_z:
@@ -300,8 +309,8 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         grid=(Nz, sp.R),
         in_specs=pq_in_specs,
         out_specs=(_dvol_spec(sp, n), _dvol_spec(sp, n_q)),
-        out_shape=(jax.ShapeDtypeStruct(w_shape, dtype),
-                   jax.ShapeDtypeStruct(q_shape, dtype)),
+        out_shape=(jax.ShapeDtypeStruct(w_shape, store),
+                   jax.ShapeDtypeStruct(q_shape, store)),
         input_output_aliases={p_idx: 0, q_idx: 1},
         interpret=interpret,
     )
@@ -309,15 +318,16 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
     # ---- pass XW: primal updates + extrapolation --------------------------
     def xw_kernel(*refs):
         it = iter(refs)
-        x = next(it)[0]
-        x0 = next(it)[0]
-        p = next(it)[0]
-        p_zm = next(it)[0][:, 0] if has_z else None
-        p_up = next(it)[0][:, 0]
-        w = next(it)[0]
-        q = next(it)[0]
-        q_zp = {c: next(it)[0][:, 0] for c in q_z_chans}
-        q_dn = {c: next(it)[0][:, 0] for c in q_row_chans}
+        ld = lambda: next(it)[0].astype(compute)
+        x = ld()
+        x0 = ld()
+        p = ld()
+        p_zm = ld()[:, 0] if has_z else None
+        p_up = ld()[:, 0]
+        w = ld()
+        q = ld()
+        q_zp = {c: ld()[:, 0] for c in q_z_chans}
+        q_dn = {c: ld()[:, 0] for c in q_row_chans}
         x_out = next(it)
         xb_out = next(it)
         w_out = next(it)
@@ -351,8 +361,8 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
 
         dtp = sum(adj_fwd(i, ax_list[i]) for i in range(n))
         x_new = (x - tau * dtp + tau * x0) / (1.0 + tau)
-        x_out[0] = x_new
-        xb_out[0] = 2.0 * x_new - x
+        x_out[0] = x_new.astype(store)
+        xb_out[0] = (2.0 * x_new - x).astype(store)
 
         etq = [jnp.zeros_like(x) for _ in range(n)]
         for c, (i, j) in enumerate(pairs):
@@ -362,9 +372,10 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                 etq[i] = etq[i] + 0.5 * adj_bwd(c, ax_list[j])
                 etq[j] = etq[j] + 0.5 * adj_bwd(c, ax_list[i])
         w_new = [w[:, i] - tau * (-p[:, i] + etq[i]) for i in range(n)]
-        w_out[0] = jnp.stack(w_new, axis=1)
+        w_out[0] = jnp.stack(w_new, axis=1).astype(store)
         wb_out[0] = jnp.stack(
-            [2.0 * w_new[i] - w[:, i] for i in range(n)], axis=1)
+            [2.0 * w_new[i] - w[:, i] for i in range(n)],
+            axis=1).astype(store)
 
     xw_in_specs = [_vol_spec(sp), _vol_spec(sp), _dvol_spec(sp, n)]
     if has_z:
@@ -383,10 +394,10 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         in_specs=xw_in_specs,
         out_specs=(_vol_spec(sp), _vol_spec(sp),
                    _dvol_spec(sp, n), _dvol_spec(sp, n)),
-        out_shape=(jax.ShapeDtypeStruct(vol_shape, dtype),
-                   jax.ShapeDtypeStruct(vol_shape, dtype),
-                   jax.ShapeDtypeStruct(w_shape, dtype),
-                   jax.ShapeDtypeStruct(w_shape, dtype)),
+        out_shape=(jax.ShapeDtypeStruct(vol_shape, store),
+                   jax.ShapeDtypeStruct(vol_shape, store),
+                   jax.ShapeDtypeStruct(w_shape, store),
+                   jax.ShapeDtypeStruct(w_shape, store)),
         input_output_aliases={0: 0, w_in_idx: 2},
         interpret=interpret,
     )

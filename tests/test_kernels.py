@@ -269,3 +269,22 @@ def test_tgv_stream_row_tiled_matches_jnp(mode, monkeypatch):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(fus.w), np.asarray(ref.w),
                                rtol=1e-12, atol=1e-12)
+
+
+@pytest.mark.parametrize("mode", ["3d", "4d"])
+def test_tgv_stream_bf16_storage(mode):
+    """bf16 state storage on the streaming TGV kernel (compute stays f32):
+    the trajectory tracks the f32 run within bf16 quantization tolerance
+    and the public outputs keep the input dtype."""
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(13)
+    x32 = jnp.asarray(rng.random((3, 2, 16, 16)), jnp.float32)
+    ref = tgv_denoise(x32, n_iter=10, alpha1=0.2, alpha0=0.4, axes=mode,
+                      compute_loss=False, fused=True)
+    out = tgv_denoise(x32.astype(jnp.bfloat16), n_iter=10, alpha1=0.2,
+                      alpha0=0.4, axes=mode, compute_loss=False, fused=True)
+    assert out.x.dtype == jnp.bfloat16
+    assert out.w.dtype == jnp.bfloat16
+    np.testing.assert_allclose(np.asarray(out.x, np.float32),
+                               np.asarray(ref.x), atol=3e-2, rtol=3e-2)
