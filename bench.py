@@ -105,19 +105,21 @@ def bench_cp_4d(shape=(32, 8, 256, 256), n_iter=50, dual_dtype=None,
     return it_s, frac_min
 
 
-def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5):
-    """Secondary: slice-resident TGV-2 kernel (axes='2d' auto-dispatch)."""
-    import jax
+def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
+                 axes="2d", dtype="float32", compute_loss=True):
+    """Secondary: TGV-2 kernels — slice-resident for axes='2d', streaming
+    two-pass for the coupled modes."""
     import jax.numpy as jnp
 
     from pytv4d_tpu.solvers.tgv import tgv_denoise
 
     rng = np.random.default_rng(0)
-    x = jnp.asarray(rng.random(shape), dtype=jnp.float32)
+    x = jnp.asarray(rng.random(shape), dtype=dtype)
 
     def run():
-        res = tgv_denoise(x, n_iter=n_iter)
-        return float(jnp.sum(res.x))
+        res = tgv_denoise(x, n_iter=n_iter, axes=axes,
+                          compute_loss=compute_loss)
+        return float(jnp.sum(res.x.astype(jnp.float32)))
 
     run()
     best = float("inf")
@@ -126,7 +128,7 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5):
         run()
         best = min(best, time.perf_counter() - t0)
     it_s = n_iter / best
-    log(f"tgv 4D {shape} slice-resident: {it_s:.1f} it/s, "
+    log(f"tgv {axes} {shape} {dtype}: {it_s:.1f} it/s, "
         f"{float(np.prod(shape)) * it_s / 1e9:.2f} Gvox-it/s")
     return it_s
 
@@ -148,6 +150,9 @@ def main():
                                primary_dtype="bfloat16", repeats=3)
         extras["fused_4d_bf16pd_it_s"] = round(it4pd, 1)
         extras["tgv_4d_it_s"] = round(bench_tgv_4d(), 1)
+        extras["tgv_4d_coupled_bf16_it_s"] = round(
+            bench_tgv_4d(axes="4d", dtype="bfloat16", compute_loss=False,
+                         repeats=3), 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
 

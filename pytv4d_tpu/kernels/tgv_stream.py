@@ -54,6 +54,10 @@ _MODE_AXES = {
 }
 _THIN = 8
 _TILE_BYTES_TARGET = 6 * 1024 * 1024
+# Mosaic accepts raised scoped-VMEM budgets (see kernels/fused.py); the
+# TR=8 floor engages for large (M, Nc) with the limit raised accordingly
+_WORKSET_MAX = 12 * 1024 * 1024
+_VMEM_CEILING = 100 * 1024 * 1024
 
 
 def _q_pairs(n: int):
@@ -156,10 +160,15 @@ def _plane_count(mode: str) -> int:
     return 2 + n + 1 + n + n_q + nz_q + 2 + 2 * n + 1
 
 
+def _workset(shape, mode: str, TR: int, bpe: int) -> int:
+    return _plane_count(mode) * shape[1] * TR * shape[3] * bpe
+
+
 def choose_tile_rows(shape, mode: str, bpe: int = 4):
-    """Largest TR (multiple of 8, dividing Nr) whose double-buffered
-    worst-pass workset fits the budget; None if even TR=8 does not fit or
-    the shape cannot tile."""
+    """Largest TR (multiple of 8, dividing Nr) whose nominal worst-pass
+    workset fits the target; floors at TR=8 (with a raised Mosaic scoped
+    budget, see _vmem_limit) for large (M, Nc); None only when even TR=8
+    exceeds _WORKSET_MAX or the rows cannot tile."""
     Nz, M, Nr, Nc = shape
     if Nr % _THIN:
         return None
@@ -167,9 +176,21 @@ def choose_tile_rows(shape, mode: str, bpe: int = 4):
     for TR in range(_THIN, Nr + 1, _THIN):
         if Nr % TR:
             continue
-        if _plane_count(mode) * M * TR * Nc * bpe * 2 <= _TILE_BYTES_TARGET:
+        if _workset(shape, mode, TR, bpe) <= _TILE_BYTES_TARGET:
             best = TR
+    if best is None and _workset(shape, mode, _THIN, bpe) <= _WORKSET_MAX:
+        best = _THIN
     return best
+
+
+def _vmem_limit(shape, mode: str, TR: int, bpe: int):
+    """Scoped-VMEM override: None inside Mosaic's default; else a raised
+    cap so large tiles still compile (the kernels/fused.py calibration:
+    true footprint ~2x the nominal workset)."""
+    need = 2 * _workset(shape, mode, TR, bpe)
+    if need <= 15 * 1024 * 1024:
+        return None
+    return min(_VMEM_CEILING, need + need // 2)
 
 
 def stream_fits(shape, mode: str, dtype="float32") -> bool:
@@ -304,6 +325,10 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
 
     w_shape = (Nz, M, n, Nr, Nc)
     q_shape = (Nz, M, n_q, Nr, Nc)
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(shape, mode, TR, bpe)
+    if limit is not None:
+        cp_kw["vmem_limit_bytes"] = limit
     pq_call = pl.pallas_call(
         pq_kernel,
         grid=(Nz, sp.R),
@@ -312,6 +337,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         out_shape=(jax.ShapeDtypeStruct(w_shape, store),
                    jax.ShapeDtypeStruct(q_shape, store)),
         input_output_aliases={p_idx: 0, q_idx: 1},
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         interpret=interpret,
     )
 
@@ -399,6 +425,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                    jax.ShapeDtypeStruct(w_shape, store),
                    jax.ShapeDtypeStruct(w_shape, store)),
         input_output_aliases={0: 0, w_in_idx: 2},
+        compiler_params=pltpu.CompilerParams(**cp_kw),
         interpret=interpret,
     )
 
