@@ -429,20 +429,31 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         interpret=interpret,
     )
 
-    def step(x, xb, w, wb, p, q, x0):
+    def pq(xb, wb, p, q):
         if has_z:
-            p, q = pq_call(xb, xb, xb, wb, wb, wb, p, q)
-        else:
-            p, q = pq_call(xb, xb, wb, wb, p, q)
+            return pq_call(xb, xb, xb, wb, wb, wb, p, q)
+        return pq_call(xb, xb, wb, wb, p, q)
+
+    def xw(x, x0, p, w, q):
         xw_ins = [x, x0, p]
         if has_z:
             xw_ins.append(p)
         xw_ins += [p, w, q]
         xw_ins += [q] * len(q_z_chans)
         xw_ins += [q] * len(q_row_chans)
-        x, xb, w, wb = xw_call(*xw_ins)
+        return xw_call(*xw_ins)
+
+    def step(x, xb, w, wb, p, q, x0):
+        p, q = pq(xb, wb, p, q)
+        x, xb, w, wb = xw(x, x0, p, w, q)
         return x, xb, w, wb, p, q
 
+    # exposed for the sharded ghost-plane wrapper (parallel/tgv_sharded.py),
+    # which must re-exchange dual halos BETWEEN the two passes
+    step.pq = pq
+    step.xw = xw
+    step.sigma = sigma
+    step.tau = tau
     return step
 
 

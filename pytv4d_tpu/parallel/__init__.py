@@ -11,7 +11,7 @@ from .halo import (
     sharded_D_T,
     sharded_tv_and_subgrad,
 )
-from .tgv_sharded import tgv_denoise_sharded
+from .tgv_sharded import make_sharded_tgv_stream_solver, tgv_denoise_sharded
 from .mesh import (
     T_AXIS,
     Z_AXIS,

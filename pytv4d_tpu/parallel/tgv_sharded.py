@@ -20,10 +20,12 @@ from __future__ import annotations
 
 import functools
 
+import jax
 import jax.numpy as jnp
 from jax import lax, shard_map
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
+from .halo import _is_first, _is_last, _plane_from_left, _plane_from_right
 from .mesh import T_AXIS, Z_AXIS, d_volume_spec, volume_spec
 
 
@@ -65,3 +67,186 @@ def tgv_denoise_sharded(
 
     x_out, w_out, loss = fn(jnp.asarray(x))
     return TGVResult(x=x_out, w=w_out, loss=loss)
+
+
+def _extend_z(a, z_name, nz, ghost_lo: str, ghost_hi: str):
+    """One exchanged halo plane per side along axis 0.  ``ghost_*`` chooses
+    the GLOBAL-boundary substitute: 'edge' (replicate the edge plane — makes
+    the ungated one-sided difference exactly zero there) or 'zero' (keep the
+    ppermute zeros — correct for dual-variable reads whose global-boundary
+    coefficient is zero)."""
+    if z_name is None:
+        lo = jnp.zeros_like(a[:1])
+        hi = jnp.zeros_like(a[:1])
+        if ghost_lo == "edge":
+            lo = a[:1]
+        if ghost_hi == "edge":
+            hi = a[-1:]
+    else:
+        lo = _plane_from_left(a, 0, z_name, nz)
+        hi = _plane_from_right(a, 0, z_name, nz)
+        if ghost_lo == "edge":
+            lo = jnp.where(_is_first(z_name), a[:1], lo)
+        if ghost_hi == "edge":
+            hi = jnp.where(_is_last(z_name, nz), a[-1:], hi)
+    return jnp.concatenate([lo, a, hi], axis=0)
+
+
+def _pad_z(a):
+    return jnp.pad(a, [(1, 1)] + [(0, 0)] * (a.ndim - 1))
+
+
+def make_sharded_tgv_stream_solver(
+    mesh: Mesh,
+    global_shape,
+    axes: str = "4d",
+    *,
+    alpha1: float,
+    alpha0: float,
+    n_iter: int,
+    sigma_tau_split: float = 1.0,
+    dtype: str = "float32",
+    interpret: bool = None,
+    shard_time: bool = True,
+):
+    """Sharded COUPLED TGV-2 (``axes='3d'``/``'4d'``): the streaming Pallas
+    kernels (kernels/tgv_stream.py) inside ``shard_map`` over a z-sharded
+    mesh, with ghost-plane halos.
+
+    Per iteration: exchange one xb/wb boundary plane (``ppermute``), run
+    pass PQ on the halo-extended local block, exchange the new duals'
+    boundary planes, run pass XW, then apply the two global-edge
+    corrections the extended kernels cannot see (their z gates fire at
+    ghost planes, which are discarded): the last global plane's D^T must
+    not include the z-dual's own-slot term, and the first global plane's
+    E^T must not include the z-adjoint own-slot terms.  Slot-exact vs the
+    unsharded path (tests/test_sharding.py::test_tgv_stream_sharded).
+
+    ``'3d'`` does not couple time, so the mesh may shard t too (the time
+    axis is a pure batch dim there); ``'4d'`` requires t unsharded.
+    Returns ``solve(x0) -> TGVResult`` (empty loss — the streaming path
+    does not produce a loss history; evaluate the objective on the result
+    if needed).  ``x0`` sharded via ``parallel.mesh.shard_volume``."""
+    from ..kernels.dispatch import default_interpret
+    from ..kernels.tgv_stream import (
+        _MODE_AXES,
+        _q_pairs,
+        from_internal,
+        make_tgv_stream_step,
+    )
+    from ..solvers.tgv import TGVResult
+
+    if axes not in ("3d", "4d"):
+        raise ValueError(
+            f"make_sharded_tgv_stream_solver is for the coupled modes "
+            f"('3d'/'4d'); axes='2d' shards with zero communication via "
+            f"tgv_denoise_sharded — got {axes!r}"
+        )
+    if interpret is None:
+        interpret = default_interpret()
+    nz = mesh.shape[Z_AXIS]
+    nt = mesh.shape[T_AXIS] if shard_time else 1
+    if axes == "4d" and nt > 1:
+        raise ValueError(
+            "axes='4d' couples time across shards; use a z-only mesh "
+            "(shard_time=False or t=1)"
+        )
+    Nz_g, M_g, Nr, Nc = global_shape
+    if Nz_g % nz or M_g % nt:
+        raise ValueError(
+            f"global shape {global_shape} not divisible by mesh "
+            f"(z={nz}, t={nt})"
+        )
+    local = (Nz_g // nz, M_g // nt, Nr, Nc)
+    ext_shape = (local[0] + 2,) + local[1:]
+
+    step_k = make_tgv_stream_step(
+        ext_shape, axes, float(alpha1), float(alpha0),
+        float(sigma_tau_split), dtype_name=jnp.dtype(dtype).name,
+        interpret=interpret,
+    )
+    tau = step_k.tau
+    ax_list = _MODE_AXES[axes]
+    n = len(ax_list)
+    pairs = _q_pairs(n)
+    # z is field/axis 0 in both coupled modes
+    q_zz_chan = pairs.index((0, 0))
+    q_z_off = [(c, j) for c, (i, j) in enumerate(pairs) if i == 0 and j != 0]
+
+    z_name = Z_AXIS if nz > 1 else None
+    t_spec = T_AXIS if nt > 1 else None
+    vol = P(Z_AXIS if nz > 1 else None, t_spec, None, None)
+    dint = P(Z_AXIS if nz > 1 else None, t_spec, None, None, None)
+
+    @functools.partial(
+        shard_map, mesh=mesh,
+        in_specs=(vol, vol, dint, dint, dint, dint, vol),
+        out_specs=(vol, vol, dint, dint, dint, dint),
+        check_vma=False,
+    )
+    def step(x, xb, w, wb, p, q, x0):
+        # pass PQ on the halo-extended block: edge ghosts make the one-sided
+        # z differences exactly zero at the global boundary, so the global
+        # stencil is reproduced without any in-kernel global gating
+        xb_ext = _extend_z(xb, z_name, nz, "zero", "edge")
+        wb_ext = _extend_z(wb, z_name, nz, "edge", "zero")
+        p2, q2 = step_k.pq(xb_ext, wb_ext, _pad_z(p), _pad_z(q))
+        p2, q2 = p2[1:-1], q2[1:-1]
+
+        # pass XW: the adjoints read the NEW duals' neighbor planes — zero
+        # ghosts at the global boundary are exactly the zero coefficients
+        p_ext = _extend_z(p2, z_name, nz, "zero", "zero")
+        q_ext = _extend_z(q2, z_name, nz, "zero", "zero")
+        x2, xb2, w2, wb2 = step_k.xw(_pad_z(x), _pad_z(x0), p_ext,
+                                     _pad_z(w), q_ext)
+        x2, xb2, w2, wb2 = x2[1:-1], xb2[1:-1], w2[1:-1], wb2[1:-1]
+
+        # global-edge corrections (the extended kernel's own-slot z gates
+        # fired at ghost planes): algebra in the module docstring
+        one = jnp.ones((), x2.dtype)
+        zero = jnp.zeros((), x2.dtype)
+        if z_name is None:
+            last_g = first_g = one
+        else:
+            last_g = jnp.where(_is_last(z_name, nz), one, zero)
+            first_g = jnp.where(_is_first(z_name), one, zero)
+        # last global plane: D^T wrongly included -p_z[L-1]
+        corr_x = (tau / (1.0 + tau)) * p2[-1:, :, 0] * last_g
+        x2 = x2.at[-1:].add(-corr_x)
+        xb2 = xb2.at[-1:].add(-2.0 * corr_x)
+        # first global plane: E^T wrongly included the z-adjoint own-slot
+        # terms q_zz (field z) and 0.5 q_z{j} (field j)
+        extra = [jnp.zeros_like(w2[:1, :, 0]) for _ in range(n)]
+        extra[0] = q2[:1, :, q_zz_chan]
+        for c, j in q_z_off:
+            extra[j] = extra[j] + 0.5 * q2[:1, :, c]
+        corr_w = tau * jnp.stack(extra, axis=2) * first_g
+        w2 = w2.at[:1].add(corr_w)
+        wb2 = wb2.at[:1].add(2.0 * corr_w)
+        return x2, xb2, w2, wb2, p2, q2
+
+    n_q = len(pairs)
+    dt = jnp.dtype(dtype)
+
+    @jax.jit
+    def solve(x0):
+        x0 = x0.astype(dt)
+        w0 = jnp.zeros((Nz_g, M_g, n, Nr, Nc), dt)
+        q0 = jnp.zeros((Nz_g, M_g, n_q, Nr, Nc), dt)
+        w0 = jax.lax.with_sharding_constraint(w0, NamedSharding(mesh, dint))
+        q0 = jax.lax.with_sharding_constraint(q0, NamedSharding(mesh, dint))
+
+        def body(carry, _):
+            return step(*carry, x0), None
+
+        (x, _, w, _, _, _), _ = jax.lax.scan(
+            body, (x0, x0, w0, w0, w0, q0), length=n_iter
+        )
+        return x, w
+
+    def run(x0):
+        x, w = solve(jnp.asarray(x0))
+        return TGVResult(x=x, w=from_internal(w),
+                         loss=jnp.zeros((0,), dt))
+
+    return run

@@ -661,3 +661,43 @@ def test_tgv_gspmd_3d_4d(axes):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(res.loss), np.asarray(ref.loss),
                                rtol=1e-12)
+
+
+@pytest.mark.parametrize("axes", ["3d", "4d"])
+def test_tgv_stream_sharded(axes):
+    """Sharded coupled TGV (streaming kernels + ghost-plane halos +
+    global-edge corrections) matches the unsharded stream path AND the jnp
+    scan to fp round-off on the virtual mesh — z-sharded (4 shards of 2
+    planes), plus the 8-way 1-plane-shard edge case."""
+    from pytv4d_tpu.parallel import make_sharded_tgv_stream_solver
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(47)
+    x = jnp.asarray(rng.random((8, 2, 16, 16)))
+    ref = tgv_denoise(x, n_iter=12, alpha1=2.0, alpha0=4.0, axes=axes,
+                      compute_loss=False, fused=False)
+
+    for z in (4, 8):
+        mesh = make_mesh(z=z, t=1, devices=jax.devices()[:z])
+        solve = make_sharded_tgv_stream_solver(
+            mesh, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=12,
+            dtype="float64")
+        res = solve(shard_volume(x, mesh))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w),
+                                   rtol=1e-12, atol=1e-12)
+
+    if axes == "3d":
+        # t is a batch dim in 3d mode: the (z, t) mesh shards it for free
+        mesh = _mesh42()
+        solve = make_sharded_tgv_stream_solver(
+            mesh, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=12,
+            dtype="float64")
+        res = solve(shard_volume(x, mesh))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-12)
+    else:
+        with pytest.raises(ValueError, match="z-only"):
+            make_sharded_tgv_stream_solver(
+                _mesh42(), x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=5)
