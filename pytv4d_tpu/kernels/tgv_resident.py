@@ -36,9 +36,9 @@ from jax.experimental.pallas import tpu as pltpu
 _VMEM_BUDGET = 12 * 1024 * 1024
 
 # state (x, xb, x0, w, wb, p, q = 12 planes) + step temporaries (D xb,
-# E wb, D^T p, E^T q, projection norms, ...), with headroom for mosaic's
-# own intermediates
-_PLANES = 30
+# E wb, D^T p, E^T q, projection norms, ...) + the full-state outputs
+# (resume support), with headroom for mosaic's own intermediates
+_PLANES = 38
 
 
 def tgv_resident_fits(shape, dtype=jnp.float32, n_iter: int = 0,
@@ -61,8 +61,10 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
                              compute_loss: bool = True,
                              interpret: bool = False):
     """One pallas_call running the full ``n_iter`` TGV-2 CP solve, one grid
-    program per (z, t) slice.  Returns ``solve(x0) -> (x, w, losses)`` with
-    the public ``(Nz, 2, M, Nr, Nc)`` w layout; ``losses`` is ``(n_iter,)``
+    program per (z, t) slice.  Returns
+    ``solve(x0) -> (x, w, xb, wb, p, q, losses)`` — the full final CP state
+    in the public layouts (w-like ``(Nz, 2, M, Nr, Nc)``, q
+    ``(Nz, 3, M, Nr, Nc)``) for resume support; ``losses`` is ``(n_iter,)``
     (empty ``(0,)`` when ``compute_loss=False``)."""
     from ..solvers.tgv import (
         TGV_NORM_BOUND_SQ,
@@ -116,7 +118,8 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
         wc = _adj(q[:, 1], 3, True) + 0.5 * _adj(q[:, 2], 2, True)
         return jnp.stack([wr, wc], axis=1)
 
-    def kernel(x0_ref, x_out, w_out, *loss_refs):
+    def kernel(x0_ref, x_out, w_out, xb_out, wb_out, p_out, q_out,
+               *loss_refs):
         x0 = x0_ref[...]
         if compute_loss:
             (loss_out,) = loss_refs
@@ -144,21 +147,29 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
             return (x_new, xb, w_new, wb, p, q)
 
         zero_w = jnp.zeros(w_shape, dtype)
-        x, _, w, _, _, _ = jax.lax.fori_loop(
+        x, xb, w, wb, pf, qf = jax.lax.fori_loop(
             0, n_iter, body,
             (x0, x0, zero_w, zero_w, zero_w, jnp.zeros(q_shape, dtype)),
         )
         x_out[...] = x
         w_out[...] = w
+        xb_out[...] = xb
+        wb_out[...] = wb
+        p_out[...] = pf
+        q_out[...] = qf
 
+    vol_spec = pl.BlockSpec(slice_shape, lambda i, j: (i, j, 0, 0))
+    w_spec = pl.BlockSpec(w_shape, lambda i, j: (i, 0, j, 0, 0))
+    q_spec = pl.BlockSpec(q_shape, lambda i, j: (i, 0, j, 0, 0))
     out_shape = [
         jax.ShapeDtypeStruct((Nz, M, Nr, Nc), dtype),
         jax.ShapeDtypeStruct((Nz, 2, M, Nr, Nc), dtype),
+        jax.ShapeDtypeStruct((Nz, M, Nr, Nc), dtype),       # xb
+        jax.ShapeDtypeStruct((Nz, 2, M, Nr, Nc), dtype),    # wb
+        jax.ShapeDtypeStruct((Nz, 2, M, Nr, Nc), dtype),    # p
+        jax.ShapeDtypeStruct((Nz, 3, M, Nr, Nc), dtype),    # q
     ]
-    out_specs = [
-        pl.BlockSpec(slice_shape, lambda i, j: (i, j, 0, 0)),
-        pl.BlockSpec(w_shape, lambda i, j: (i, 0, j, 0, 0)),
-    ]
+    out_specs = [vol_spec, w_spec, vol_spec, w_spec, w_spec, q_spec]
     if compute_loss:
         out_shape.append(jax.ShapeDtypeStruct((n_iter, 8, 128), dtype))
         out_specs.append(
@@ -175,11 +186,12 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
     )
 
     def solve(x0):
+        """-> (x, w, xb, wb, p, q, losses) — the full final CP state
+        (public layouts) plus the loss history."""
         outs = fn(x0)
         if compute_loss:
-            x, w, loss_tiles = outs
-            return x, w, loss_tiles[:, 0, 0]
-        x, w = outs
-        return x, w, jnp.zeros((0,), dtype)
+            *st, loss_tiles = outs
+            return (*st, loss_tiles[:, 0, 0])
+        return (*outs, jnp.zeros((0,), dtype))
 
     return solve

@@ -32,10 +32,22 @@ import jax
 import jax.numpy as jnp
 
 
+class TGVState(NamedTuple):
+    """Full CP state for resume/checkpointing (public layouts: w-like
+    fields are (Nz, n_w, M, Nr, Nc), q is (Nz, n_q, M, Nr, Nc))."""
+    x: jax.Array
+    xb: jax.Array
+    w: jax.Array
+    wb: jax.Array
+    p: jax.Array
+    q: jax.Array
+
+
 class TGVResult(NamedTuple):
     x: jax.Array     # denoised volume (Nz, M, N_row, N_col)
     w: jax.Array     # auxiliary vector field (Nz, 2, M, N_row, N_col)
     loss: jax.Array  # primal objective history (n_iter,)
+    state: TGVState = None  # full final state (resume via the state kwarg)
 
 
 def _d_fwd(x):
@@ -154,6 +166,7 @@ def tgv_denoise(
     compute_loss: bool = True,
     fused: bool = None,
     loss_every: int = 0,
+    state: TGVState = None,
 ) -> TGVResult:
     """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
@@ -186,6 +199,12 @@ def tgv_denoise(
     forces the jnp scan; ``fused=True`` forces a kernel path (interpreter
     off-TPU — used by the parity tests).
 
+    ``state`` resumes a previous run from ``result.state`` (full CP state:
+    x, x_bar, w, w_bar, p, q) — composes with ``run_until_converged`` and
+    ``solvers.state`` checkpointing.  A resumed call never uses the
+    slice-resident whole-solve kernel (no state passthrough there); it
+    continues on the streaming kernel or the jnp scan.
+
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
     x0 = jnp.asarray(x_noisy)
@@ -210,9 +229,9 @@ def tgv_denoise(
         from ..kernels.tgv_resident import tgv_resident_fits
         from ..kernels.tgv_stream import stream_fits
 
-        # with sampled loss the resident kernel is excluded (it is a
-        # whole-solve kernel — no state passthrough to chunk over)
-        resident_ok = (axes == "2d" and not loss_every and
+        # with sampled loss or a resume state the resident kernel is
+        # excluded (it is a whole-solve kernel — no state passthrough)
+        resident_ok = (axes == "2d" and not loss_every and state is None and
                        tgv_resident_fits(x0.shape, dtype, n_iter,
                                          compute_loss))
         stream_ok = ((not compute_loss or bool(loss_every))
@@ -228,6 +247,7 @@ def tgv_denoise(
 
             tileable = choose_tile_rows(tuple(x0.shape), axes) is not None
             if resident_ok or (axes == "2d" and not loss_every
+                               and state is None
                                and (compute_loss or not tileable)):
                 # the fits guard is an auto-dispatch heuristic only; forced
                 # 2d solves take the resident kernel whenever the stream
@@ -252,8 +272,9 @@ def tgv_denoise(
             dtype_name=jnp.dtype(dtype).name, compute_loss=compute_loss,
             interpret=default_interpret(),
         )
-        x, w, losses = solve(x0)
-        return TGVResult(x=x, w=w, loss=losses)
+        x, w, xb, wb, pf, qf, losses = solve(x0)
+        st = TGVState(x=x, xb=xb, w=w, wb=wb, p=pf, q=qf)
+        return TGVResult(x=x, w=w, loss=losses, state=st)
 
     if path == "stream":
         from ..kernels.dispatch import default_interpret
@@ -263,12 +284,26 @@ def tgv_denoise(
             tuple(x0.shape), axes, alpha1, alpha0, sigma_tau_split,
             dtype_name=jnp.dtype(dtype).name, interpret=default_interpret(),
         )
+        from ..kernels.tgv_stream import to_internal
+
         n_w = TGV_FIELDS[axes]
         n_q = n_w * (n_w + 1) // 2
         Nz, M, Nr, Nc = x0.shape
-        w0 = jnp.zeros((Nz, M, n_w, Nr, Nc), dtype)
-        q0 = jnp.zeros((Nz, M, n_q, Nr, Nc), dtype)
-        init = (x0, x0, w0, w0, w0, q0)
+        if state is None:
+            w0 = jnp.zeros((Nz, M, n_w, Nr, Nc), dtype)
+            q0 = jnp.zeros((Nz, M, n_q, Nr, Nc), dtype)
+            init = (x0, x0, w0, w0, w0, q0)
+        else:
+            init = (state.x, state.xb, to_internal(state.w),
+                    to_internal(state.wb), to_internal(state.p),
+                    to_internal(state.q))
+
+        def _result(carry, losses):
+            x, xb, w, wb, p, q = carry
+            st = TGVState(x=x, xb=xb, w=from_internal(w),
+                          wb=from_internal(wb), p=from_internal(p),
+                          q=from_internal(q))
+            return TGVResult(x=x, w=st.w, loss=losses, state=st)
 
         if loss_every:
             d_fwd, sym_grad, *_ = _tgv_ops(axes, tuple(x0.shape), dtype)
@@ -285,17 +320,16 @@ def tgv_denoise(
                         + a0 * _l21(sym_grad(wpub)))
                 return carry, loss
 
-            (x, _, w, _, _, _), losses = jax.lax.scan(
+            carry, losses = jax.lax.scan(
                 chunk, init, length=n_iter // loss_every
             )
-            return TGVResult(x=x, w=from_internal(w), loss=losses)
+            return _result(carry, losses)
 
         def body(carry, _):
             return step(*carry, x0), None
 
-        (x, _, w, _, _, _), _ = jax.lax.scan(body, init, length=n_iter)
-        return TGVResult(x=x, w=from_internal(w),
-                         loss=jnp.zeros((0,), dtype))
+        carry, _ = jax.lax.scan(body, init, length=n_iter)
+        return _result(carry, jnp.zeros((0,), dtype))
 
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
         axes, tuple(x0.shape), dtype)
@@ -304,9 +338,17 @@ def tgv_denoise(
     tau = (1.0 / (sigma_tau_split * L)).astype(dtype)
 
     Nz, M, Nr, Nc = x0.shape
-    w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
-    p0 = jnp.zeros_like(w0)                        # dual of (Dx - w)
-    q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)    # dual of (E w)
+    if state is None:
+        w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
+        p0 = jnp.zeros_like(w0)                    # dual of (Dx - w)
+        q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)  # dual of (E w)
+        init_jnp = (x0, x0, w0, w0, p0, q0)
+    else:
+        init_jnp = tuple(state)
+
+    def _result_jnp(carry, losses):
+        st = TGVState(*carry)
+        return TGVResult(x=st.x, w=st.w, loss=losses, state=st)
 
     def step(carry, _):
         x, xb, w, wb, p, q = carry
@@ -324,7 +366,6 @@ def tgv_denoise(
             loss = None
         return (x_new, xb, w_new, wb, p, q), loss
 
-    init = (x0, x0, w0, w0, p0, q0)
     if loss_every:
         def chunk(carry, _):
             carry = jax.lax.fori_loop(
@@ -335,15 +376,15 @@ def tgv_denoise(
                     + alpha0 * _l21(sym_grad(wc)))
             return carry, loss
 
-        (x, _, w, _, _, _), losses = jax.lax.scan(
-            chunk, init, length=n_iter // loss_every
+        carry, losses = jax.lax.scan(
+            chunk, init_jnp, length=n_iter // loss_every
         )
-        return TGVResult(x=x, w=w, loss=losses)
+        return _result_jnp(carry, losses)
 
-    (x, _, w, _, _, _), losses = jax.lax.scan(step, init, length=n_iter)
+    carry, losses = jax.lax.scan(step, init_jnp, length=n_iter)
     if losses is None:
         losses = jnp.zeros((0,), dtype)
-    return TGVResult(x=x, w=w, loss=losses)
+    return _result_jnp(carry, losses)
 
 
 def _transpose_of(fn, in_shape, dtype):

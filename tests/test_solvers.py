@@ -699,3 +699,60 @@ def test_tgv_loss_every_sampling():
 
     with pytest.raises(ValueError, match="divisor"):
         tgv_denoise(x, n_iter=20, loss_every=3)
+
+
+def test_tgv_state_resume_matches_continuous():
+    """result.state resumes exactly: two 10-iteration chunks equal one
+    20-iteration run on every path (jnp scan; resident first chunk then
+    jnp; streaming kernel chunks)."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(21)
+    x = jnp.asarray(rng.random((2, 2, 16, 16)))
+
+    for axes in ("2d", "4d"):
+        full = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, axes=axes)
+        a = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, axes=axes)
+        b = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, axes=axes,
+                        state=a.state)
+        np.testing.assert_allclose(np.asarray(b.x), np.asarray(full.x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(
+            np.concatenate([a.loss, b.loss]), np.asarray(full.loss),
+            rtol=1e-10)
+
+    # resident (interpreter) first chunk -> jnp resume
+    a = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, fused=True)
+    b = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, state=a.state,
+                    fused=False)
+    full = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, fused=False)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+
+    # streaming-kernel chunks
+    full = tgv_denoise(x, n_iter=20, alpha1=2.0, alpha0=4.0, axes="4d",
+                       compute_loss=False, fused=True)
+    a = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, axes="4d",
+                    compute_loss=False, fused=True)
+    b = tgv_denoise(x, n_iter=10, alpha1=2.0, alpha0=4.0, axes="4d",
+                    compute_loss=False, fused=True, state=a.state)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+
+
+def test_tgv_run_until_converged():
+    """run_until_converged drives tgv_denoise through its state kwarg."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers import run_until_converged
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(22)
+    x = jnp.asarray(rng.random((1, 1, 24, 24)) * 10.0)
+    res = run_until_converged(tgv_denoise, x, tol=1e-5, chunk=25,
+                              max_iter=400, alpha1=1.0, alpha0=2.0)
+    cont = tgv_denoise(x, n_iter=len(res.loss), alpha1=1.0, alpha0=2.0)
+    np.testing.assert_allclose(np.asarray(res.loss),
+                               np.asarray(cont.loss), rtol=1e-8)
