@@ -65,10 +65,15 @@ class IterationTimer:
 
     @staticmethod
     def _force(out):
+        # ONE forced scalar host read spanning every leaf: the data
+        # dependency genuinely waits for the work.  Deliberately NOT
+        # block_until_ready — on tunneled backends it returns early (a
+        # no-op poll) and, combined with a subsequent read, adds ~35 ms of
+        # extra round-trips per call (docs/performance.md "Measuring
+        # through the tunnel").
         leaves = jax.tree_util.tree_leaves(out)
-        jax.block_until_ready(leaves)
-        # host round-trip defeats async queues that outlive block_until_ready
-        float(jnp.sum(jnp.ravel(leaves[0])[:8]))
+        float(sum(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32))
+                  for leaf in leaves))
 
 
 def device_kind() -> str:

@@ -756,3 +756,32 @@ def test_tgv_run_until_converged():
     cont = tgv_denoise(x, n_iter=len(res.loss), alpha1=1.0, alpha0=2.0)
     np.testing.assert_allclose(np.asarray(res.loss),
                                np.asarray(cont.loss), rtol=1e-8)
+
+
+def test_tgv_checkpoint_roundtrip(tmp_path):
+    """run_checkpointed drives tgv_denoise (state kwarg convention): the
+    chunked+checkpointed run equals the continuous one, and a restart
+    resumes from the saved TGVState."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers import run_checkpointed
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(23)
+    x = jnp.asarray(rng.random((1, 1, 16, 16)) * 5.0)
+    full = tgv_denoise(x, n_iter=30, alpha1=1.0, alpha0=2.0)
+    path = str(tmp_path / "tgv_state.npz")
+    res = run_checkpointed(tgv_denoise, x, n_iter=30, checkpoint_path=path,
+                           checkpoint_every=10, alpha1=1.0, alpha0=2.0)
+    np.testing.assert_allclose(np.asarray(res.x), np.asarray(full.x),
+                               rtol=1e-12, atol=1e-12)
+    assert len(res.loss) == 30
+
+    # simulate a crash after 30 of 50: the saved checkpoint resumes
+    res2 = run_checkpointed(tgv_denoise, x, n_iter=50, checkpoint_path=path,
+                            checkpoint_every=10, alpha1=1.0, alpha0=2.0)
+    cont = tgv_denoise(x, n_iter=50, alpha1=1.0, alpha0=2.0)
+    np.testing.assert_allclose(np.asarray(res2.x), np.asarray(cont.x),
+                               rtol=1e-12, atol=1e-12)
+    np.testing.assert_allclose(np.asarray(res2.loss), np.asarray(cont.loss),
+                               rtol=1e-10)
