@@ -217,6 +217,24 @@ def _ax_dt(y, axis: int, kind: str):
     return _pad3(t, axis, a, 0) - _pad3(t, axis, 0, a)
 
 
+def _one_sided_adjoint(y, axis: int, drop_first: bool):
+    """Adjoint of a one-sided difference along a COMPLETE axis (any rank).
+    Forward diff (zero far boundary, ``drop_first=False``): coefficient
+    p[k-1] - p[k] on slot k, with p's LAST slot never read; backward diff
+    (zero near boundary, ``drop_first=True``): q[k] - q[k+1], FIRST slot
+    never read.  Both are pad(core, lo) - pad(core, hi) of the
+    unread-slot-dropped core.  Shared by the TGV kernels
+    (kernels/tgv_resident.py, kernels/tgv_stream.py)."""
+    sl = [slice(None)] * y.ndim
+    sl[axis] = slice(1, None) if drop_first else slice(0, -1)
+    core = y[tuple(sl)]
+    lo = [(0, 0)] * y.ndim
+    hi = [(0, 0)] * y.ndim
+    lo[axis] = (1, 0)
+    hi[axis] = (0, 1)
+    return jnp.pad(core, lo) - jnp.pad(core, hi)
+
+
 def _shift_down(y, axis: int):
     """y[i-1] with zero shifted in at slot 0."""
     return _pad3(y[_sl3(axis, None, -1)], axis, 1, 0)

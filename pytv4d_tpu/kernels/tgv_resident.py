@@ -90,23 +90,11 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
     q_shape = (1, 3, 1, Nr, Nc)
 
     # Hand-written adjoints (jax.linear_transpose closes over jaxpr consts,
-    # which Pallas kernels cannot capture).  Both adjoints share one form:
-    # for the forward difference with zero far boundary, <Dx, p> gives
-    # coefficient p[r-1] - p[r] on x[r] with p's LAST slot never read; for
-    # the backward difference with zero near boundary, q[r] - q[r+1] with
-    # q's FIRST slot never read.  So each is pad(core, lo) - pad(core, hi)
-    # where core drops the unread slot.  Equality with the linear_transpose
-    # path is enforced by the interpreter-mode parity test
+    # which Pallas kernels cannot capture): the shared one-sided-difference
+    # adjoint (kernels/fused.py).  Equality with the linear_transpose path
+    # is enforced by the interpreter-mode parity test
     # (tests/test_solvers.py::test_tgv_fused_resident_parity).
-    def _adj(p, axis, drop_first):
-        sl = [slice(None)] * p.ndim
-        sl[axis] = slice(1, None) if drop_first else slice(0, -1)
-        core = p[tuple(sl)]
-        lo = [(0, 0)] * p.ndim
-        hi = [(0, 0)] * p.ndim
-        lo[axis] = (1, 0)
-        hi[axis] = (0, 1)
-        return jnp.pad(core, lo) - jnp.pad(core, hi)
+    from .fused import _one_sided_adjoint as _adj
 
     def d_T(p):
         # adjoint of _d_fwd on one slice: p is (1, 2, 1, Nr, Nc)

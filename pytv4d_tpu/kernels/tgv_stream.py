@@ -45,7 +45,14 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from ..core.schemes import BWD, FWD
-from .fused import _ax_d, _cross_d, _gate, _pad3, _row_d, _sl3, _zero_row
+from .fused import (
+    _ax_d,
+    _cross_d,
+    _gate,
+    _one_sided_adjoint as _adj_in,
+    _row_d,
+    _zero_row,
+)
 
 _MODE_AXES = {
     "2d": ("row", "col"),
@@ -134,17 +141,6 @@ def _dvol_chan_rows_spec(sp: _SP, chan: int, direction: int):
 
     return pl.BlockSpec((1, sp.M, 1, _THIN, sp.Nc), index_map,
                         memory_space=pltpu.VMEM)
-
-
-def _adj_in(y, axis: int, drop_first: bool):
-    """In-tile adjoint of a one-sided difference along a COMPLETE axis.
-    Forward diff (zero far boundary, ``drop_first=False``): coefficient
-    p[k-1] - p[k] with the LAST slot never read; backward diff (zero near
-    boundary, ``drop_first=True``): q[k] - q[k+1] with the FIRST slot never
-    read.  Both are pad(core, lo) - pad(core, hi) of the unread-slot-dropped
-    core (see kernels/tgv_resident.py)."""
-    core = y[_sl3(axis, 1, None)] if drop_first else y[_sl3(axis, 0, -1)]
-    return _pad3(core, axis, 1, 0) - _pad3(core, axis, 0, 1)
 
 
 def _plane_count(mode: str) -> int:

@@ -53,11 +53,14 @@ def d_volume_spec(shard_time: bool = True) -> P:
 
 
 def volume_sharding(mesh: Mesh, shard_time: bool = True) -> NamedSharding:
-    return NamedSharding(mesh, volume_spec(shard_time))
+    # tolerate pure-z meshes (no 't' axis) — natural for z-coupled solvers
+    return NamedSharding(mesh, volume_spec(shard_time
+                                           and T_AXIS in mesh.shape))
 
 
 def d_volume_sharding(mesh: Mesh, shard_time: bool = True) -> NamedSharding:
-    return NamedSharding(mesh, d_volume_spec(shard_time))
+    return NamedSharding(mesh, d_volume_spec(shard_time
+                                             and T_AXIS in mesh.shape))
 
 
 def shard_volume(x, mesh: Mesh, shard_time: bool = True):

@@ -48,6 +48,8 @@ def tgv_denoise_sharded(
     scalar psum per iteration (none with ``compute_loss=False``)."""
     from ..solvers.tgv import TGVResult, tgv_denoise
 
+    if T_AXIS not in mesh.shape:  # pure-z mesh: nothing to shard over t
+        shard_time = False
     vol = volume_spec(shard_time)
     wspec = d_volume_spec(shard_time)
     axes = (Z_AXIS, T_AXIS) if shard_time else (Z_AXIS,)
@@ -144,8 +146,14 @@ def make_sharded_tgv_stream_solver(
         )
     if interpret is None:
         interpret = default_interpret()
+    if Z_AXIS not in mesh.shape:
+        raise ValueError(
+            f"mesh must have a '{Z_AXIS}' axis (parallel.mesh.make_mesh); "
+            f"got axes {tuple(mesh.shape)}"
+        )
     nz = mesh.shape[Z_AXIS]
-    nt = mesh.shape[T_AXIS] if shard_time else 1
+    # a pure-z mesh (no 't' axis) is natural for the z-coupled modes
+    nt = mesh.shape.get(T_AXIS, 1) if shard_time else 1
     if axes == "4d" and nt > 1:
         raise ValueError(
             "axes='4d' couples time across shards; use a z-only mesh "

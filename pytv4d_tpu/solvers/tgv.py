@@ -30,6 +30,7 @@ from typing import NamedTuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 
 class TGVState(NamedTuple):
@@ -152,10 +153,67 @@ def _proj_ball(p, radius):
     return p / jnp.maximum(1.0, n / radius)
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
-                              "axes", "compute_loss", "fused", "loss_every")
-)
+def _select_path(shape, dtype, axes, n_iter, compute_loss, fused,
+                 loss_every, has_state, multi_device):
+    """Kernel-path dispatch (outside jit, so it can see the CONCRETE input
+    sharding): 'resident' (slice-whole-solve, 2d), 'stream' (two-pass,
+    coupled modes / big slices) or 'jnp'.  Multi-device (GSPMD-sharded)
+    inputs always take the jnp path — the Pallas kernels are
+    sharding-unaware; use parallel.tgv_denoise_sharded /
+    make_sharded_tgv_stream_solver for kernel-speed sharded solves."""
+    if fused is False:
+        return "jnp"
+    from ..kernels.tgv_resident import tgv_resident_fits
+    from ..kernels.tgv_stream import choose_tile_rows, stream_fits
+
+    if multi_device:
+        if fused:
+            raise ValueError(
+                "fused=True on a multi-device-sharded input: the Pallas TGV "
+                "kernels are sharding-unaware — use parallel."
+                "tgv_denoise_sharded (2d) or parallel."
+                "make_sharded_tgv_stream_solver (3d/4d), or fused=False for "
+                "the GSPMD jnp path"
+            )
+        return "jnp"
+
+    # the resident whole-solve kernel has no state passthrough and cannot
+    # sample the loss
+    resident_ok = (axes == "2d" and not loss_every and not has_state and
+                   tgv_resident_fits(shape, dtype, n_iter, compute_loss))
+    tileable = choose_tile_rows(shape, axes) is not None
+    stream_possible = ((not compute_loss or bool(loss_every))
+                       and tileable
+                       and (fused or stream_fits(shape, axes, dtype)))
+    if fused is None:
+        # auto: kernels on TPU only (off-TPU they would run the slow
+        # Pallas interpreter; tests opt in with fused=True)
+        if jax.default_backend() != "tpu":
+            return "jnp"
+        return ("resident" if resident_ok
+                else "stream" if stream_possible else "jnp")
+    # fused=True: force a kernel path where one can serve
+    if resident_ok or (axes == "2d" and not loss_every and not has_state
+                       and (compute_loss or not tileable)):
+        path = "resident"
+    elif stream_possible:
+        path = "stream"
+    elif has_state:
+        # documented: a resumed call continues on the stream kernel or the
+        # jnp scan — here only jnp can serve (per-iteration loss and/or
+        # untileable rows)
+        path = "jnp"
+    else:
+        raise ValueError(
+            "fused=True cannot serve this combination: the streaming TGV "
+            "kernel (kernels/tgv_stream.py, the only fused path for "
+            "axes='3d'/'4d' and resumed 2d solves) needs "
+            "compute_loss=False or loss_every=k, and N_row a multiple of 8 "
+            "with a VMEM-tileable shape"
+        )
+    return path
+
+
 def tgv_denoise(
     x_noisy,
     n_iter: int = 300,
@@ -207,6 +265,42 @@ def tgv_denoise(
 
     Input must be the canonical 4D ``(Nz, M, N_row, N_col)`` volume
     (``models.TVDenoiser.tgv`` accepts 2D/3D and restores the rank)."""
+    if hasattr(x_noisy, "ndim") and x_noisy.ndim != 4:
+        raise ValueError(
+            f"tgv_denoise expects a rank-4 (Nz, M, N_row, N_col) volume, got "
+            f"shape {tuple(x_noisy.shape)}; use models.TVDenoiser(...).tgv "
+            f"for 2D/3D inputs"
+        )
+    if axes not in ("2d", "3d", "4d"):
+        raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
+    if loss_every:
+        if loss_every < 0 or n_iter % loss_every:
+            raise ValueError(
+                f"loss_every must be a positive divisor of n_iter, got "
+                f"loss_every={loss_every} with n_iter={n_iter}"
+            )
+    try:
+        sharding = getattr(x_noisy, "sharding", None)
+        multi_device = sharding is not None and len(sharding.device_set) > 1
+    except Exception:  # tracers (e.g. inside shard_map) have no sharding
+        multi_device = False
+    shape = tuple(np.shape(x_noisy))
+    dt = getattr(x_noisy, "dtype", None) or np.asarray(x_noisy).dtype
+    path = _select_path(shape, dt, axes, n_iter, compute_loss, fused,
+                        loss_every, state is not None, multi_device)
+    return _tgv_denoise_impl(
+        x_noisy, state, n_iter=n_iter, alpha1=alpha1, alpha0=alpha0,
+        sigma_tau_split=sigma_tau_split, axes=axes,
+        compute_loss=compute_loss, loss_every=loss_every, path=path,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
+                              "axes", "compute_loss", "loss_every", "path")
+)
+def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
+                      sigma_tau_split, axes, compute_loss, loss_every, path):
     x0 = jnp.asarray(x_noisy)
     if x0.ndim != 4:
         raise ValueError(
@@ -214,54 +308,7 @@ def tgv_denoise(
             f"shape {tuple(x0.shape)}; use models.TVDenoiser(...).tgv for "
             f"2D/3D inputs"
         )
-    if axes not in ("2d", "3d", "4d"):
-        raise ValueError(f"axes must be '2d', '3d' or '4d', got {axes!r}")
     dtype = x0.dtype
-    if loss_every:
-        if loss_every < 0 or n_iter % loss_every:
-            raise ValueError(
-                f"loss_every must be a positive divisor of n_iter, got "
-                f"loss_every={loss_every} with n_iter={n_iter}"
-            )
-
-    path = "jnp"
-    if fused is not False:
-        from ..kernels.tgv_resident import tgv_resident_fits
-        from ..kernels.tgv_stream import stream_fits
-
-        # with sampled loss or a resume state the resident kernel is
-        # excluded (it is a whole-solve kernel — no state passthrough)
-        resident_ok = (axes == "2d" and not loss_every and state is None and
-                       tgv_resident_fits(x0.shape, dtype, n_iter,
-                                         compute_loss))
-        stream_ok = ((not compute_loss or bool(loss_every))
-                     and stream_fits(tuple(x0.shape), axes, dtype))
-        if fused is None:
-            # auto: kernels on TPU only (off-TPU they would run the slow
-            # Pallas interpreter; tests opt in with fused=True)
-            if jax.default_backend() == "tpu":
-                path = ("resident" if resident_ok
-                        else "stream" if stream_ok else "jnp")
-        else:  # fused=True: force the kernel path
-            from ..kernels.tgv_stream import choose_tile_rows
-
-            tileable = choose_tile_rows(tuple(x0.shape), axes) is not None
-            if resident_ok or (axes == "2d" and not loss_every
-                               and state is None
-                               and (compute_loss or not tileable)):
-                # the fits guard is an auto-dispatch heuristic only; forced
-                # 2d solves take the resident kernel whenever the stream
-                # path cannot serve (no loss history, untileable rows)
-                path = "resident"
-            elif compute_loss and not loss_every:
-                raise ValueError(
-                    "fused=True needs compute_loss=False or loss_every=k "
-                    "here: the streaming TGV kernel (kernels/tgv_stream.py, "
-                    "the only fused path for axes='3d'/'4d') cannot fuse "
-                    "the per-iteration loss"
-                )
-            else:
-                path = "stream"
 
     if path == "resident":
         from ..kernels.dispatch import default_interpret

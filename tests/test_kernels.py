@@ -254,9 +254,11 @@ def test_tgv_stream_row_tiled_matches_jnp(mode, monkeypatch):
     from pytv4d_tpu.solvers.tgv import tgv_denoise
 
     M, Nc = 2, 16
-    target = tgv_stream._plane_count(mode) * M * 8 * Nc * 8 * 2
+    # budget exactly one TR=8 workset (f64 => bpe 8): TR=16 cannot fit
+    target = tgv_stream._workset((3, M, 16, Nc), mode, 8, 8)
     monkeypatch.setattr(tgv_stream, "_TILE_BYTES_TARGET", target)
     tgv_stream.make_tgv_stream_step.cache_clear()
+    assert tgv_stream.choose_tile_rows((3, M, 16, Nc), mode, bpe=8) == 8
 
     rng = np.random.default_rng(12)
     x = jnp.asarray(rng.random((3, M, 16, Nc)))

@@ -678,7 +678,11 @@ def test_tgv_stream_sharded(axes):
                       compute_loss=False, fused=False)
 
     for z in (4, 8):
-        mesh = make_mesh(z=z, t=1, devices=jax.devices()[:z])
+        if z == 4:  # pure-z mesh (no 't' axis) must work too
+            from jax.sharding import Mesh
+            mesh = Mesh(np.asarray(jax.devices()[:4]), ("z",))
+        else:
+            mesh = make_mesh(z=z, t=1, devices=jax.devices()[:z])
         solve = make_sharded_tgv_stream_solver(
             mesh, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=12,
             dtype="float64")
