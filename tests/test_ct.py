@@ -475,3 +475,31 @@ def test_tgv_inverse_identity_matches_denoise():
                                atol=2e-4, rtol=1e-3)
     with pytest.raises(ValueError, match="rank-4"):
         tgv_inverse(lambda v: v, x0, (16, 16))
+
+
+def test_tgv_reconstruct_precond_converges_faster():
+    """Diagonal preconditioning (Pock-Chambolle 2011, exact row/col sums —
+    the CT projector's nonnegative coefficients make |A|1 = A1): 200
+    preconditioned iterations reach a LOWER objective and RMSE than 1500
+    plain iterations on the TGV-CT ramp experiment."""
+    from pytv4d_tpu.models.ct import radon, tgv_reconstruct
+
+    N = 24
+    yy = np.linspace(-1, 1, N)[:, None] * np.ones((1, N))
+    xx = np.ones((N, 1)) * np.linspace(-1, 1, N)[None, :]
+    disk = (xx ** 2 + yy ** 2) <= 0.81
+    truth = np.where(disk, 0.5 + 0.5 * yy, 0.0)[None, None]
+    angles = jnp.linspace(0, np.pi, 16, endpoint=False)
+    rng = np.random.default_rng(0)
+    sn = np.array(radon(truth, angles)) + 0.4 * rng.standard_normal(
+        (1, 1, 16, 24))
+
+    plain = tgv_reconstruct(sn, angles, truth.shape, n_iter=1500,
+                            alpha1=1.2, alpha0=2.4, op_norm=float(N))
+    fast = tgv_reconstruct(sn, angles, truth.shape, n_iter=200,
+                           alpha1=1.2, alpha0=2.4, precond=True)
+    assert float(fast.loss[-1]) < float(plain.loss[-1])
+    mask = disk[None, None]
+    e_plain = float(np.sqrt(np.mean((np.asarray(plain.x) - truth)[mask] ** 2)))
+    e_fast = float(np.sqrt(np.mean((np.asarray(fast.x) - truth)[mask] ** 2)))
+    assert e_fast <= e_plain * 1.01, (e_fast, e_plain)
