@@ -194,6 +194,7 @@ def cp_reconstruct(
     op_norm: Optional[float] = None,
     x_init=None,
     geom=None,
+    precond: bool = False,
 ):
     """TV-regularized reconstruction ``min_x 1/2||A x - b||^2 + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
@@ -208,7 +209,7 @@ def cp_reconstruct(
 
     res = cp_inverse(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
-        op_norm=op_norm, x_init=x_init,
+        op_norm=op_norm, x_init=x_init, precond=precond,
     )
     return CPReconResult(x=res.x, loss=res.loss)
 

@@ -169,12 +169,18 @@ def precond_maps(
     reg_time: float = 0.0,
     sigma_A_rows: float = 1.0,
     *,
+    fidelity_colsum=None,
     xp=jnp,
 ):
-    """Diagonal preconditioners for CP on ``K = [I; D]`` (alpha = 1):
+    """Diagonal preconditioners for CP on ``K = [A; D]`` (alpha = 1):
     per-dual-slot ``sigma = 1/sum_i |K_ji|`` and per-pixel
     ``tau = 1/sum_j |K_ji|`` — dead dual slots get sigma = 0 (they carry
-    no information and stay at zero).  Returns (sigma_D_map, tau_map)."""
+    no information and stay at zero).  The fidelity block's column sums
+    default to the scalar ``sigma_A_rows`` (``A = I`` denoising); for a
+    general forward operator pass ``fidelity_colsum = |A|^T 1`` — exact
+    whenever A has nonnegative coefficients (the CT projectors, blurs and
+    masks here), where ``|A|^T 1 = A^T 1``.  Returns
+    (sigma_D_map, tau_map)."""
     Nz, M = shape[0], shape[1]
     chans, norm = scheme_channels(scheme, Nz, M, reg_z_over_reg, reg_time)
     ones = xp.ones(shape)
@@ -190,7 +196,9 @@ def precond_maps(
         col_sum = cs if col_sum is None else col_sum + cs
     rows = xp.stack(row_sums, axis=1)
     sigma_D = xp.where(rows > 0, 1.0 / xp.where(rows > 0, rows, 1.0), 0.0)
-    tau = 1.0 / (col_sum + sigma_A_rows)
+    fid = sigma_A_rows if fidelity_colsum is None else fidelity_colsum
+    den = col_sum + fid
+    tau = 1.0 / xp.where(den > 0, den, 1.0)
     return sigma_D, tau
 
 

@@ -67,24 +67,46 @@ def cp_inverse(
     cfg: TVConfig = TVConfig(),
     op_norm: Optional[float] = None,
     x_init=None,
+    precond: bool = False,
 ) -> InverseResult:
     """Solve ``min_x 1/2||A x - b||^2 + reg TV(x)`` with Chambolle-Pock.
 
     ``A`` maps a ``vol_shape`` volume to the data space of ``b``; it must be
     linear and jax-traceable.  Step rule:
     ``tau = sigma = 1/sqrt(||A||^2 + ||D||^2)``.
+
+    ``precond=True``: diagonally-preconditioned steps (Pock & Chambolle
+    2011, alpha=1) from the EXACT row/column absolute sums of ``[A; D]``
+    (``ops.operators.precond_maps``; the A sums are exact whenever A has
+    nonnegative coefficients — CT projectors, blurs, masks).  No
+    ``op_norm``/power iteration, and typically several-fold fewer
+    iterations (see the TGV analog in solvers/tgv.py).
     """
     b = jnp.asarray(b)
     dtype = b.dtype
     if A_T is None:
         A_T = exact_transpose(A, vol_shape, dtype)
-    if op_norm is None:
-        op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
-    L_sq = op_norm ** 2 + operator_norm_bound_sq(
-        cfg.scheme, vol_shape[0], vol_shape[1], cfg.reg_z_over_reg,
-        cfg.reg_time,
-    )
-    sigma = tau = float(1.0 / np.sqrt(L_sq))
+    if precond:
+        from ..ops.operators import precond_maps
+
+        sigma_map, tau = precond_maps(
+            tuple(vol_shape), cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
+            fidelity_colsum=A_T(jnp.ones(tuple(b.shape), dtype)),
+        )
+        sigma_map = sigma_map.astype(dtype)
+        tau = tau.astype(dtype)
+        row = A(jnp.ones(tuple(vol_shape), dtype))
+        sigma_A = 1.0 / jnp.maximum(row, 1e-3)  # zero rows: dual decoupled
+        sigma = sigma_map
+    else:
+        if op_norm is None:
+            op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
+        L_sq = op_norm ** 2 + operator_norm_bound_sq(
+            cfg.scheme, vol_shape[0], vol_shape[1], cfg.reg_z_over_reg,
+            cfg.reg_time,
+        )
+        sigma = tau = float(1.0 / np.sqrt(L_sq))
+        sigma_A = sigma
     kw = cfg.kwargs()
     Nd = num_channels(cfg.scheme, vol_shape[0], vol_shape[1],
                       cfg.reg_z_over_reg, cfg.reg_time)
@@ -100,7 +122,7 @@ def cp_inverse(
 
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
-            y_A = (y_A + sigma * (A(x_bar) - b)) / (1.0 + sigma)
+            y_A = (y_A + sigma_A * (A(x_bar) - b)) / (1.0 + sigma_A)
             from .cp import dual_prox
 
             p = y_D + sigma * D(x_bar, cfg.scheme, **kw)

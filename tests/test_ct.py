@@ -503,3 +503,23 @@ def test_tgv_reconstruct_precond_converges_faster():
     e_plain = float(np.sqrt(np.mean((np.asarray(plain.x) - truth)[mask] ** 2)))
     e_fast = float(np.sqrt(np.mean((np.asarray(fast.x) - truth)[mask] ** 2)))
     assert e_fast <= e_plain * 1.01, (e_fast, e_plain)
+
+
+def test_cp_reconstruct_precond_converges_faster():
+    """Diagonal preconditioning on TV-CT (cp_inverse precond=True): 100
+    preconditioned iterations reach a lower objective than 600 plain."""
+    from pytv4d_tpu.models.ct import cp_reconstruct, radon
+    from pytv4d_tpu.utils import synthetic_phantom
+
+    truth = (synthetic_phantom(32).astype(np.float64) / 255.0)[None, None]
+    angles = jnp.linspace(0, np.pi, 24, endpoint=False)
+    rng = np.random.default_rng(0)
+    sn = np.array(radon(truth, angles)) + 0.2 * rng.standard_normal(
+        (1, 1, 24, 32))
+
+    plain = cp_reconstruct(sn, angles, truth.shape, n_iter=600, reg=0.3,
+                           op_norm=32.0)
+    fast = cp_reconstruct(sn, angles, truth.shape, n_iter=100, reg=0.3,
+                          precond=True)
+    assert float(fast.loss[-1]) < float(plain.loss[-1])
+    assert np.all(np.isfinite(np.asarray(fast.x)))
