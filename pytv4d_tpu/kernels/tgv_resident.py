@@ -59,7 +59,8 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
                              sigma_tau_split: float = 1.0,
                              dtype_name: str = "float32",
                              compute_loss: bool = True,
-                             interpret: bool = False):
+                             interpret: bool = False,
+                             norm: str = "iso", huber_delta: float = 1.0):
     """One pallas_call running the full ``n_iter`` TGV-2 CP solve, one grid
     program per (z, t) slice.  Returns
     ``solve(x0) -> (x, w, xb, wb, p, q, losses)`` — the full final CP state
@@ -69,9 +70,9 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
     from ..solvers.tgv import (
         TGV_NORM_BOUND_SQ,
         _d_fwd,
-        _l21,
-        _proj_ball,
         _sym_grad,
+        _tgv_dual_prox,
+        _tgv_norm_val,
     )
 
     Nz, M, Nr, Nc = shape
@@ -117,18 +118,23 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
             def _zero():
                 loss_out[...] = jnp.zeros((n_iter, 8, 128), dtype)
 
+        delta = float(huber_delta)
+
         def body(i, carry):
             x, xb, w, wb, p, q = carry
-            p = _proj_ball(p + sigma * (_d_fwd(xb) - wb), a1)
-            q = _proj_ball(q + sigma * _sym_grad(wb), a0)
+            p = _tgv_dual_prox(p + sigma * (_d_fwd(xb) - wb), a1, norm,
+                               sigma, delta)
+            q = _tgv_dual_prox(q + sigma * _sym_grad(wb), a0, norm,
+                               sigma, delta)
             x_new = (x - tau * d_T(p) + tau * x0) / (1.0 + tau)
             w_new = w - tau * (-p + sym_T(q))
             xb = 2.0 * x_new - x
             wb = 2.0 * w_new - w
             if compute_loss:
                 loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
-                        + a1 * _l21(_d_fwd(x_new) - w_new)
-                        + a0 * _l21(_sym_grad(w_new)))
+                        + a1 * _tgv_norm_val(_d_fwd(x_new) - w_new, norm,
+                                             delta)
+                        + a0 * _tgv_norm_val(_sym_grad(w_new), norm, delta))
                 loss_out[pl.ds(i, 1)] = (
                     loss_out[pl.ds(i, 1)] + jnp.full((1, 8, 128), loss, dtype)
                 )

@@ -213,7 +213,8 @@ def from_internal(a):
 def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                          sigma_tau_split: float = 1.0,
                          dtype_name: str = "float32",
-                         interpret: bool = False, tile_rows: int = None):
+                         interpret: bool = False, tile_rows: int = None,
+                         norm: str = "iso", huber_delta: float = 1.0):
     """Build ``step(x, xb, w, wb, p, q, x0) -> (x, xb, w, wb, p, q)`` —
     one TGV CP iteration as two pallas_calls.  w/wb/p/q use the INTERNAL
     (Nz, M, n, Nr, Nc) layout (``to_internal``/``from_internal``)."""
@@ -252,6 +253,19 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
     tau = float(1.0 / (sigma_tau_split * L))
     a1 = float(alpha1)
     a0 = float(alpha0)
+    # Huber conjugate prox = shrink-then-project; the shrink factors are
+    # trace-time constants (cp.dual_prox convention)
+    shr1 = float(1.0 / (1.0 + sigma * huber_delta / a1))
+    shr0 = float(1.0 / (1.0 + sigma * huber_delta / a0))
+
+    def project(chans, radius, shrink):
+        if norm == "aniso":
+            return [jnp.clip(c, -radius, radius) for c in chans]
+        if norm == "huber":
+            chans = [c * shrink for c in chans]
+        nrm = jnp.sqrt(sum(c * c for c in chans))
+        scale = 1.0 / jnp.maximum(1.0, nrm / radius)
+        return [c * scale for c in chans]
 
     # ---- pass PQ: dual updates --------------------------------------------
     def pq_kernel(*refs):
@@ -290,9 +304,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
 
         pc = [p_in[:, i] + sigma * (fwd_d(ax_list[i]) - wb[:, i])
               for i in range(n)]
-        nrm = jnp.sqrt(sum(c * c for c in pc))
-        scale = 1.0 / jnp.maximum(1.0, nrm / a1)
-        p_out[0] = jnp.stack([c * scale for c in pc], axis=1).astype(store)
+        p_out[0] = jnp.stack(project(pc, a1, shr1), axis=1).astype(store)
 
         qc = []
         for (i, j) in pairs:
@@ -302,9 +314,7 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
             else:
                 qc.append(q_in[:, len(qc)] + sigma * 0.5
                           * (bwd_d(i, ax_list[j]) + bwd_d(j, ax_list[i])))
-        nrm = jnp.sqrt(sum(c * c for c in qc))
-        scale = 1.0 / jnp.maximum(1.0, nrm / a0)
-        q_out[0] = jnp.stack([c * scale for c in qc], axis=1).astype(store)
+        q_out[0] = jnp.stack(project(qc, a0, shr0), axis=1).astype(store)
 
     pq_in_specs = [_vol_spec(sp)]
     if has_z:

@@ -39,6 +39,8 @@ def tgv_denoise_sharded(
     compute_loss: bool = True,
     fused: bool = None,
     shard_time: bool = True,
+    norm: str = "iso",
+    huber_delta: float = 1.0,
 ):
     """``axes='2d'`` TGV-2 denoising under ``shard_map`` on ``mesh``.
 
@@ -62,7 +64,8 @@ def tgv_denoise_sharded(
         res = tgv_denoise(
             x_local, n_iter=n_iter, alpha1=alpha1, alpha0=alpha0,
             sigma_tau_split=sigma_tau_split, axes="2d",
-            compute_loss=compute_loss, fused=fused,
+            compute_loss=compute_loss, fused=fused, norm=norm,
+            huber_delta=huber_delta,
         )
         loss = lax.psum(res.loss, axes) if compute_loss else res.loss
         return res.x, res.w, loss
@@ -110,6 +113,8 @@ def make_sharded_tgv_stream_solver(
     dtype: str = "float32",
     interpret: bool = None,
     shard_time: bool = True,
+    norm: str = "iso",
+    huber_delta: float = 1.0,
 ):
     """Sharded COUPLED TGV-2 (``axes='3d'``/``'4d'``): the streaming Pallas
     kernels (kernels/tgv_stream.py) inside ``shard_map`` over a z-sharded
@@ -171,7 +176,7 @@ def make_sharded_tgv_stream_solver(
     step_k = make_tgv_stream_step(
         ext_shape, axes, float(alpha1), float(alpha0),
         float(sigma_tau_split), dtype_name=jnp.dtype(dtype).name,
-        interpret=interpret,
+        interpret=interpret, norm=norm, huber_delta=float(huber_delta),
     )
     tau = step_k.tau
     ax_list = _MODE_AXES[axes]

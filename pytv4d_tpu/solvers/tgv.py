@@ -153,6 +153,32 @@ def _proj_ball(p, radius):
     return p / jnp.maximum(1.0, n / radius)
 
 
+def _tgv_dual_prox(p, radius, norm, sigma, delta):
+    """Prox of the conjugate of ``radius * N(.)`` for the TGV norm family
+    (channel axis 1): iso L2,1 ball projection; aniso L1,1 box; Huber =
+    shrink by ``1 + sigma*delta/radius`` then ball-project (the conjugate
+    gains ``delta/(2 radius) |y|^2`` — same rule as solvers/cp.dual_prox).
+    ``sigma`` may be a scalar or a per-slot map (preconditioned)."""
+    if norm == "aniso":
+        return jnp.clip(p, -radius, radius)
+    if norm == "huber":
+        p = p / (1.0 + sigma * delta / radius)
+    return _proj_ball(p, radius)
+
+
+def _tgv_norm_val(v, norm, delta):
+    """The TGV term's norm value (channel axis 1): iso L2,1; aniso L1,1;
+    Huber of the per-pixel channel 2-norm (ops.operators.compute_huber_norm
+    convention)."""
+    if norm == "aniso":
+        return jnp.sum(jnp.abs(v))
+    n = jnp.sqrt(jnp.sum(jnp.square(v), axis=1))
+    if norm == "huber":
+        return jnp.sum(jnp.where(n <= delta, jnp.square(n) / (2.0 * delta),
+                                 n - delta / 2.0))
+    return jnp.sum(n)
+
+
 def _select_path(shape, dtype, axes, n_iter, compute_loss, fused,
                  loss_every, has_state, multi_device):
     """Kernel-path dispatch (outside jit, so it can see the CONCRETE input
@@ -225,6 +251,8 @@ def tgv_denoise(
     fused: bool = None,
     loss_every: int = 0,
     state: TGVState = None,
+    norm: str = "iso",
+    huber_delta: float = 1.0,
 ) -> TGVResult:
     """TGV-2 denoising with Chambolle-Pock.  ``alpha1`` weighs first-order
     variation (like TV's reg), ``alpha0`` the second-order term — the usual
@@ -288,19 +316,25 @@ def tgv_denoise(
     dt = getattr(x_noisy, "dtype", None) or np.asarray(x_noisy).dtype
     path = _select_path(shape, dt, axes, n_iter, compute_loss, fused,
                         loss_every, state is not None, multi_device)
+    if norm not in ("iso", "aniso", "huber"):
+        raise ValueError(f"norm must be 'iso', 'aniso' or 'huber', got "
+                         f"{norm!r}")
     return _tgv_denoise_impl(
         x_noisy, state, n_iter=n_iter, alpha1=alpha1, alpha0=alpha0,
         sigma_tau_split=sigma_tau_split, axes=axes,
         compute_loss=compute_loss, loss_every=loss_every, path=path,
+        norm=norm, huber_delta=huber_delta,
     )
 
 
 @functools.partial(
     jax.jit, static_argnames=("n_iter", "alpha1", "alpha0", "sigma_tau_split",
-                              "axes", "compute_loss", "loss_every", "path")
+                              "axes", "compute_loss", "loss_every", "path",
+                              "norm", "huber_delta")
 )
 def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
-                      sigma_tau_split, axes, compute_loss, loss_every, path):
+                      sigma_tau_split, axes, compute_loss, loss_every, path,
+                      norm="iso", huber_delta=1.0):
     x0 = jnp.asarray(x_noisy)
     if x0.ndim != 4:
         raise ValueError(
@@ -317,7 +351,8 @@ def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
         solve = make_resident_tgv_solver(
             tuple(x0.shape), n_iter, alpha1, alpha0, sigma_tau_split,
             dtype_name=jnp.dtype(dtype).name, compute_loss=compute_loss,
-            interpret=default_interpret(),
+            interpret=default_interpret(), norm=norm,
+            huber_delta=huber_delta,
         )
         x, w, xb, wb, pf, qf, losses = solve(x0)
         st = TGVState(x=x, xb=xb, w=w, wb=wb, p=pf, q=qf)
@@ -330,6 +365,7 @@ def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
         step = make_tgv_stream_step(
             tuple(x0.shape), axes, alpha1, alpha0, sigma_tau_split,
             dtype_name=jnp.dtype(dtype).name, interpret=default_interpret(),
+            norm=norm, huber_delta=huber_delta,
         )
         from ..kernels.tgv_stream import to_internal
 
@@ -363,8 +399,10 @@ def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
                 xc, _, wc, _, _, _ = carry
                 wpub = from_internal(wc)
                 loss = (0.5 * jnp.sum(jnp.square(xc - x0))
-                        + a1 * _l21(d_fwd(xc) - wpub)
-                        + a0 * _l21(sym_grad(wpub)))
+                        + a1 * _tgv_norm_val(d_fwd(xc) - wpub, norm,
+                                             huber_delta)
+                        + a0 * _tgv_norm_val(sym_grad(wpub), norm,
+                                             huber_delta))
                 return carry, loss
 
             carry, losses = jax.lax.scan(
@@ -399,16 +437,20 @@ def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
 
     def step(carry, _):
         x, xb, w, wb, p, q = carry
-        p = _proj_ball(p + sigma * (d_fwd(xb) - wb), alpha1)
-        q = _proj_ball(q + sigma * sym_grad(wb), alpha0)
+        p = _tgv_dual_prox(p + sigma * (d_fwd(xb) - wb), alpha1, norm,
+                           sigma, huber_delta)
+        q = _tgv_dual_prox(q + sigma * sym_grad(wb), alpha0, norm,
+                           sigma, huber_delta)
         x_new = (x - tau * d_T(p) + tau * x0) / (1.0 + tau)
         w_new = w - tau * (-p + sym_T(q))
         xb = 2.0 * x_new - x
         wb = 2.0 * w_new - w
         if compute_loss and not loss_every:
             loss = (0.5 * jnp.sum(jnp.square(x_new - x0))
-                    + alpha1 * _l21(d_fwd(x_new) - w_new)
-                    + alpha0 * _l21(sym_grad(w_new)))
+                    + alpha1 * _tgv_norm_val(d_fwd(x_new) - w_new, norm,
+                                             huber_delta)
+                    + alpha0 * _tgv_norm_val(sym_grad(w_new), norm,
+                                             huber_delta))
         else:
             loss = None
         return (x_new, xb, w_new, wb, p, q), loss
@@ -419,8 +461,10 @@ def _tgv_denoise_impl(x_noisy, state, *, n_iter, alpha1, alpha0,
                 0, loss_every, lambda i, c: step(c, None)[0], carry)
             xc, _, wc, _, _, _ = carry
             loss = (0.5 * jnp.sum(jnp.square(xc - x0))
-                    + alpha1 * _l21(d_fwd(xc) - wc)
-                    + alpha0 * _l21(sym_grad(wc)))
+                    + alpha1 * _tgv_norm_val(d_fwd(xc) - wc, norm,
+                                             huber_delta)
+                    + alpha0 * _tgv_norm_val(sym_grad(wc), norm,
+                                             huber_delta))
             return carry, loss
 
         carry, losses = jax.lax.scan(
@@ -558,6 +602,8 @@ def tgv_inverse(
     op_norm: float = None,
     x_init=None,
     precond: bool = False,
+    norm: str = "iso",
+    huber_delta: float = 1.0,
 ) -> TGVResult:
     """TGV-2-regularized linear inverse problem:
 
@@ -591,6 +637,9 @@ def tgv_inverse(
             f"tgv_inverse expects a rank-4 (Nz, M, N_row, N_col) vol_shape, "
             f"got {vol_shape}"
         )
+    if norm not in ("iso", "aniso", "huber"):
+        raise ValueError(f"norm must be 'iso', 'aniso' or 'huber', got "
+                         f"{norm!r}")
     if A_T is None:
         A_T = exact_transpose(A, vol_shape, dtype)
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
@@ -620,15 +669,19 @@ def tgv_inverse(
         def step(carry, _):
             x, xb, w, wb, y_A, p, q = carry
             y_A = (y_A + sig_A * (A(xb) - b)) / (1.0 + sig_A)
-            p = _proj_ball(p + sig_p * (d_fwd(xb) - wb), a1)
-            q = _proj_ball(q + sig_q * sym_grad(wb), a0)
+            p = _tgv_dual_prox(p + sig_p * (d_fwd(xb) - wb), a1, norm,
+                               sig_p, huber_delta)
+            q = _tgv_dual_prox(q + sig_q * sym_grad(wb), a0, norm,
+                               sig_q, huber_delta)
             x_new = x - T_x * (A_T(y_A) + d_T(p))
             w_new = w - T_w * (-p + sym_T(q))
             xb = 2.0 * x_new - x
             wb = 2.0 * w_new - w
             loss = (0.5 * jnp.sum(jnp.square(A(x_new) - b))
-                    + a1 * _l21(d_fwd(x_new) - w_new)
-                    + a0 * _l21(sym_grad(w_new)))
+                    + a1 * _tgv_norm_val(d_fwd(x_new) - w_new, norm,
+                                         huber_delta)
+                    + a0 * _tgv_norm_val(sym_grad(w_new), norm,
+                                         huber_delta))
             return (x_new, xb, w_new, wb, y_A, p, q), loss
 
         (x, _, w, _, _, _, _), losses = jax.lax.scan(

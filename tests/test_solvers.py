@@ -785,3 +785,62 @@ def test_tgv_checkpoint_roundtrip(tmp_path):
                                rtol=1e-12, atol=1e-12)
     np.testing.assert_allclose(np.asarray(res2.loss), np.asarray(cont.loss),
                                rtol=1e-10)
+
+
+def test_tgv_norm_family():
+    """Aniso (L1,1) and Huber-smoothed TGV on every path: kernel parity
+    with the jnp scan at fp round-off, monotone-ish loss, and Huber->iso as
+    delta->0 on the denoising objective."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(29)
+    x = jnp.asarray(rng.random((2, 2, 16, 16)) * 4.0)
+
+    for norm, kw in (("aniso", {}), ("huber", {"huber_delta": 0.1})):
+        ref = tgv_denoise(x, n_iter=20, alpha1=1.0, alpha0=2.0, norm=norm,
+                          **kw)
+        loss = np.asarray(ref.loss)
+        assert loss[-1] < loss[0] and np.all(np.isfinite(loss))
+        # resident kernel parity (interpreter)
+        fus = tgv_denoise(x, n_iter=20, alpha1=1.0, alpha0=2.0, norm=norm,
+                          fused=True, **kw)
+        np.testing.assert_allclose(np.asarray(fus.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(fus.loss), loss, rtol=1e-10)
+        # streaming kernel parity (4d coupled)
+        r4 = tgv_denoise(x, n_iter=12, alpha1=1.0, alpha0=2.0, axes="4d",
+                         norm=norm, compute_loss=False, fused=False, **kw)
+        f4 = tgv_denoise(x, n_iter=12, alpha1=1.0, alpha0=2.0, axes="4d",
+                         norm=norm, compute_loss=False, fused=True, **kw)
+        np.testing.assert_allclose(np.asarray(f4.x), np.asarray(r4.x),
+                                   rtol=1e-12, atol=1e-12)
+
+    # tiny delta ~ iso
+    iso = tgv_denoise(x, n_iter=60, alpha1=1.0, alpha0=2.0)
+    hub = tgv_denoise(x, n_iter=60, alpha1=1.0, alpha0=2.0, norm="huber",
+                      huber_delta=1e-6)
+    np.testing.assert_allclose(np.asarray(hub.x), np.asarray(iso.x),
+                               atol=1e-4)
+
+    with pytest.raises(ValueError, match="norm"):
+        tgv_denoise(x, n_iter=5, norm="bogus")
+
+
+def test_tgv_inverse_norm_family():
+    """tgv_inverse with aniso/Huber norms (incl. preconditioned): decreasing
+    finite objective."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.solvers.tgv import tgv_inverse
+
+    rng = np.random.default_rng(30)
+    x0 = jnp.asarray(rng.random((1, 1, 16, 16)))
+    for norm in ("aniso", "huber"):
+        for pc in (False, True):
+            res = tgv_inverse(lambda v: v, x0, x0.shape, n_iter=80,
+                              alpha1=0.2, alpha0=0.4, norm=norm,
+                              huber_delta=0.1, precond=pc)
+            loss = np.asarray(res.loss)
+            assert loss[-1] < loss[0] and np.all(np.isfinite(loss))
