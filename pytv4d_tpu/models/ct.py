@@ -257,6 +257,8 @@ def tgv_reconstruct(
     x_init=None,
     geom=None,
     precond: bool = False,
+    norm: str = "iso",
+    huber_delta: float = 1.0,
 ):
     """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
     second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV
@@ -272,7 +274,7 @@ def tgv_reconstruct(
     res = tgv_inverse(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, alpha1=alpha1,
         alpha0=alpha0, axes=axes, op_norm=op_norm, x_init=x_init,
-        precond=precond,
+        precond=precond, norm=norm, huber_delta=huber_delta,
     )
     return CPReconResult(x=res.x, loss=res.loss)
 
