@@ -75,6 +75,9 @@ def make_resident_tgv_solver(shape, n_iter: int, alpha1: float, alpha0: float,
         _tgv_norm_val,
     )
 
+    if norm not in ("iso", "aniso", "huber"):
+        raise ValueError(f"norm must be 'iso', 'aniso' or 'huber', got "
+                         f"{norm!r}")
     Nz, M, Nr, Nc = shape
     dtype = jnp.dtype(dtype_name)
     # exact 2D operator-norm bound (Bredies et al. sec. 6), as in tgv_denoise

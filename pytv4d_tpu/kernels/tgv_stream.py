@@ -220,6 +220,9 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
     (Nz, M, n, Nr, Nc) layout (``to_internal``/``from_internal``)."""
     from ..solvers.tgv import TGV_NORM_BOUND_SQ
 
+    if norm not in ("iso", "aniso", "huber"):
+        raise ValueError(f"norm must be 'iso', 'aniso' or 'huber', got "
+                         f"{norm!r}")
     ax_list = _MODE_AXES[mode]
     n = len(ax_list)
     pairs = _q_pairs(n)

@@ -170,6 +170,7 @@ def precond_maps(
     sigma_A_rows: float = 1.0,
     *,
     fidelity_colsum=None,
+    grouped: bool = False,
     xp=jnp,
 ):
     """Diagonal preconditioners for CP on ``K = [A; D]`` (alpha = 1):
@@ -195,7 +196,17 @@ def precond_maps(
         cs = abs_dt_channel(xp, valid, ch.axis, ch.kind) * w
         col_sum = cs if col_sum is None else col_sum + cs
     rows = xp.stack(row_sums, axis=1)
-    sigma_D = xp.where(rows > 0, 1.0 / xp.where(rows > 0, rows, 1.0), 0.0)
+    if grouped:
+        # one step per pixel GROUP (the iso/Huber channel-group prox is
+        # exact only for a scalar step per group): the group minimum of
+        # the per-channel bounds = 1/max(row sums) — below every row-sum
+        # bound, so the Pock-Chambolle step condition still holds
+        gmax = xp.max(rows, axis=1, keepdims=True)
+        sigma_D = xp.where(gmax > 0, 1.0 / xp.where(gmax > 0, gmax, 1.0),
+                           0.0)
+    else:
+        sigma_D = xp.where(rows > 0, 1.0 / xp.where(rows > 0, rows, 1.0),
+                           0.0)
     fid = sigma_A_rows if fidelity_colsum is None else fidelity_colsum
     den = col_sum + fid
     tau = 1.0 / xp.where(den > 0, den, 1.0)

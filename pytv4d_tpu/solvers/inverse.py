@@ -27,6 +27,34 @@ class InverseResult(NamedTuple):
     loss: jax.Array
 
 
+def check_nonneg_operator(A: Callable, vol_shape, dtype, what: str):
+    """Eager gate for ``precond=True``: the exact-row/col-sum
+    preconditioners assume ``|A| 1 = A 1``, i.e. nonnegative operator
+    coefficients (CT projectors, blurs, masks).  ``A(1)`` with negative
+    entries proves signed coefficients (the converse does not hold — this
+    is a necessary check, documented as such); signed operators (Fourier,
+    wavelets, high-pass) must use the operator-norm step rule instead."""
+    row = A(jnp.ones(tuple(vol_shape), dtype))
+    lo = float(jnp.min(row))
+    scale = max(1.0, float(jnp.max(jnp.abs(row))))
+    if lo < -1e-6 * scale:
+        raise ValueError(
+            f"{what}(precond=True) requires a forward operator with "
+            f"nonnegative coefficients (A(ones) has negative entries, so "
+            f"A(1) != |A| 1 and the preconditioned steps would violate the "
+            f"step condition) — use precond=False with op_norm instead"
+        )
+
+
+def fidelity_row_precond(A: Callable, b_shape, vol_shape, dtype):
+    """(sigma_A, |A|^T 1) for a nonnegative operator: reciprocal row sums
+    (zero rows floored — their duals are decoupled from the primal) and the
+    fidelity column sums for the primal step.  Shared by cp_inverse and
+    tgv_inverse; call inside jit."""
+    row = A(jnp.ones(tuple(vol_shape), dtype))
+    return 1.0 / jnp.maximum(row, 1e-3)
+
+
 def exact_transpose(A: Callable, vol_shape, dtype=jnp.float32) -> Callable:
     """The exact adjoint of a linear map via ``jax.linear_transpose`` —
     passes the dot-product test to fp precision by construction."""
@@ -87,17 +115,14 @@ def cp_inverse(
     if A_T is None:
         A_T = exact_transpose(A, vol_shape, dtype)
     if precond:
-        from ..ops.operators import precond_maps
-
-        sigma_map, tau = precond_maps(
-            tuple(vol_shape), cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
-            fidelity_colsum=A_T(jnp.ones(tuple(b.shape), dtype)),
-        )
-        sigma_map = sigma_map.astype(dtype)
-        tau = tau.astype(dtype)
-        row = A(jnp.ones(tuple(vol_shape), dtype))
-        sigma_A = 1.0 / jnp.maximum(row, 1e-3)  # zero rows: dual decoupled
-        sigma = sigma_map
+        if op_norm is not None:
+            raise ValueError(
+                "op_norm and precond=True are mutually exclusive — the "
+                "preconditioned steps come from the operator's exact "
+                "row/column sums, not an operator-norm bound"
+            )
+        check_nonneg_operator(A, vol_shape, dtype, what="cp_inverse")
+        sigma = tau = sigma_A = None  # built inside the jitted run
     else:
         if op_norm is None:
             op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
@@ -115,6 +140,22 @@ def cp_inverse(
 
     @jax.jit
     def run(b, x0):
+        if precond:
+            # maps built inside jit from tiny boundary masks + one |A|^T 1
+            # volume — nothing volume-sized is baked into the executable
+            from ..ops.operators import precond_maps
+
+            sig, tau_m = precond_maps(
+                tuple(vol_shape), cfg.scheme, cfg.reg_z_over_reg,
+                cfg.reg_time,
+                fidelity_colsum=A_T(jnp.ones(tuple(b.shape), dtype)),
+                grouped=(cfg.norm != "aniso"),
+            )
+            sig = sig.astype(dtype)
+            tau_m = tau_m.astype(dtype)
+            sig_A = fidelity_row_precond(A, tuple(b.shape), vol_shape, dtype)
+        else:
+            sig, tau_m, sig_A = sigma, tau, sigma_A
         y_A = jnp.zeros_like(b)
         y_D = jnp.zeros(
             (vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]), dtype
@@ -122,12 +163,12 @@ def cp_inverse(
 
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
-            y_A = (y_A + sigma_A * (A(x_bar) - b)) / (1.0 + sigma_A)
+            y_A = (y_A + sig_A * (A(x_bar) - b)) / (1.0 + sig_A)
             from .cp import dual_prox
 
-            p = y_D + sigma * D(x_bar, cfg.scheme, **kw)
-            y_D = dual_prox(p, reg, cfg.norm, sigma, cfg.huber_delta)
-            x_new = x - tau * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
+            p = y_D + sig * D(x_bar, cfg.scheme, **kw)
+            y_D = dual_prox(p, reg, cfg.norm, sig, cfg.huber_delta)
+            x_new = x - tau_m * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
             x_bar = 2.0 * x_new - x
             resid = A(x_new) - b
             loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * tv_norm(

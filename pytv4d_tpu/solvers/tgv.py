@@ -144,10 +144,6 @@ def _sym_grad4(w):
     return jnp.stack(diag + off, axis=1)
 
 
-def _l21(v):
-    return jnp.sum(jnp.sqrt(jnp.sum(jnp.square(v), axis=1)))
-
-
 def _proj_ball(p, radius):
     n = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
     return p / jnp.maximum(1.0, n / radius)
@@ -533,14 +529,25 @@ def _axis_mask(vol_shape, dim, kind, dtype):
     return m.astype(dtype).reshape(shape)
 
 
-def _tgv_precond_maps(vol_shape, axes, dtype, A=None, A_T=None, b_shape=None):
-    """EXACT Pock-Chambolle (2011, alpha=1) diagonal preconditioners for
-    K = [[A, 0], [D, -I], [0, E]]: per-element reciprocal row sums for the
-    dual steps, reciprocal column sums for the primal.  D/E stencils have
-    coefficients +-1 and +-0.5 with known boundary structure, so their
-    abs-sums are closed-form boundary masks; the CT projectors (and blur /
-    masking operators) have NONNEGATIVE coefficients, so ``|A| 1 = A 1``
-    and ``|A|^T 1 = A^T 1`` exactly."""
+def _tgv_precond_maps(vol_shape, axes, dtype, norm="iso", A=None, A_T=None,
+                      b_shape=None):
+    """Pock-Chambolle (2011, alpha=1) diagonal preconditioners for
+    K = [[A, 0], [D, -I], [0, E]] from EXACT row/column absolute sums:
+    D/E stencils have coefficients +-1 and +-0.5 with known boundary
+    structure, so their abs-sums are closed-form per-axis boundary masks;
+    the CT projectors (and blur/masking operators) have NONNEGATIVE
+    coefficients, so ``|A| 1 = A 1`` and ``|A|^T 1 = A^T 1`` exactly.
+
+    Dual steps: for the separable ANISO norm, per-channel reciprocal row
+    sums (lists of rank-4 broadcastable masks — exact prox per channel).
+    For the GROUPED iso/Huber norms the channel-group ball/shrink prox is
+    exact only with one step per pixel group, so sigma is the per-pixel
+    group MINIMUM of the channel bounds (rank-5-broadcastable via a
+    length-1 channel axis) — below the row-sum bound, so the step
+    condition ``||Sigma^1/2 K T^1/2|| <= 1`` still holds.  Primal steps
+    are always separable: per-field lists.  All masks stay broadcastable
+    (call inside jit — nothing volume-sized is materialized beyond
+    ``|A|^T 1``, which is real data)."""
     dims = {"2d": (2, 3), "3d": (0, 2, 3), "4d": (0, 1, 2, 3)}[axes]
     n = len(dims)
     pairs = [(i, i) for i in range(n)] + [
@@ -553,41 +560,54 @@ def _tgv_precond_maps(vol_shape, axes, dtype, A=None, A_T=None, b_shape=None):
     def lem2(d):
         return _axis_mask(vol_shape, d, "lem2", dtype)
 
-    one = jnp.ones(vol_shape, dtype)
     # dual of (D x - w): row sum = 2*[fwd slot valid] + 1 (the -I entry)
-    sig_p = jnp.stack([1.0 / (2.0 * lem2(d) + 1.0) * one for d in dims],
-                      axis=1)
+    sp = [1.0 / (2.0 * lem2(d) + 1.0) for d in dims]
     # dual of E w: diag channel rows sum to 2*[bwd valid]; off-diag (i, j)
-    # rows sum to |0.5|*2 per valid part
+    # rows sum to |0.5|*2 per valid part (all-zero rows: the dual stays 0,
+    # any finite step is fine)
     sq = []
     for (i, j) in pairs:
         if i == j:
-            r = 2.0 * ge1(dims[i]) * one
+            r = 2.0 * ge1(dims[i])
         else:
-            r = (ge1(dims[j]) + ge1(dims[i])) * one
-        sq.append(1.0 / jnp.where(r == 0, 1.0, r))  # all-zero rows: dual
-    sig_q = jnp.stack(sq, axis=1)                   # stays 0, any step ok
+            r = ge1(dims[j]) + ge1(dims[i])
+        sq.append(1.0 / jnp.where(r == 0, 1.0, r))
+    if norm == "aniso":
+        sig_p, sig_q = sp, sq
+    else:
+        sig_p = functools.reduce(jnp.minimum, sp)[:, None]
+        sig_q = functools.reduce(jnp.minimum, sq)[:, None]
 
     # primal x: |A|^T 1 + per-axis fwd-diff column sums
-    tx_den = sum(lem2(d) + ge1(d) for d in dims) * one
+    tx_den = sum(lem2(d) + ge1(d) for d in dims)
     if A is not None:
         tx_den = tx_den + A_T(jnp.ones(b_shape, dtype))
     T_x = 1.0 / jnp.where(tx_den == 0, 1.0, tx_den)
-    # primal w_i: 1 (the -I) + bwd column sums from every E channel
-    tw = []
+    # primal w_i: 1 (the -I) + bwd column sums from every E channel —
+    # separable, so per-field exactness holds for every norm
+    T_w = []
     for i in range(n):
-        den = 1.0 + (ge1(dims[i]) + lem2(dims[i])) * one
+        den = 1.0 + ge1(dims[i]) + lem2(dims[i])
         for j in range(n):
             if j != i:
                 den = den + 0.5 * (ge1(dims[j]) + lem2(dims[j]))
-        tw.append(1.0 / den)
-    T_w = jnp.stack(tw, axis=1)
+        T_w.append(1.0 / den)
 
     sig_A = None
     if A is not None:
-        row = A(one)
-        sig_A = 1.0 / jnp.maximum(row, 1e-3)  # zero rows: dual decoupled
+        from .inverse import fidelity_row_precond
+
+        sig_A = fidelity_row_precond(A, b_shape, vol_shape, dtype)
     return sig_A, sig_p, sig_q, T_x, T_w
+
+
+def _chanmul(maps, arr):
+    """Multiply a channel-stacked rank-5 array by per-channel rank-4
+    broadcastable maps (or by one rank-5-broadcastable map)."""
+    if isinstance(maps, (list, tuple)):
+        return jnp.stack([maps[i] * arr[:, i] for i in range(len(maps))],
+                         axis=1)
+    return maps * arr
 
 
 def tgv_inverse(
@@ -645,14 +665,19 @@ def tgv_inverse(
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
         axes, vol_shape, dtype)
     if precond:
-        sig_A, sig_p, sig_q, T_x, T_w = _tgv_precond_maps(
-            vol_shape, axes, dtype, A=A, A_T=A_T, b_shape=tuple(b.shape))
+        if op_norm is not None:
+            raise ValueError(
+                "op_norm and precond=True are mutually exclusive — the "
+                "preconditioned steps come from the operator's exact "
+                "row/column sums, not an operator-norm bound"
+            )
+        from .inverse import check_nonneg_operator
+
+        check_nonneg_operator(A, vol_shape, dtype, what="tgv_inverse")
     else:
         if op_norm is None:
             op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
         sigma = tau = float(1.0 / jnp.sqrt(op_norm ** 2 + L_sq))
-        sig_A = sig_p = sig_q = jnp.asarray(sigma, dtype)
-        T_x = T_w = jnp.asarray(tau, dtype)
     a1 = float(alpha1)
     a0 = float(alpha0)
     Nz, M, Nr, Nc = vol_shape
@@ -661,6 +686,15 @@ def tgv_inverse(
 
     @jax.jit
     def run(b, x0):
+        # preconditioner masks are built INSIDE jit so they broadcast
+        # lazily — nothing volume-sized is baked into the executable
+        if precond:
+            sig_A, sig_p, sig_q, T_x, T_w = _tgv_precond_maps(
+                vol_shape, axes, dtype, norm=norm, A=A, A_T=A_T,
+                b_shape=tuple(b.shape))
+        else:
+            sig_A = sig_p = sig_q = jnp.asarray(sigma, dtype)
+            T_x = T_w = jnp.asarray(tau, dtype)
         w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
         p0 = jnp.zeros_like(w0)
         q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)
@@ -669,12 +703,12 @@ def tgv_inverse(
         def step(carry, _):
             x, xb, w, wb, y_A, p, q = carry
             y_A = (y_A + sig_A * (A(xb) - b)) / (1.0 + sig_A)
-            p = _tgv_dual_prox(p + sig_p * (d_fwd(xb) - wb), a1, norm,
-                               sig_p, huber_delta)
-            q = _tgv_dual_prox(q + sig_q * sym_grad(wb), a0, norm,
-                               sig_q, huber_delta)
+            p = _tgv_dual_prox(p + _chanmul(sig_p, d_fwd(xb) - wb), a1,
+                               norm, sig_p, huber_delta)
+            q = _tgv_dual_prox(q + _chanmul(sig_q, sym_grad(wb)), a0,
+                               norm, sig_q, huber_delta)
             x_new = x - T_x * (A_T(y_A) + d_T(p))
-            w_new = w - T_w * (-p + sym_T(q))
+            w_new = w - _chanmul(T_w, -p + sym_T(q))
             xb = 2.0 * x_new - x
             wb = 2.0 * w_new - w
             loss = (0.5 * jnp.sum(jnp.square(A(x_new) - b))

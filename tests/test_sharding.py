@@ -705,3 +705,41 @@ def test_tgv_stream_sharded(axes):
         with pytest.raises(ValueError, match="z-only"):
             make_sharded_tgv_stream_solver(
                 _mesh42(), x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=5)
+
+
+def test_tgv_sharded_norm_family():
+    """aniso / Huber TGV through both sharded paths: the zero-halo 2d
+    shard_map and the ghost-plane coupled stream solver match single-device
+    to fp round-off."""
+    from pytv4d_tpu.parallel import (
+        make_sharded_tgv_stream_solver,
+        tgv_denoise_sharded,
+    )
+    from pytv4d_tpu.solvers.tgv import tgv_denoise
+
+    rng = np.random.default_rng(53)
+    x = jnp.asarray(rng.random((8, 2, 16, 16)) * 4.0)
+    mesh = make_mesh(z=4, t=2)
+    xs = shard_volume(x, mesh)
+    mesh_z = make_mesh(z=4, t=1, devices=jax.devices()[:4])
+
+    for norm, kw in (("aniso", {}), ("huber", {"huber_delta": 0.1})):
+        ref2 = tgv_denoise(x, n_iter=10, alpha1=1.0, alpha0=2.0, norm=norm,
+                           **kw)
+        res2 = tgv_denoise_sharded(xs, mesh, n_iter=10, alpha1=1.0,
+                                   alpha0=2.0, norm=norm, **kw)
+        np.testing.assert_allclose(np.asarray(res2.x), np.asarray(ref2.x),
+                                   rtol=1e-12, atol=1e-12)
+
+        ref3 = tgv_denoise(x, n_iter=10, alpha1=1.0, alpha0=2.0, axes="3d",
+                           norm=norm, compute_loss=False, fused=False, **kw)
+        solve = make_sharded_tgv_stream_solver(
+            mesh_z, x.shape, "3d", alpha1=1.0, alpha0=2.0, n_iter=10,
+            dtype="float64", norm=norm, **kw)
+        res3 = solve(shard_volume(x, mesh_z, shard_time=False))
+        np.testing.assert_allclose(np.asarray(res3.x), np.asarray(ref3.x),
+                                   rtol=1e-12, atol=1e-12)
+
+    with pytest.raises(ValueError, match="norm"):
+        make_sharded_tgv_stream_solver(mesh_z, x.shape, "3d", alpha1=1.0,
+                                       alpha0=2.0, n_iter=2, norm="l1")
