@@ -29,8 +29,11 @@ from ..utils.profiling import cp_traffic_model, roofline_fraction
 
 
 def _force(*arrays) -> float:
-    jax.block_until_ready(arrays)
-    return float(jnp.sum(jnp.ravel(arrays[0])[:8]))
+    # ONE forced scalar host read spanning the leaves — block_until_ready
+    # returns early on tunneled backends and adds ~35 ms when combined with
+    # a read (docs/performance.md "Measuring through the tunnel")
+    return float(sum(jnp.sum(jnp.ravel(a)[:8].astype(jnp.float32))
+                     for a in arrays))
 
 
 def bench_solver(shape=(32, 8, 256, 256), n_iter=50, repeats=3,
@@ -98,6 +101,43 @@ def weak_scaling(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
             t0 = time.perf_counter()
             out = solve(*args)
             _force(*out)
+            best = min(best, time.perf_counter() - t0)
+        results[n] = {"it_per_s": n_iter / best}
+    base = results[device_counts[0]]["it_per_s"]
+    for n in device_counts:
+        results[n]["efficiency"] = results[n]["it_per_s"] / base
+    return results
+
+
+def weak_scaling_tgv(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
+                     device_counts=None, axes="4d", dtype="float32",
+                     alpha1=1.0, alpha0=2.0) -> Dict[int, Dict[str, float]]:
+    """Weak-scaling sweep of the sharded streaming TGV solver
+    (parallel.make_sharded_tgv_stream_solver): per-device volume held
+    constant while z grows with the device count."""
+    from ..parallel import make_sharded_tgv_stream_solver
+
+    devices = jax.devices()
+    if device_counts is None:
+        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
+                         if n <= len(devices)]
+    rng = np.random.default_rng(0)
+    results: Dict[int, Dict[str, float]] = {}
+    for n in device_counts:
+        mesh = make_mesh(z=n, t=1, devices=devices[:n])
+        shape = (base_shape[0] * n,) + tuple(base_shape[1:])
+        x = jnp.asarray(rng.random(shape), dtype)
+        solve = make_sharded_tgv_stream_solver(
+            mesh, shape, axes, alpha1=alpha1, alpha0=alpha0, n_iter=n_iter,
+            dtype=dtype, shard_time=False)
+        xs = shard_volume(x, mesh, shard_time=False)
+        res = solve(xs)
+        _force(res.x)
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            res = solve(xs)
+            _force(res.x)
             best = min(best, time.perf_counter() - t0)
         results[n] = {"it_per_s": n_iter / best}
     base = results[device_counts[0]]["it_per_s"]

@@ -9,11 +9,13 @@ for the separable objective.  The slice-resident Pallas kernel
 (kernels/tgv_resident.py) runs unchanged inside ``shard_map`` on each
 shard's local block.
 
-``axes='3d'``/``'4d'`` couple z (and t) across shard boundaries; those run
-via GSPMD instead — call :func:`pytv4d_tpu.solvers.tgv.tgv_denoise` on a
+``axes='3d'``/``'4d'`` couple z (and t) across shard boundaries.  Two
+paths: GSPMD — call :func:`pytv4d_tpu.solvers.tgv.tgv_denoise` on a
 sharded input and XLA's SPMD partitioner inserts the one-plane halo
-``collective-permute``s for the pad/slice stencils automatically
-(tests/test_sharding.py::test_tgv_gspmd_3d_4d).
+``collective-permute``s for the jnp stencils automatically
+(tests/test_sharding.py::test_tgv_gspmd_3d_4d) — or, at kernel speed,
+:func:`make_sharded_tgv_stream_solver`: the streaming Pallas kernels
+inside ``shard_map`` with ghost-plane halos (below).
 """
 
 from __future__ import annotations

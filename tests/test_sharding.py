@@ -177,6 +177,14 @@ def test_weak_scaling_harness_runs():
     for n, row in res.items():
         assert row["it_per_s"] > 0 and np.isfinite(row["efficiency"])
 
+    from pytv4d_tpu.bench import weak_scaling_tgv
+
+    res = weak_scaling_tgv(base_shape=(2, 2, 16, 16), n_iter=3, repeats=1,
+                           device_counts=[1, 2, 4])
+    assert set(res) == {1, 2, 4}
+    for n, row in res.items():
+        assert row["it_per_s"] > 0 and np.isfinite(row["efficiency"])
+
 
 @pytest.mark.parametrize("scheme", SCHEMES)
 def test_sharded_fused_cp_tracks_unsharded(scheme):
