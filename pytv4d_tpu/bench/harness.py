@@ -25,15 +25,9 @@ from ..parallel import (
     shard_volume,
 )
 from ..solvers.cp import chambolle_pock, init_state
-from ..utils.profiling import cp_traffic_model, roofline_fraction
+from ..utils.profiling import cp_traffic_model, force_read, roofline_fraction
 
-
-def _force(*arrays) -> float:
-    # ONE forced scalar host read spanning the leaves — block_until_ready
-    # returns early on tunneled backends and adds ~35 ms when combined with
-    # a read (docs/performance.md "Measuring through the tunnel")
-    return float(sum(jnp.sum(jnp.ravel(a)[:8].astype(jnp.float32))
-                     for a in arrays))
+_force = force_read
 
 
 def bench_solver(shape=(32, 8, 256, 256), n_iter=50, repeats=3,
@@ -67,23 +61,42 @@ def bench_solver(shape=(32, 8, 256, 256), n_iter=50, repeats=3,
     }
 
 
-def weak_scaling(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
-                 device_counts=None,
-                 cfg: TVConfig = TVConfig(scheme="hybrid", reg_time=0.5),
-                 ) -> Dict[int, Dict[str, float]]:
-    """Weak-scaling sweep of the shard_map CP solver: the per-device volume
-    (``base_shape``) is held constant while z grows with the device count.
-    Efficiency(n) = it/s(n) / it/s(1) — 1.0 is perfect weak scaling.
-    """
+def _weak_scaling_sweep(make_solve_and_args, base_shape, n_iter, repeats,
+                        device_counts) -> Dict[int, Dict[str, float]]:
+    """Shared sweep scaffold: per-device volume held constant while z grows
+    with the device count; Efficiency(n) = it/s(n) / it/s(1) — 1.0 is
+    perfect weak scaling."""
     devices = jax.devices()
     if device_counts is None:
         device_counts = [n for n in (1, 2, 4, 8, 16, 32)
                          if n <= len(devices)]
-    rng = np.random.default_rng(0)
     results: Dict[int, Dict[str, float]] = {}
     for n in device_counts:
         mesh = make_mesh(z=n, t=1, devices=devices[:n])
         shape = (base_shape[0] * n,) + tuple(base_shape[1:])
+        solve, args = make_solve_and_args(mesh, shape)
+        _force(solve(*args))
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            out = solve(*args)
+            _force(out)
+            best = min(best, time.perf_counter() - t0)
+        results[n] = {"it_per_s": n_iter / best}
+    base = results[device_counts[0]]["it_per_s"]
+    for n in device_counts:
+        results[n]["efficiency"] = results[n]["it_per_s"] / base
+    return results
+
+
+def weak_scaling(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
+                 device_counts=None,
+                 cfg: TVConfig = TVConfig(scheme="hybrid", reg_time=0.5),
+                 ) -> Dict[int, Dict[str, float]]:
+    """Weak-scaling sweep of the shard_map CP solver."""
+    rng = np.random.default_rng(0)
+
+    def build(mesh, shape):
         noisy = jnp.asarray(rng.random(shape), jnp.float32)
         solve = make_sharded_cp_solver(mesh, cfg, shape, reg=1.0,
                                        n_iter=n_iter, shard_time=False)
@@ -94,56 +107,30 @@ def weak_scaling(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
             shard_volume(st.y_A, mesh, shard_time=False),
             jax.device_put(st.y_D, d_volume_sharding(mesh, shard_time=False)),
         )
-        out = solve(*args)
-        _force(*out)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            out = solve(*args)
-            _force(*out)
-            best = min(best, time.perf_counter() - t0)
-        results[n] = {"it_per_s": n_iter / best}
-    base = results[device_counts[0]]["it_per_s"]
-    for n in device_counts:
-        results[n]["efficiency"] = results[n]["it_per_s"] / base
-    return results
+        return solve, args
+
+    return _weak_scaling_sweep(build, base_shape, n_iter, repeats,
+                               device_counts)
 
 
 def weak_scaling_tgv(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
                      device_counts=None, axes="4d", dtype="float32",
                      alpha1=1.0, alpha0=2.0) -> Dict[int, Dict[str, float]]:
     """Weak-scaling sweep of the sharded streaming TGV solver
-    (parallel.make_sharded_tgv_stream_solver): per-device volume held
-    constant while z grows with the device count."""
+    (parallel.make_sharded_tgv_stream_solver)."""
     from ..parallel import make_sharded_tgv_stream_solver
 
-    devices = jax.devices()
-    if device_counts is None:
-        device_counts = [n for n in (1, 2, 4, 8, 16, 32)
-                         if n <= len(devices)]
     rng = np.random.default_rng(0)
-    results: Dict[int, Dict[str, float]] = {}
-    for n in device_counts:
-        mesh = make_mesh(z=n, t=1, devices=devices[:n])
-        shape = (base_shape[0] * n,) + tuple(base_shape[1:])
+
+    def build(mesh, shape):
         x = jnp.asarray(rng.random(shape), dtype)
         solve = make_sharded_tgv_stream_solver(
             mesh, shape, axes, alpha1=alpha1, alpha0=alpha0, n_iter=n_iter,
             dtype=dtype, shard_time=False)
-        xs = shard_volume(x, mesh, shard_time=False)
-        res = solve(xs)
-        _force(res.x)
-        best = float("inf")
-        for _ in range(repeats):
-            t0 = time.perf_counter()
-            res = solve(xs)
-            _force(res.x)
-            best = min(best, time.perf_counter() - t0)
-        results[n] = {"it_per_s": n_iter / best}
-    base = results[device_counts[0]]["it_per_s"]
-    for n in device_counts:
-        results[n]["efficiency"] = results[n]["it_per_s"] / base
-    return results
+        return solve, (shard_volume(x, mesh, shard_time=False),)
+
+    return _weak_scaling_sweep(build, base_shape, n_iter, repeats,
+                               device_counts)
 
 
 def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
@@ -162,7 +149,12 @@ def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
     a remote-compile HTTP 500 once).  The default here stays inside the
     envelope that has measured cleanly.
     """
-    from ..models.ct import cp_reconstruct, make_projector, radon
+    from ..models.ct import (
+        cp_reconstruct,
+        estimate_op_norm,
+        make_projector,
+        radon,
+    )
 
     rng = np.random.default_rng(seed)
     Nz, M, N, _ = vol_shape
@@ -186,8 +178,6 @@ def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
 
     t_A = timed(A_j, vol)
     t_AT = timed(AT_j, sino)
-
-    from ..models.ct import estimate_op_norm
 
     # fix the operator norm ONCE — otherwise every timed call repeats the
     # 12-iteration power method (and each of those is ~24 projections)

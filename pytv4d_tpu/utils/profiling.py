@@ -41,6 +41,18 @@ def trace(log_dir: str):
         jax.profiler.stop_trace()
 
 
+def force_read(*trees) -> float:
+    """ONE forced scalar host read spanning every array leaf: the data
+    dependency genuinely waits for the work.  Deliberately NOT
+    block_until_ready — on tunneled backends it returns early (a no-op
+    poll) and, combined with a subsequent read, adds ~35 ms of extra
+    round-trips per call (docs/performance.md "Measuring through the
+    tunnel").  The canonical sync for every timing loop in the repo."""
+    leaves = jax.tree_util.tree_leaves(trees)
+    return float(sum(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32))
+                     for leaf in leaves))
+
+
 class IterationTimer:
     """Measure steady-state iterations/s of ``run_n(n) -> arrays``.
 
@@ -65,15 +77,7 @@ class IterationTimer:
 
     @staticmethod
     def _force(out):
-        # ONE forced scalar host read spanning every leaf: the data
-        # dependency genuinely waits for the work.  Deliberately NOT
-        # block_until_ready — on tunneled backends it returns early (a
-        # no-op poll) and, combined with a subsequent read, adds ~35 ms of
-        # extra round-trips per call (docs/performance.md "Measuring
-        # through the tunnel").
-        leaves = jax.tree_util.tree_leaves(out)
-        float(sum(jnp.sum(jnp.ravel(leaf)[:8].astype(jnp.float32))
-                  for leaf in leaves))
+        force_read(out)
 
 
 def device_kind() -> str:
