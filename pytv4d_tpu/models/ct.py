@@ -195,21 +195,28 @@ def cp_reconstruct(
     x_init=None,
     geom=None,
     precond: bool = False,
+    fidelity: str = "l2",
+    fidelity_weight=1.0,
+    nonneg: bool = False,
 ):
-    """TV-regularized reconstruction ``min_x 1/2||A x - b||^2 + reg TV(x)``
+    """TV-regularized reconstruction ``min_x F(A x) + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
     (step rule ``tau * sigma * (||A||^2 + ||D||^2) <= 1``).  ``geom``
     selects the beam geometry: ``None`` = parallel, :class:`FanBeamGeometry`
     = fan (sinogram ``(Nz, M, n_angles, n_det)``), :class:`ConeBeamGeometry`
     = cone (sinogram ``(M, n_angles, n_det_v, n_det_u)``; ``n_det``
-    ignored — detector dims come from the sinogram)."""
+    ignored — detector dims come from the sinogram).  ``fidelity``/
+    ``fidelity_weight``/``nonneg`` as in :func:`solvers.inverse.cp_inverse`
+    (``fidelity='kl'`` = Poisson counts, ``nonneg=True`` = nonnegative
+    attenuation)."""
     sino = jnp.asarray(sino)
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
     from ..solvers.inverse import cp_inverse
 
     res = cp_inverse(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
-        op_norm=op_norm, x_init=x_init, precond=precond,
+        op_norm=op_norm, x_init=x_init, precond=precond, fidelity=fidelity,
+        fidelity_weight=fidelity_weight, nonneg=nonneg,
     )
     return CPReconResult(x=res.x, loss=res.loss)
 
@@ -259,6 +266,9 @@ def tgv_reconstruct(
     precond: bool = False,
     norm: str = "iso",
     huber_delta: float = 1.0,
+    fidelity: str = "l2",
+    fidelity_weight=1.0,
+    nonneg: bool = False,
 ):
     """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
     second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV
@@ -266,7 +276,8 @@ def tgv_reconstruct(
     piecewise-linear objects (classic TGV-CT).  Same sinogram layouts and
     ``geom`` selection as :func:`cp_reconstruct`; ``axes`` picks in-plane
     ('2d', per (z, t) slice), volumetric ('3d') or space-time ('4d') TGV
-    coupling."""
+    coupling; ``fidelity``/``fidelity_weight``/``nonneg`` as in
+    :func:`cp_reconstruct`."""
     sino = jnp.asarray(sino)
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
     from ..solvers.tgv import tgv_inverse
@@ -275,6 +286,7 @@ def tgv_reconstruct(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, alpha1=alpha1,
         alpha0=alpha0, axes=axes, op_norm=op_norm, x_init=x_init,
         precond=precond, norm=norm, huber_delta=huber_delta,
+        fidelity=fidelity, fidelity_weight=fidelity_weight, nonneg=nonneg,
     )
     return CPReconResult(x=res.x, loss=res.loss)
 

@@ -9,6 +9,7 @@ from .cp import (
     cp_step,
     default_tau,
 )
+from .fidelity import fidelity_dual_prox, fidelity_loss
 from .fista import FISTAResult, fista
 from .inverse import (
     InverseResult,

@@ -96,12 +96,23 @@ def cp_inverse(
     op_norm: Optional[float] = None,
     x_init=None,
     precond: bool = False,
+    fidelity: str = "l2",
+    fidelity_weight=1.0,
+    nonneg: bool = False,
 ) -> InverseResult:
-    """Solve ``min_x 1/2||A x - b||^2 + reg TV(x)`` with Chambolle-Pock.
+    """Solve ``min_x F(A x) + reg TV(x)`` with Chambolle-Pock.
 
     ``A`` maps a ``vol_shape`` volume to the data space of ``b``; it must be
     linear and jax-traceable.  Step rule:
     ``tau = sigma = 1/sqrt(||A||^2 + ||D||^2)``.
+
+    ``fidelity`` selects the data term ``F`` (``solvers.fidelity``):
+    ``'l2'`` = ``weight/2 ||Ax - b||^2`` (default), ``'l1'`` =
+    ``weight ||Ax - b||_1`` (impulsive noise), ``'kl'`` = Poisson
+    log-likelihood (photon-count CT; requires ``b >= 0``).
+    ``fidelity_weight`` may be a scalar or per-measurement array.
+    ``nonneg=True`` constrains ``x >= 0`` (projection prox — standard for
+    attenuation coefficients in CT).
 
     ``precond=True``: diagonally-preconditioned steps (Pock & Chambolle
     2011, alpha=1) from the EXACT row/column absolute sums of ``[A; D]``
@@ -110,8 +121,11 @@ def cp_inverse(
     ``op_norm``/power iteration, and typically several-fold fewer
     iterations (see the TGV analog in solvers/tgv.py).
     """
+    from .fidelity import fidelity_dual_prox, fidelity_loss, validate_fidelity
+
     b = jnp.asarray(b)
     dtype = b.dtype
+    validate_fidelity(fidelity, b, fidelity_weight)
     if A_T is None:
         A_T = exact_transpose(A, vol_shape, dtype)
     if precond:
@@ -139,7 +153,7 @@ def cp_inverse(
         x_init, dtype)
 
     @jax.jit
-    def run(b, x0):
+    def run(b, x0, fw):
         if precond:
             # maps built inside jit from tiny boundary masks + one |A|^T 1
             # volume — nothing volume-sized is baked into the executable
@@ -163,15 +177,16 @@ def cp_inverse(
 
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
-            y_A = (y_A + sig_A * (A(x_bar) - b)) / (1.0 + sig_A)
+            y_A = fidelity_dual_prox(y_A, A(x_bar), b, sig_A, fidelity, fw)
             from .cp import dual_prox
 
             p = y_D + sig * D(x_bar, cfg.scheme, **kw)
             y_D = dual_prox(p, reg, cfg.norm, sig, cfg.huber_delta)
             x_new = x - tau_m * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
+            if nonneg:
+                x_new = jnp.maximum(x_new, 0.0)
             x_bar = 2.0 * x_new - x
-            resid = A(x_new) - b
-            loss = 0.5 * jnp.sum(jnp.square(resid)) + reg * tv_norm(
+            loss = fidelity_loss(A(x_new), b, fidelity, fw) + reg * tv_norm(
                 D(x_new, cfg.scheme, **kw), cfg.norm,
                 huber_delta=cfg.huber_delta
             )
@@ -181,7 +196,7 @@ def cp_inverse(
                                             length=n_iter)
         return x, losses
 
-    x, losses = run(b, x0)
+    x, losses = run(b, x0, jnp.asarray(fidelity_weight, dtype))
     return InverseResult(x=x, loss=losses)
 
 
