@@ -6,10 +6,14 @@ jax-traceable linear ``A`` — the adjoint comes from ``jax.linear_transpose``
 step rule with exact Pock-Chambolle diagonal preconditioning (several-fold
 fewer iterations; no power method).
 
-Three operators, same call:
+Five problems, same call:
 1. Gaussian deblurring (``gaussian_blur_operator``);
 2. inpainting (a masking operator — the hole is filled by TV);
-3. CT with diagonal preconditioning (``models.ct.cp_reconstruct``).
+3. CT with diagonal preconditioning (``models.ct.cp_reconstruct``);
+4. photon-count CT with the Poisson log-likelihood (``fidelity='kl'``,
+   per-ray count weights, nonnegative attenuation);
+5. salt-and-pepper denoising with the robust TV-L1 model
+   (``fidelity='l1'``).
 """
 
 # Allow running from a repo checkout without installation.
@@ -62,4 +66,39 @@ fast = cp_reconstruct(sino, angles, phantom.shape, n_iter=100, reg=0.3,
 print(f"TV-CT loss: 600 plain iterations {float(plain.loss[-1]):.2f}, "
       f"100 preconditioned {float(fast.loss[-1]):.2f}")
 assert float(fast.loss[-1]) < float(plain.loss[-1])
+
+# ---- 4. photon-count CT: Poisson fidelity ----------------------------------
+# counts ~ Poisson(I0 exp(-A x)); fit the post-log sinogram under the KL
+# (Poisson log-likelihood) fidelity, weighting each ray by its counts
+# (high-count rays are trusted more) — the physically correct low-dose model.
+# Attenuation is scaled to physical levels (max line integral ~2, i.e.
+# ~13% transmission) so the counts carry signal.
+I0 = 2e4
+mu = 0.08 * phantom
+sino_clean = np.asarray(radon(mu, angles))
+counts = np.maximum(rng.poisson(I0 * np.exp(-sino_clean)), 1)
+b_log = jnp.asarray(np.maximum(-np.log(counts / I0), 0.0))
+kl = cp_reconstruct(b_log, angles, mu.shape, n_iter=150, reg=5e-4,
+                    fidelity="kl", fidelity_weight=jnp.asarray(
+                        counts / counts.mean()),
+                    nonneg=True, precond=True)
+rmse_kl = float(np.sqrt(np.mean((np.asarray(kl.x) - mu) ** 2)))
+rel_kl = rmse_kl / float(np.sqrt((mu ** 2).mean()))
+print(f"Poisson-count TV-CT: relative rmse {rel_kl:.3f}, min x "
+      f"{float(kl.x.min()):.4f} (nonneg)")
+assert rel_kl < 0.2 and float(kl.x.min()) >= 0.0
+
+# ---- 5. impulsive noise: the TV-L1 model -----------------------------------
+# least squares smears salt-and-pepper outliers; the L1 fidelity rejects them
+sp = phantom.copy()
+flips = rng.random(sp.shape) < 0.15
+sp[flips] = rng.choice([0.0, 1.5], size=int(flips.sum()))
+x_l1 = cp_inverse(lambda x: x, jnp.asarray(sp), sp.shape, n_iter=400,
+                  reg=0.9, fidelity="l1", op_norm=1.0).x
+x_l2 = cp_inverse(lambda x: x, jnp.asarray(sp), sp.shape, n_iter=400,
+                  reg=0.25, op_norm=1.0).x
+e1 = float(np.sqrt(np.mean((np.asarray(x_l1) - phantom) ** 2)))
+e2 = float(np.sqrt(np.mean((np.asarray(x_l2) - phantom) ** 2)))
+print(f"salt-and-pepper rmse: TV-L1 {e1:.4f} vs TV-L2 {e2:.4f}")
+assert e1 < e2
 print("inverse-problems example OK")
