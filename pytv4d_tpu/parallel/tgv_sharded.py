@@ -76,12 +76,15 @@ def tgv_denoise_sharded(
     return TGVResult(x=x_out, w=w_out, loss=loss)
 
 
-def _extend_z(a, z_name, nz, ghost_lo: str, ghost_hi: str):
-    """One exchanged halo plane per side along axis 0.  ``ghost_*`` chooses
-    the GLOBAL-boundary substitute: 'edge' (replicate the edge plane — makes
-    the ungated one-sided difference exactly zero there) or 'zero' (keep the
-    ppermute zeros — correct for dual-variable reads whose global-boundary
-    coefficient is zero)."""
+def _z_halo_planes(a, z_name, nz, ghost_lo: str, ghost_hi: str):
+    """The two exchanged boundary planes of ``a`` along axis 0: ``(lo, hi)``
+    where lo is the LEFT neighbor's last plane (the z-1 value at this
+    shard's low edge) and hi the RIGHT neighbor's first.  ``ghost_*``
+    chooses the GLOBAL-boundary substitute: 'edge' (replicate the edge
+    plane — makes the ungated one-sided difference exactly zero there) or
+    'zero' (keep the ppermute zeros — correct for dual-variable reads whose
+    global-boundary coefficient is zero).  The overlapped step issues this
+    BEFORE the interior kernels so the ppermute rides under the compute."""
     if z_name is None:
         lo = jnp.zeros_like(a[:1])
         hi = jnp.zeros_like(a[:1])
@@ -96,6 +99,13 @@ def _extend_z(a, z_name, nz, ghost_lo: str, ghost_hi: str):
             lo = jnp.where(_is_first(z_name), a[:1], lo)
         if ghost_hi == "edge":
             hi = jnp.where(_is_last(z_name, nz), a[-1:], hi)
+    return lo, hi
+
+
+def _extend_z(a, z_name, nz, ghost_lo: str, ghost_hi: str):
+    """One exchanged halo plane per side along axis 0 (ghost semantics of
+    :func:`_z_halo_planes`), concatenated onto the block."""
+    lo, hi = _z_halo_planes(a, z_name, nz, ghost_lo, ghost_hi)
     return jnp.concatenate([lo, a, hi], axis=0)
 
 
@@ -117,6 +127,7 @@ def make_sharded_tgv_stream_solver(
     shard_time: bool = True,
     norm: str = "iso",
     huber_delta: float = 1.0,
+    overlap: bool = None,
 ):
     """Sharded COUPLED TGV-2 (``axes='3d'``/``'4d'``): the streaming Pallas
     kernels (kernels/tgv_stream.py) inside ``shard_map`` over a z-sharded
@@ -130,6 +141,18 @@ def make_sharded_tgv_stream_solver(
     not include the z-dual's own-slot term, and the first global plane's
     E^T must not include the z-adjoint own-slot terms.  Slot-exact vs the
     unsharded path (tests/test_sharding.py::test_tgv_stream_sharded).
+
+    ``overlap`` (None = auto when z is sharded and each shard holds >= 3
+    planes): halo/compute-overlapped execution, the TGV analog of the
+    fused CP overlap (SURVEY.md section 7 hard part 5).  Each pass issues
+    its boundary-plane ``ppermute`` FIRST, then runs the UNEXTENDED full
+    kernel — whose interior planes need no halos, so XLA's async
+    collective scheduling hides the exchange under the compute — and
+    recomputes the two edge planes with tiny 3-plane-window kernel calls
+    (middle slot = the true edge plane, so no in-kernel gate fires; the
+    other slots are discarded).  Costs ~4 extra plane-computations per
+    pass in exchange for taking the halo latency off the critical path;
+    identical numerics (the same global-edge corrections apply).
 
     ``'3d'`` does not couple time, so the mesh may shard t too (the time
     axis is a pure batch dim there); ``'4d'`` requires t unsharded.
@@ -175,12 +198,28 @@ def make_sharded_tgv_stream_solver(
     local = (Nz_g // nz, M_g // nt, Nr, Nc)
     ext_shape = (local[0] + 2,) + local[1:]
 
-    step_k = make_tgv_stream_step(
-        ext_shape, axes, float(alpha1), float(alpha0),
-        float(sigma_tau_split), dtype_name=jnp.dtype(dtype).name,
-        interpret=interpret, norm=norm, huber_delta=float(huber_delta),
+    if overlap is None:
+        overlap = nz > 1 and local[0] >= 3
+    if overlap and (nz == 1 or local[0] < 3):
+        raise ValueError(
+            "overlap=True requires a z-sharded mesh and >= 3 local z "
+            "planes (the interior must be nonempty while the halo "
+            "exchange is in flight)"
+        )
+
+    mk = functools.partial(
+        make_tgv_stream_step, mode=axes, alpha1=float(alpha1),
+        alpha0=float(alpha0), sigma_tau_split=float(sigma_tau_split),
+        dtype_name=jnp.dtype(dtype).name, interpret=interpret, norm=norm,
+        huber_delta=float(huber_delta),
     )
-    tau = step_k.tau
+    if overlap:
+        full_k = mk(local)
+        win_k = mk((3,) + local[1:])
+        tau = full_k.tau
+    else:
+        step_k = mk(ext_shape)
+        tau = step_k.tau
     ax_list = _MODE_AXES[axes]
     n = len(ax_list)
     pairs = _q_pairs(n)
@@ -193,13 +232,91 @@ def make_sharded_tgv_stream_solver(
     vol = P(Z_AXIS if nz > 1 else None, t_spec, None, None)
     dint = P(Z_AXIS if nz > 1 else None, t_spec, None, None, None)
 
-    @functools.partial(
-        shard_map, mesh=mesh,
-        in_specs=(vol, vol, dint, dint, dint, dint, vol),
-        out_specs=(vol, vol, dint, dint, dint, dint),
-        check_vma=False,
+    def _edge_corrections(x2, xb2, w2, wb2, p2, q2):
+        """Global-edge fixes shared by both paths (the kernels' own-slot z
+        gates never fire at the true global edge planes): the last global
+        plane's D^T must not include -p_z[L-1]; the first global plane's
+        E^T must not include the z-adjoint own-slot terms q_zz (field z)
+        and 0.5 q_z{j} (field j)."""
+        one = jnp.ones((), x2.dtype)
+        zero = jnp.zeros((), x2.dtype)
+        if z_name is None:
+            last_g = first_g = one
+        else:
+            last_g = jnp.where(_is_last(z_name, nz), one, zero)
+            first_g = jnp.where(_is_first(z_name), one, zero)
+        corr_x = (tau / (1.0 + tau)) * p2[-1:, :, 0] * last_g
+        x2 = x2.at[-1:].add(-corr_x)
+        xb2 = xb2.at[-1:].add(-2.0 * corr_x)
+        extra = [jnp.zeros_like(w2[:1, :, 0]) for _ in range(n)]
+        extra[0] = q2[:1, :, q_zz_chan]
+        for c, j in q_z_off:
+            extra[j] = extra[j] + 0.5 * q2[:1, :, c]
+        corr_w = tau * jnp.stack(extra, axis=2) * first_g
+        w2 = w2.at[:1].add(corr_w)
+        wb2 = wb2.at[:1].add(2.0 * corr_w)
+        return x2, xb2, w2, wb2
+
+    shard_kw = dict(
+        mesh=mesh, in_specs=(vol, vol, dint, dint, dint, dint, vol),
+        out_specs=(vol, vol, dint, dint, dint, dint), check_vma=False,
     )
-    def step(x, xb, w, wb, p, q, x0):
+
+    def _zero_plane(a):
+        return jnp.zeros_like(a[:1])
+
+    def _win_lo(a, lo=None):
+        """3-plane window around the low edge: [halo/pad, plane 0, 1]."""
+        return jnp.concatenate(
+            [_zero_plane(a) if lo is None else lo, a[:2]], axis=0)
+
+    def _win_hi(a, hi=None):
+        """3-plane window around the high edge: [L-2, L-1, halo/pad]."""
+        return jnp.concatenate(
+            [a[-2:], _zero_plane(a) if hi is None else hi], axis=0)
+
+    def _merge(full, lo3, hi3):
+        """Edge planes from the windows' middle slots, interior from the
+        full kernel (whose edge-plane outputs used clamped/gated reads)."""
+        return full.at[:1].set(lo3[1:2]).at[-1:].set(hi3[1:2])
+
+    @functools.partial(shard_map, **shard_kw)
+    def step_overlap(x, xb, w, wb, p, q, x0):
+        # issue the boundary-plane exchange FIRST; the full kernel's
+        # interior planes have no data dependence on it, so the ppermute
+        # rides under the compute.  Edge planes are then recomputed by the
+        # two 3-plane window calls (middle slot = the true edge plane).
+        xb_lo, xb_hi = _z_halo_planes(xb, z_name, nz, "zero", "edge")
+        wb_lo, wb_hi = _z_halo_planes(wb, z_name, nz, "edge", "zero")
+        # windows before the full call: their operands are fresh 3-plane
+        # slices, so the full call stays the LAST use of p/q and its
+        # input_output_aliases donate in place (no defensive copies)
+        p_lo3, q_lo3 = win_k.pq(_win_lo(xb, xb_lo), _win_lo(wb, wb_lo),
+                                _win_lo(p), _win_lo(q))
+        p_hi3, q_hi3 = win_k.pq(_win_hi(xb, xb_hi), _win_hi(wb, wb_hi),
+                                _win_hi(p), _win_hi(q))
+        p_full, q_full = full_k.pq(xb, wb, p, q)
+        p2 = _merge(p_full, p_lo3, p_hi3)
+        q2 = _merge(q_full, q_lo3, q_hi3)
+
+        # pass XW: the adjoints read the NEW duals' neighbor planes (zero
+        # ghosts at the global boundary = the zero coefficients there)
+        p_lo, _ = _z_halo_planes(p2, z_name, nz, "zero", "zero")
+        _, q_hi = _z_halo_planes(q2, z_name, nz, "zero", "zero")
+        lo3 = win_k.xw(_win_lo(x), _win_lo(x0), _win_lo(p2, p_lo),
+                       _win_lo(w), _win_lo(q2))
+        hi3 = win_k.xw(_win_hi(x), _win_hi(x0), _win_hi(p2),
+                       _win_hi(w), _win_hi(q2, q_hi))
+        x_f, xb_f, w_f, wb_f = full_k.xw(x, x0, p2, w, q2)
+        x2, xb2, w2, wb2 = (
+            _merge(f, lo, hi) for f, lo, hi in
+            zip((x_f, xb_f, w_f, wb_f), lo3, hi3)
+        )
+        x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
+        return x2, xb2, w2, wb2, p2, q2
+
+    @functools.partial(shard_map, **shard_kw)
+    def step_ghost(x, xb, w, wb, p, q, x0):
         # pass PQ on the halo-extended block: edge ghosts make the one-sided
         # z differences exactly zero at the global boundary, so the global
         # stencil is reproduced without any in-kernel global gating
@@ -215,30 +332,10 @@ def make_sharded_tgv_stream_solver(
         x2, xb2, w2, wb2 = step_k.xw(_pad_z(x), _pad_z(x0), p_ext,
                                      _pad_z(w), q_ext)
         x2, xb2, w2, wb2 = x2[1:-1], xb2[1:-1], w2[1:-1], wb2[1:-1]
-
-        # global-edge corrections (the extended kernel's own-slot z gates
-        # fired at ghost planes): algebra in the module docstring
-        one = jnp.ones((), x2.dtype)
-        zero = jnp.zeros((), x2.dtype)
-        if z_name is None:
-            last_g = first_g = one
-        else:
-            last_g = jnp.where(_is_last(z_name, nz), one, zero)
-            first_g = jnp.where(_is_first(z_name), one, zero)
-        # last global plane: D^T wrongly included -p_z[L-1]
-        corr_x = (tau / (1.0 + tau)) * p2[-1:, :, 0] * last_g
-        x2 = x2.at[-1:].add(-corr_x)
-        xb2 = xb2.at[-1:].add(-2.0 * corr_x)
-        # first global plane: E^T wrongly included the z-adjoint own-slot
-        # terms q_zz (field z) and 0.5 q_z{j} (field j)
-        extra = [jnp.zeros_like(w2[:1, :, 0]) for _ in range(n)]
-        extra[0] = q2[:1, :, q_zz_chan]
-        for c, j in q_z_off:
-            extra[j] = extra[j] + 0.5 * q2[:1, :, c]
-        corr_w = tau * jnp.stack(extra, axis=2) * first_g
-        w2 = w2.at[:1].add(corr_w)
-        wb2 = wb2.at[:1].add(2.0 * corr_w)
+        x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
         return x2, xb2, w2, wb2, p2, q2
+
+    step = step_overlap if overlap else step_ghost
 
     n_q = len(pairs)
     dt = jnp.dtype(dtype)

@@ -685,7 +685,9 @@ def test_tgv_stream_sharded(axes):
     ref = tgv_denoise(x, n_iter=12, alpha1=2.0, alpha0=4.0, axes=axes,
                       compute_loss=False, fused=False)
 
-    for z in (4, 8):
+    # z=2 -> 4 local planes: the halo/compute-OVERLAP path auto-engages;
+    # z=4 (2-plane shards) and z=8 (1-plane shards) stay on the ghost path
+    for z in (2, 4, 8):
         if z == 4:  # pure-z mesh (no 't' axis) must work too
             from jax.sharding import Mesh
             mesh = Mesh(np.asarray(jax.devices()[:4]), ("z",))
@@ -699,6 +701,23 @@ def test_tgv_stream_sharded(axes):
                                    rtol=1e-12, atol=1e-12)
         np.testing.assert_allclose(np.asarray(res.w), np.asarray(ref.w),
                                    rtol=1e-12, atol=1e-12)
+
+    # both step structures, forced, on the same mesh
+    mesh2 = make_mesh(z=2, t=1, devices=jax.devices()[:2])
+    for overlap in (True, False):
+        solve = make_sharded_tgv_stream_solver(
+            mesh2, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=12,
+            dtype="float64", overlap=overlap)
+        res = solve(shard_volume(x, mesh2))
+        np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
+                                   rtol=1e-12, atol=1e-12)
+
+    # overlap needs a nonempty interior (>= 3 local planes)
+    mesh4 = make_mesh(z=4, t=1, devices=jax.devices()[:4])
+    with pytest.raises(ValueError, match="3 local z"):
+        make_sharded_tgv_stream_solver(
+            mesh4, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=2,
+            overlap=True)
 
     if axes == "3d":
         # t is a batch dim in 3d mode: the (z, t) mesh shards it for free
