@@ -76,36 +76,39 @@ def tgv_denoise_sharded(
     return TGVResult(x=x_out, w=w_out, loss=loss)
 
 
-def _z_halo_planes(a, z_name, nz, ghost_lo: str, ghost_hi: str):
-    """The two exchanged boundary planes of ``a`` along axis 0: ``(lo, hi)``
-    where lo is the LEFT neighbor's last plane (the z-1 value at this
-    shard's low edge) and hi the RIGHT neighbor's first.  ``ghost_*``
-    chooses the GLOBAL-boundary substitute: 'edge' (replicate the edge
-    plane — makes the ungated one-sided difference exactly zero there) or
-    'zero' (keep the ppermute zeros — correct for dual-variable reads whose
-    global-boundary coefficient is zero).  The overlapped step issues this
-    BEFORE the interior kernels so the ppermute rides under the compute."""
+def _z_halo_lo(a, z_name, nz, ghost: str):
+    """The exchanged LOW boundary plane of ``a`` along axis 0 (the LEFT
+    neighbor's last plane — the z-1 value at this shard's low edge).
+    ``ghost`` chooses the GLOBAL-boundary substitute: 'edge' (replicate the
+    edge plane — makes the ungated one-sided difference exactly zero there)
+    or 'zero' (keep the ppermute zeros — correct for dual-variable reads
+    whose global-boundary coefficient is zero).  The overlapped step issues
+    this BEFORE the interior kernels so the ppermute rides under the
+    compute."""
     if z_name is None:
-        lo = jnp.zeros_like(a[:1])
-        hi = jnp.zeros_like(a[:1])
-        if ghost_lo == "edge":
-            lo = a[:1]
-        if ghost_hi == "edge":
-            hi = a[-1:]
-    else:
-        lo = _plane_from_left(a, 0, z_name, nz)
-        hi = _plane_from_right(a, 0, z_name, nz)
-        if ghost_lo == "edge":
-            lo = jnp.where(_is_first(z_name), a[:1], lo)
-        if ghost_hi == "edge":
-            hi = jnp.where(_is_last(z_name, nz), a[-1:], hi)
-    return lo, hi
+        return a[:1] if ghost == "edge" else jnp.zeros_like(a[:1])
+    lo = _plane_from_left(a, 0, z_name, nz)
+    if ghost == "edge":
+        lo = jnp.where(_is_first(z_name), a[:1], lo)
+    return lo
+
+
+def _z_halo_hi(a, z_name, nz, ghost: str):
+    """HIGH-side counterpart of :func:`_z_halo_lo` (the RIGHT neighbor's
+    first plane — the z+1 value at this shard's high edge)."""
+    if z_name is None:
+        return a[-1:] if ghost == "edge" else jnp.zeros_like(a[:1])
+    hi = _plane_from_right(a, 0, z_name, nz)
+    if ghost == "edge":
+        hi = jnp.where(_is_last(z_name, nz), a[-1:], hi)
+    return hi
 
 
 def _extend_z(a, z_name, nz, ghost_lo: str, ghost_hi: str):
     """One exchanged halo plane per side along axis 0 (ghost semantics of
-    :func:`_z_halo_planes`), concatenated onto the block."""
-    lo, hi = _z_halo_planes(a, z_name, nz, ghost_lo, ghost_hi)
+    :func:`_z_halo_lo`), concatenated onto the block."""
+    lo = _z_halo_lo(a, z_name, nz, ghost_lo)
+    hi = _z_halo_hi(a, z_name, nz, ghost_hi)
     return jnp.concatenate([lo, a, hi], axis=0)
 
 
@@ -127,7 +130,7 @@ def make_sharded_tgv_stream_solver(
     shard_time: bool = True,
     norm: str = "iso",
     huber_delta: float = 1.0,
-    overlap: bool = None,
+    overlap: bool = False,
 ):
     """Sharded COUPLED TGV-2 (``axes='3d'``/``'4d'``): the streaming Pallas
     kernels (kernels/tgv_stream.py) inside ``shard_map`` over a z-sharded
@@ -142,17 +145,19 @@ def make_sharded_tgv_stream_solver(
     E^T must not include the z-adjoint own-slot terms.  Slot-exact vs the
     unsharded path (tests/test_sharding.py::test_tgv_stream_sharded).
 
-    ``overlap`` (None = auto when z is sharded and each shard holds >= 3
-    planes): halo/compute-overlapped execution, the TGV analog of the
-    fused CP overlap (SURVEY.md section 7 hard part 5).  Each pass issues
-    its boundary-plane ``ppermute`` FIRST, then runs the UNEXTENDED full
+    ``overlap=True`` (opt-in; requires z sharded with >= 3 local planes):
+    halo/compute-overlapped execution, the TGV analog of the fused CP
+    overlap (SURVEY.md section 7 hard part 5).  Each pass issues its
+    boundary-plane ``ppermute`` FIRST, then runs the UNEXTENDED full
     kernel — whose interior planes need no halos, so XLA's async
     collective scheduling hides the exchange under the compute — and
     recomputes the two edge planes with tiny 3-plane-window kernel calls
     (middle slot = the true edge plane, so no in-kernel gate fires; the
-    other slots are discarded).  Costs ~4 extra plane-computations per
-    pass in exchange for taking the halo latency off the critical path;
-    identical numerics (the same global-edge corrections apply).
+    other slots are discarded).  Identical numerics (the same global-edge
+    corrections apply), but ~(L+6)/(L+2) the per-pass plane compute of
+    the ghost path at L local planes — worth it when the exchange is
+    latency-bound (DCN multi-host), not measured on single-host ICI, so
+    the default stays the ghost path.
 
     ``'3d'`` does not couple time, so the mesh may shard t too (the time
     axis is a pure batch dim there); ``'4d'`` requires t unsharded.
@@ -196,10 +201,8 @@ def make_sharded_tgv_stream_solver(
             f"(z={nz}, t={nt})"
         )
     local = (Nz_g // nz, M_g // nt, Nr, Nc)
-    ext_shape = (local[0] + 2,) + local[1:]
 
-    if overlap is None:
-        overlap = nz > 1 and local[0] >= 3
+    overlap = bool(overlap)
     if overlap and (nz == 1 or local[0] < 3):
         raise ValueError(
             "overlap=True requires a z-sharded mesh and >= 3 local z "
@@ -218,7 +221,7 @@ def make_sharded_tgv_stream_solver(
         win_k = mk((3,) + local[1:])
         tau = full_k.tau
     else:
-        step_k = mk(ext_shape)
+        step_k = mk((local[0] + 2,) + local[1:])
         tau = step_k.tau
     ax_list = _MODE_AXES[axes]
     n = len(ax_list)
@@ -262,80 +265,87 @@ def make_sharded_tgv_stream_solver(
         out_specs=(vol, vol, dint, dint, dint, dint), check_vma=False,
     )
 
-    def _zero_plane(a):
-        return jnp.zeros_like(a[:1])
+    if overlap:
+        def _win_lo(a, lo=None):
+            """3-plane window around the low edge: [halo/pad, plane 0, 1].
+            The pad default is for slots the KEPT (middle) output never
+            reads — no exchange is issued for those."""
+            pad = jnp.zeros_like(a[:1]) if lo is None else lo
+            return jnp.concatenate([pad, a[:2]], axis=0)
 
-    def _win_lo(a, lo=None):
-        """3-plane window around the low edge: [halo/pad, plane 0, 1]."""
-        return jnp.concatenate(
-            [_zero_plane(a) if lo is None else lo, a[:2]], axis=0)
+        def _win_hi(a, hi=None):
+            """3-plane window around the high edge: [L-2, L-1, halo/pad]."""
+            pad = jnp.zeros_like(a[:1]) if hi is None else hi
+            return jnp.concatenate([a[-2:], pad], axis=0)
 
-    def _win_hi(a, hi=None):
-        """3-plane window around the high edge: [L-2, L-1, halo/pad]."""
-        return jnp.concatenate(
-            [a[-2:], _zero_plane(a) if hi is None else hi], axis=0)
+        def _merge(full, lo3, hi3):
+            """Edge planes from the windows' middle slots, interior from
+            the full kernel (whose edge-plane outputs used clamped/gated
+            reads)."""
+            return full.at[:1].set(lo3[1:2]).at[-1:].set(hi3[1:2])
 
-    def _merge(full, lo3, hi3):
-        """Edge planes from the windows' middle slots, interior from the
-        full kernel (whose edge-plane outputs used clamped/gated reads)."""
-        return full.at[:1].set(lo3[1:2]).at[-1:].set(hi3[1:2])
+        @functools.partial(shard_map, **shard_kw)
+        def step(x, xb, w, wb, p, q, x0):
+            # issue the boundary-plane exchange FIRST; the full kernel's
+            # interior planes have no data dependence on it, so the
+            # ppermute rides under the compute.  Edge planes are then
+            # recomputed by two 3-plane window calls (middle slot = the
+            # true edge plane).  Only the planes the kept slots actually
+            # read are exchanged: pass PQ's stencil is fwd-in-xb (needs
+            # xb[z+1] at the high edge) and bwd-in-wb (wb[z-1] at the low
+            # edge); the opposite sides are unread pads.
+            xb_hi = _z_halo_hi(xb, z_name, nz, "edge")
+            wb_lo = _z_halo_lo(wb, z_name, nz, "edge")
+            # windows before the full call: their operands are fresh
+            # 3-plane slices, so the full call stays the LAST use of p/q
+            # and its input_output_aliases donate in place (no defensive
+            # copies)
+            p_lo3, q_lo3 = win_k.pq(_win_lo(xb), _win_lo(wb, wb_lo),
+                                    _win_lo(p), _win_lo(q))
+            p_hi3, q_hi3 = win_k.pq(_win_hi(xb, xb_hi), _win_hi(wb),
+                                    _win_hi(p), _win_hi(q))
+            p_full, q_full = full_k.pq(xb, wb, p, q)
+            p2 = _merge(p_full, p_lo3, p_hi3)
+            q2 = _merge(q_full, q_lo3, q_hi3)
 
-    @functools.partial(shard_map, **shard_kw)
-    def step_overlap(x, xb, w, wb, p, q, x0):
-        # issue the boundary-plane exchange FIRST; the full kernel's
-        # interior planes have no data dependence on it, so the ppermute
-        # rides under the compute.  Edge planes are then recomputed by the
-        # two 3-plane window calls (middle slot = the true edge plane).
-        xb_lo, xb_hi = _z_halo_planes(xb, z_name, nz, "zero", "edge")
-        wb_lo, wb_hi = _z_halo_planes(wb, z_name, nz, "edge", "zero")
-        # windows before the full call: their operands are fresh 3-plane
-        # slices, so the full call stays the LAST use of p/q and its
-        # input_output_aliases donate in place (no defensive copies)
-        p_lo3, q_lo3 = win_k.pq(_win_lo(xb, xb_lo), _win_lo(wb, wb_lo),
-                                _win_lo(p), _win_lo(q))
-        p_hi3, q_hi3 = win_k.pq(_win_hi(xb, xb_hi), _win_hi(wb, wb_hi),
-                                _win_hi(p), _win_hi(q))
-        p_full, q_full = full_k.pq(xb, wb, p, q)
-        p2 = _merge(p_full, p_lo3, p_hi3)
-        q2 = _merge(q_full, q_lo3, q_hi3)
+            # pass XW adjoints read the NEW duals' neighbors: p[z-1] at
+            # the low edge, q[z+1] at the high (zero ghosts at the global
+            # boundary = the zero coefficients there)
+            p_lo = _z_halo_lo(p2, z_name, nz, "zero")
+            q_hi = _z_halo_hi(q2, z_name, nz, "zero")
+            lo3 = win_k.xw(_win_lo(x), _win_lo(x0), _win_lo(p2, p_lo),
+                           _win_lo(w), _win_lo(q2))
+            hi3 = win_k.xw(_win_hi(x), _win_hi(x0), _win_hi(p2),
+                           _win_hi(w), _win_hi(q2, q_hi))
+            x_f, xb_f, w_f, wb_f = full_k.xw(x, x0, p2, w, q2)
+            x2, xb2, w2, wb2 = (
+                _merge(f, lo, hi) for f, lo, hi in
+                zip((x_f, xb_f, w_f, wb_f), lo3, hi3)
+            )
+            x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
+            return x2, xb2, w2, wb2, p2, q2
+    else:
+        @functools.partial(shard_map, **shard_kw)
+        def step(x, xb, w, wb, p, q, x0):
+            # pass PQ on the halo-extended block: edge ghosts make the
+            # one-sided z differences exactly zero at the global boundary,
+            # so the global stencil is reproduced without any in-kernel
+            # global gating
+            xb_ext = _extend_z(xb, z_name, nz, "zero", "edge")
+            wb_ext = _extend_z(wb, z_name, nz, "edge", "zero")
+            p2, q2 = step_k.pq(xb_ext, wb_ext, _pad_z(p), _pad_z(q))
+            p2, q2 = p2[1:-1], q2[1:-1]
 
-        # pass XW: the adjoints read the NEW duals' neighbor planes (zero
-        # ghosts at the global boundary = the zero coefficients there)
-        p_lo, _ = _z_halo_planes(p2, z_name, nz, "zero", "zero")
-        _, q_hi = _z_halo_planes(q2, z_name, nz, "zero", "zero")
-        lo3 = win_k.xw(_win_lo(x), _win_lo(x0), _win_lo(p2, p_lo),
-                       _win_lo(w), _win_lo(q2))
-        hi3 = win_k.xw(_win_hi(x), _win_hi(x0), _win_hi(p2),
-                       _win_hi(w), _win_hi(q2, q_hi))
-        x_f, xb_f, w_f, wb_f = full_k.xw(x, x0, p2, w, q2)
-        x2, xb2, w2, wb2 = (
-            _merge(f, lo, hi) for f, lo, hi in
-            zip((x_f, xb_f, w_f, wb_f), lo3, hi3)
-        )
-        x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
-        return x2, xb2, w2, wb2, p2, q2
-
-    @functools.partial(shard_map, **shard_kw)
-    def step_ghost(x, xb, w, wb, p, q, x0):
-        # pass PQ on the halo-extended block: edge ghosts make the one-sided
-        # z differences exactly zero at the global boundary, so the global
-        # stencil is reproduced without any in-kernel global gating
-        xb_ext = _extend_z(xb, z_name, nz, "zero", "edge")
-        wb_ext = _extend_z(wb, z_name, nz, "edge", "zero")
-        p2, q2 = step_k.pq(xb_ext, wb_ext, _pad_z(p), _pad_z(q))
-        p2, q2 = p2[1:-1], q2[1:-1]
-
-        # pass XW: the adjoints read the NEW duals' neighbor planes — zero
-        # ghosts at the global boundary are exactly the zero coefficients
-        p_ext = _extend_z(p2, z_name, nz, "zero", "zero")
-        q_ext = _extend_z(q2, z_name, nz, "zero", "zero")
-        x2, xb2, w2, wb2 = step_k.xw(_pad_z(x), _pad_z(x0), p_ext,
-                                     _pad_z(w), q_ext)
-        x2, xb2, w2, wb2 = x2[1:-1], xb2[1:-1], w2[1:-1], wb2[1:-1]
-        x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
-        return x2, xb2, w2, wb2, p2, q2
-
-    step = step_overlap if overlap else step_ghost
+            # pass XW: the adjoints read the NEW duals' neighbor planes —
+            # zero ghosts at the global boundary are exactly the zero
+            # coefficients
+            p_ext = _extend_z(p2, z_name, nz, "zero", "zero")
+            q_ext = _extend_z(q2, z_name, nz, "zero", "zero")
+            x2, xb2, w2, wb2 = step_k.xw(_pad_z(x), _pad_z(x0), p_ext,
+                                         _pad_z(w), q_ext)
+            x2, xb2, w2, wb2 = x2[1:-1], xb2[1:-1], w2[1:-1], wb2[1:-1]
+            x2, xb2, w2, wb2 = _edge_corrections(x2, xb2, w2, wb2, p2, q2)
+            return x2, xb2, w2, wb2, p2, q2
 
     n_q = len(pairs)
     dt = jnp.dtype(dtype)

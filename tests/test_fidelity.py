@@ -7,8 +7,7 @@ import jax.numpy as jnp
 import numpy as np
 import pytest
 
-from pytv4d_tpu.core.config import TVConfig
-from pytv4d_tpu.models.ct import cp_reconstruct, make_projector, radon
+from pytv4d_tpu.models.ct import cp_reconstruct, radon
 from pytv4d_tpu.solvers.fidelity import (
     FIDELITIES,
     fidelity_dual_prox,
@@ -173,6 +172,26 @@ def test_kl_ct_poisson_counts():
     err = float(jnp.sqrt(jnp.mean((res.x - truth) ** 2)))
     assert err < 0.25 * float(np.sqrt((truth ** 2).mean()))
     assert float(jnp.min(res.x)) >= 0.0
+
+
+def test_cp_inverse_kl_traces_under_vmap():
+    """Data-dependent validation must not break tracing: batching
+    cp_inverse over sinograms with jax.vmap works when op_norm/A_T are
+    supplied (the checks are skipped for traced b/weight)."""
+    import jax
+
+    shape = (1, 1, 8, 8)
+    rng = np.random.default_rng(4)
+    batch = jnp.asarray(rng.random((3,) + shape))
+
+    def solve(bi):
+        return cp_inverse(lambda x: x, bi, shape, A_T=lambda y: y,
+                          n_iter=5, reg=0.1, op_norm=1.0,
+                          fidelity="kl", nonneg=True).x
+
+    xs = jax.vmap(solve)(batch)
+    assert xs.shape == (3,) + shape
+    assert np.all(np.isfinite(np.asarray(xs)))
 
 
 def test_tgv_inverse_fidelity_smoke():

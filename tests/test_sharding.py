@@ -685,8 +685,8 @@ def test_tgv_stream_sharded(axes):
     ref = tgv_denoise(x, n_iter=12, alpha1=2.0, alpha0=4.0, axes=axes,
                       compute_loss=False, fused=False)
 
-    # z=2 -> 4 local planes: the halo/compute-OVERLAP path auto-engages;
-    # z=4 (2-plane shards) and z=8 (1-plane shards) stay on the ghost path
+    # z=2 (4-plane shards), z=4 (2-plane) and z=8 (1-plane) on the default
+    # ghost path; the halo/compute-OVERLAP step is forced below
     for z in (2, 4, 8):
         if z == 4:  # pure-z mesh (no 't' axis) must work too
             from jax.sharding import Mesh
