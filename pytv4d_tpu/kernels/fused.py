@@ -526,17 +526,45 @@ def _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp, xt, z, r, sp,
     return ds
 
 
+def _fid_dual(yA, x, x0, sigma_A, fidelity, fw):
+    """In-kernel data-fidelity conjugate prox — the denoising (A = I)
+    specialization of ``solvers.fidelity.fidelity_dual_prox``; ``fidelity``
+    and ``fw`` (scalar weight) are trace-time constants."""
+    if fidelity == "l1":
+        return jnp.clip(yA + sigma_A * (x - x0), -fw, fw)
+    if fidelity == "kl":
+        q = yA + sigma_A * x
+        s = q - fw
+        return 0.5 * (q + fw - jnp.sqrt(s * s + 4.0 * sigma_A * fw * x0))
+    return (yA + sigma_A * (x - x0)) / (1.0 + sigma_A / fw)
+
+
+def _fid_part(x_new, x0, fidelity, fw):
+    """In-kernel fidelity loss partial (``solvers.fidelity.fidelity_loss``
+    over the tile)."""
+    if fidelity == "l1":
+        return fw * jnp.sum(jnp.abs(x_new - x0))
+    if fidelity == "kl":
+        ax = jnp.maximum(x_new, 1e-30)
+        ent = jnp.where(x0 > 0.0,
+                        x0 * jnp.log(jnp.maximum(x0, 1e-30) / ax), 0.0)
+        return fw * jnp.sum(x_new - x0 + ent)
+    diff = x_new - x0
+    return 0.5 * fw * jnp.sum(diff * diff)
+
+
 def _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
                dtype, store, dual_dtype, gate_z, t_in_dt, tmul,
                x, up_row, dn_row, x_zm, x_zp, xt, e, z, r,
-               x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out):
+               x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out,
+               fidelity="l2", fw=1.0):
     """Shared pass-A body: fidelity dual update, D stencil, TV dual prox,
     L21 partial, and the locally computable part of ``D^T y'`` — used by
     the main/interior kernel and the boundary-fix kernel."""
     x0 = x0_ref[0].astype(dtype)
     yA = yA_ref[0].astype(dtype)
 
-    yA_out[0] = ((yA + sigma_A * (x - x0)) / (1.0 + sigma_A)).astype(store)
+    yA_out[0] = _fid_dual(yA, x, x0, sigma_A, fidelity, fw).astype(store)
 
     ds = _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp,
                      xt, z, r, sp, gate_z=gate_z, tmul=tmul, e=e)
@@ -620,7 +648,7 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                         sigma_D=0.5, sigma_A=1.0, reg=1.0, interpret=False,
                         dual_dtype_name=None, halo_mode=False,
                         table_dims=None, t_plane=False, t_sharded=False,
-                        interior=False):
+                        interior=False, fidelity="l2", fid_weight=1.0):
     """Pass A: (x, x0, y_A, y_D[, tmul]) -> (y_A', y_D', dt_local, l21_parts).
 
     Fuses the fidelity dual update, the D stencil, the TV dual prox
@@ -676,7 +704,8 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
                    _center_t(x_zm[0].astype(dtype), e) if need_z else None,
                    _center_t(x_zp[0].astype(dtype), e) if need_z else None,
                    xt, e, z, r, x0_ref, yA_ref, yD_ref,
-                   yA_out, yD_out, dt_out, l21_out)
+                   yA_out, yD_out, dt_out, l21_out,
+                   fidelity=fidelity, fw=fid_weight)
 
     in_specs = [sp.vol(ext=e)]
     if need_z:
@@ -747,7 +776,8 @@ def _neighbor_plan(chans, sp, t_in_dt=True):
 def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
                           tau=0.1, interpret=False, dual_dtype_name=None,
                           halo_mode=False, table_dims=None, t_plane=False,
-                          t_sharded=False, interior=False):
+                          t_sharded=False, interior=False,
+                          fidelity="l2", fid_weight=1.0, nonneg=False):
     """Pass B: (x, x0, y_A', y_D', dt_local[, tmul]) -> (x', fid_parts).
 
     Adds the cross-tile corrections of ``D^T y_D'`` to pass A's dt_local
@@ -828,9 +858,12 @@ def make_cp_primal_kernel(cfg: TVConfig, shape, dtype_name="float32",
 
         x_new = (x_ref[0].astype(dtype) - tau * yA_ref[0].astype(dtype)
                  - tau * corr)
+        if nonneg:
+            x_new = jnp.maximum(x_new, 0.0)
         x_out[0] = x_new.astype(store)
-        diff = x_new - x0_ref[0].astype(dtype)
-        _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
+        _write_part(fid_out,
+                    _fid_part(x_new, x0_ref[0].astype(dtype), fidelity,
+                              fid_weight), dtype)
 
     in_specs = [sp.vol(), sp.vol(), sp.vol(), sp.vol()] + nb_specs
     if use_tmul:
@@ -977,7 +1010,8 @@ def _tplaneb(sp):
 def make_cp_dual_boundary_kernel(cfg: TVConfig, shape, dtype_name="float32",
                                  sigma_D=0.5, sigma_A=1.0, reg=1.0,
                                  interpret=False, dual_dtype_name=None,
-                                 table_dims=None, t_plane=False):
+                                 table_dims=None, t_plane=False,
+                                 fidelity="l2", fid_weight=1.0):
     """Boundary fix for pass A: recompute z planes {0, Nz-1} with the
     exchanged halo planes (ghost-substituted at global edges), writing into
     the interior kernel's outputs in place.  The time axis must be
@@ -1015,7 +1049,8 @@ def make_cp_dual_boundary_kernel(cfg: TVConfig, shape, dtype_name="float32",
         _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
                    dtype, store, dual_dtype, False, True, tmul,
                    x, up_row, dn_row, x_zm, x_zp, x, 0, 0, r,
-                   x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out)
+                   x0_ref, yA_ref, yD_ref, yA_out, yD_out, dt_out, l21_out,
+                   fidelity=fidelity, fw=fid_weight)
 
     in_specs = [_volb(sp)]
     if need_z:
@@ -1069,7 +1104,9 @@ def make_cp_dual_boundary_kernel(cfg: TVConfig, shape, dtype_name="float32",
 def make_cp_primal_boundary_kernel(cfg: TVConfig, shape,
                                    dtype_name="float32", tau=0.1,
                                    interpret=False, dual_dtype_name=None,
-                                   table_dims=None, t_plane=False):
+                                   table_dims=None, t_plane=False,
+                                   fidelity="l2", fid_weight=1.0,
+                                   nonneg=False):
     """Boundary fix for pass B: the primal update at z planes {0, Nz-1},
     reading z-channel corrections from the exchanged y' halo stack (zeros
     at global edges) and writing into the interior kernel's outputs in
@@ -1125,9 +1162,12 @@ def make_cp_primal_boundary_kernel(cfg: TVConfig, shape,
 
         x_new = (x_ref[0].astype(dtype) - tau * yA_ref[0].astype(dtype)
                  - tau * corr)
+        if nonneg:
+            x_new = jnp.maximum(x_new, 0.0)
         x_out[0] = x_new.astype(store)
-        diff = x_new - x0_ref[0].astype(dtype)
-        _write_part(fid_out, 0.5 * jnp.sum(diff * diff), dtype)
+        _write_part(fid_out,
+                    _fid_part(x_new, x0_ref[0].astype(dtype), fidelity,
+                              fid_weight), dtype)
 
     in_specs = ([_volb(sp), _volb(sp), _volb(sp), _volb(sp)] + nb_specs
                 + [_partb(sp)])
@@ -1178,7 +1218,8 @@ def from_internal_layout(y_D_int):
 
 
 def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
-                           tau, cfg: TVConfig, interpret=False, tmul=None):
+                           tau, cfg: TVConfig, interpret=False, tmul=None,
+                           fidelity="l2", fid_weight=1.0, nonneg=False):
     """One fused CP iteration with y_D in the internal channel-contiguous
     layout (any supported dual dtype); use inside scans (transpose once
     outside).  ``tmul``: optional (Nr, Nc) time-channel multiplier plane
@@ -1187,11 +1228,13 @@ def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
     dt_name = jnp.dtype(x.dtype).name
     dual_name = jnp.dtype(y_D_int.dtype).name
     t_plane = tmul is not None
+    fid_kw = dict(fidelity=fidelity, fid_weight=float(fid_weight))
     dual = make_cp_dual_kernel(cfg, shape, dt_name, sigma_D, sigma_A, reg,
                                interpret, dual_dtype_name=dual_name,
-                               t_plane=t_plane)
+                               t_plane=t_plane, **fid_kw)
     primal = make_cp_primal_kernel(cfg, shape, dt_name, tau, interpret,
-                                   dual_dtype_name=dual_name, t_plane=t_plane)
+                                   dual_dtype_name=dual_name, t_plane=t_plane,
+                                   nonneg=nonneg, **fid_kw)
     y_A, y_D_int, dt_local, l21_parts = dual(x, x_noisy, y_A, y_D_int, tmul)
     x, fid_parts = primal(x, x_noisy, y_A, y_D_int, dt_local, tmul)
     loss = _sum_parts(fid_parts) + reg * _sum_parts(l21_parts)

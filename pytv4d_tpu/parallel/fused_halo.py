@@ -135,6 +135,9 @@ def make_sharded_cp_solver_fused(
     mask_static=None,
     weight_time=None,
     overlap: bool = None,
+    fidelity: str = "l2",
+    fidelity_weight: float = 1.0,
+    nonneg: bool = False,
 ):
     """jit(lax.scan(fused CP step under shard_map)).
 
@@ -152,9 +155,18 @@ def make_sharded_cp_solver_fused(
     ``mask_static`` / ``weight_time``: plane-shaped ``(1, 1, N, N)`` per the
     reference contract; the (N_row, N_col) multiplier plane is replicated
     across the (z, t) mesh (the mesh shards z/t only, never rows/cols).
+
+    ``fidelity``/``fidelity_weight`` (scalar)/``nonneg``: the data-term
+    family of ``solvers.chambolle_pock`` — 'l1' (TV-L1) and 'kl' (Poisson,
+    x_noisy >= 0) ride the sharded kernels too (the fidelity update and
+    loss are pointwise, so sharding is unaffected).
     """
     from ..kernels.dispatch import default_interpret, t_plane_multiplier
     from ..solvers.cp import default_tau
+    from ..solvers.fidelity import validate_fidelity
+
+    validate_fidelity(fidelity, jnp.zeros(()), fidelity_weight)
+    fid_kw = dict(fidelity=fidelity, fid_weight=float(fidelity_weight))
 
     if tau is None:
         tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
@@ -214,7 +226,7 @@ def make_sharded_cp_solver_fused(
         )
 
         kw = dict(dual_dtype_name=dual_name, table_dims=table_dims,
-                  t_plane=t_plane)
+                  t_plane=t_plane, **fid_kw)
         dual_int = make_cp_dual_kernel(cfg, local_shape, dt_name, sigma_D,
                                        sigma_A, reg, interpret,
                                        interior=True, **kw)
@@ -222,10 +234,11 @@ def make_sharded_cp_solver_fused(
                                                 sigma_D, sigma_A, reg,
                                                 interpret, **kw)
         primal_int = make_cp_primal_kernel(cfg, local_shape, dt_name, tau,
-                                           interpret, interior=True, **kw)
+                                           interpret, interior=True,
+                                           nonneg=nonneg, **kw)
         primal_bnd = make_cp_primal_boundary_kernel(cfg, local_shape,
                                                     dt_name, tau, interpret,
-                                                    **kw)
+                                                    nonneg=nonneg, **kw)
 
         @functools.partial(
             shard_map, mesh=mesh,
@@ -255,11 +268,12 @@ def make_sharded_cp_solver_fused(
                                    sigma_A, reg, interpret,
                                    dual_dtype_name=dual_name, halo_mode=True,
                                    table_dims=table_dims, t_plane=t_plane,
-                                   t_sharded=t_sharded)
+                                   t_sharded=t_sharded, **fid_kw)
         primal = make_cp_primal_kernel(cfg, local_shape, dt_name, tau,
                                        interpret, dual_dtype_name=dual_name,
                                        halo_mode=True, table_dims=table_dims,
-                                       t_plane=t_plane, t_sharded=t_sharded)
+                                       t_plane=t_plane, t_sharded=t_sharded,
+                                       nonneg=nonneg, **fid_kw)
 
         def _extend_x(x):
             x = _extend_axis(x, 0, z_name, ctx.nz, ghost_z)

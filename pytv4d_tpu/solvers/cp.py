@@ -56,24 +56,33 @@ def dual_prox(p, reg, norm: str, sigma=1.0, huber_delta: float = 1.0):
 
 
 def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfig,
-            mask_static=None, weight_time=None):
+            mask_static=None, weight_time=None, fidelity="l2",
+            fidelity_weight=1.0, nonneg=False):
     """One CP iteration, exactly the reference recipe (``README.md:146-157``):
 
     - fidelity dual:  y_A <- (y_A + sigma_A (x - x0)) / (1 + sigma_A)
+      (with ``fidelity='l1'``/``'kl'``: the matching conjugate prox,
+      ``solvers.fidelity`` — TV-L1 / Poisson denoising)
     - TV dual prox:   y_D <- p / max(1, |p|_2 / reg),  p = y_D + sigma_D D x
-    - primal:         x   <- x - tau y_A - tau D^T y_D
-    - loss:           1/2 ||x_new - x0||^2 + reg * L21(D x_old)
+    - primal:         x   <- x - tau y_A - tau D^T y_D  (then the x >= 0
+      projection when ``nonneg``)
+    - loss:           F(x_new) + reg * L21(D x_old)
       (the reference reuses the pre-update ``D_x`` in the loss line)
     """
+    from .fidelity import fidelity_dual_prox, fidelity_loss
+
     kw = dict(mask_static=mask_static, weight_time=weight_time,
               **cfg.kwargs())
     x, y_A, y_D = state
-    y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
+    y_A = fidelity_dual_prox(y_A, x, x_noisy, sigma_A, fidelity,
+                             fidelity_weight)
     D_x = D(x, cfg.scheme, **kw)
     p = y_D + sigma_D * D_x
     y_D = dual_prox(p, reg, cfg.norm, sigma_D, cfg.huber_delta)
     x = x - tau * y_A - tau * D_T(y_D, cfg.scheme, **kw)
-    loss = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
+    if nonneg:
+        x = jnp.maximum(x, 0.0)
+    loss = fidelity_loss(x, x_noisy, fidelity, fidelity_weight) + reg * tv_norm(
         D_x, cfg.norm, huber_delta=cfg.huber_delta)
     return CPState(x, y_A, y_D), loss
 
@@ -146,7 +155,7 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
     jax.jit,
     static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
                      "fused", "dual_dtype", "return_dual", "progress_every",
-                     "progress_fn"),
+                     "progress_fn", "fidelity", "fidelity_weight", "nonneg"),
 )
 def chambolle_pock(
     x_noisy,
@@ -164,6 +173,9 @@ def chambolle_pock(
     return_dual: bool = True,
     progress_every: int = 0,
     progress_fn=None,
+    fidelity: str = "l2",
+    fidelity_weight: float = 1.0,
+    nonneg: bool = False,
 ) -> CPResult:
     """Run ``n_iter`` Chambolle-Pock iterations on device.
 
@@ -183,7 +195,17 @@ def chambolle_pock(
     ``progress_every=k`` invokes ``progress_fn(iteration, loss)`` on the
     host every k iterations from inside the scan (``solvers.progress``;
     zero cost when 0; ``progress_fn`` must be hashable).
+    ``fidelity`` selects the data term (``solvers.fidelity``): ``'l2'`` =
+    ``weight/2 ||x - x0||^2`` (default, the reference recipe), ``'l1'`` =
+    TV-L1 denoising (impulsive noise), ``'kl'`` = Poisson denoising
+    (requires ``x_noisy >= 0``); ``fidelity_weight`` must be a SCALAR here
+    (static — per-pixel weight arrays are the inverse solvers' job:
+    ``cp_inverse(A=identity)``); ``nonneg=True`` projects onto x >= 0.
+    All three ride the fused kernels.
     """
+    from .fidelity import validate_fidelity
+
+    validate_fidelity(fidelity, x_noisy, fidelity_weight)
     from ..kernels.dispatch import (
         can_fuse,
         default_interpret,
@@ -242,7 +264,8 @@ def chambolle_pock(
             x, y_A, y_D_int, loss = cp_step_fused_internal(
                 x, y_A, y_D_int, x_noisy, reg=reg, sigma_D=sigma_D,
                 sigma_A=sigma_A, tau=tau, cfg=cfg, interpret=interpret,
-                tmul=tmul,
+                tmul=tmul, fidelity=fidelity,
+                fid_weight=float(fidelity_weight), nonneg=nonneg,
             )
             emit_progress(i, loss, progress_every, progress_fn)
             return (x, y_A, y_D_int), loss
@@ -266,7 +289,8 @@ def chambolle_pock(
         st, loss = cp_step(
             st, x_noisy, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
             tau=tau, cfg=cfg, mask_static=mask_static,
-            weight_time=weight_time,
+            weight_time=weight_time, fidelity=fidelity,
+            fidelity_weight=fidelity_weight, nonneg=nonneg,
         )
         emit_progress(i, loss, progress_every, progress_fn)
         return st, loss

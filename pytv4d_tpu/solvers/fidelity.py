@@ -26,31 +26,25 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 FIDELITIES = ("l2", "l1", "kl")
 
 
-def _concrete_any(x) -> bool:
-    """``bool(jnp.any(x))`` when ``x`` is concrete; False (skip the check)
-    when it is a tracer — the solvers stay usable under the caller's own
-    jit/vmap, where data-dependent validation cannot run."""
-    try:
-        return bool(jnp.any(x))
-    except jax.errors.TracerBoolConversionError:
-        return False
-
-
 def validate_fidelity(fidelity: str, b, weight) -> None:
     """Eager argument checks.  Value checks (``weight > 0``, ``b >= 0`` for
-    'kl') run only on concrete inputs; traced inputs (solver called under
+    'kl') run only on concrete inputs — on the host, so they also work for
+    static values inside a jit trace; traced inputs (solver called under
     the user's jit/vmap) skip them."""
     if fidelity not in FIDELITIES:
         raise ValueError(
             f"fidelity must be one of {FIDELITIES}, got {fidelity!r}"
         )
-    if _concrete_any(jnp.asarray(weight) <= 0):
+    if (not isinstance(weight, jax.core.Tracer)
+            and bool(np.any(np.asarray(weight) <= 0))):
         raise ValueError("fidelity_weight must be positive")
-    if fidelity == "kl" and _concrete_any(jnp.asarray(b) < 0):
+    if (fidelity == "kl" and not isinstance(b, jax.core.Tracer)
+            and bool(np.any(np.asarray(b) < 0))):
         raise ValueError(
             "fidelity='kl' requires nonnegative data b (Poisson counts)"
         )

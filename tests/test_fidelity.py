@@ -194,6 +194,78 @@ def test_cp_inverse_kl_traces_under_vmap():
     assert np.all(np.isfinite(np.asarray(xs)))
 
 
+@pytest.mark.parametrize("fidelity,nonneg",
+                         [("l1", False), ("kl", True), ("l2", True)])
+def test_denoiser_fused_fidelity_matches_jnp(fidelity, nonneg):
+    """The fused Pallas CP kernels implement the fidelity family too — the
+    fused path must track the jnp path for TV-L1 / Poisson / nonneg."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    rng = np.random.default_rng(11)
+    x0 = jnp.asarray(rng.random((2, 2, 16, 128)) + 0.1, jnp.float32)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    kw = dict(n_iter=15, reg=0.3, cfg=cfg, fidelity=fidelity,
+              fidelity_weight=0.8, nonneg=nonneg)
+    a = chambolle_pock(x0, fused=False, **kw)
+    b = chambolle_pock(x0, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               atol=1e-4, rtol=1e-4)
+    if nonneg:
+        assert float(b.x.min()) >= 0.0
+
+
+def test_denoiser_fidelity_validation():
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    x = jnp.ones((1, 1, 16, 128), jnp.float32)
+    with pytest.raises(ValueError, match="fidelity must be one of"):
+        chambolle_pock(x, n_iter=1, fidelity="tv")
+    with pytest.raises(ValueError, match="positive"):
+        chambolle_pock(x, n_iter=1, fidelity_weight=-1.0)
+
+
+def test_sharded_fused_cp_fidelity_tracks_unsharded():
+    """fidelity='l1' + nonneg ride the sharded fused CP kernels (pointwise
+    updates — sharding-invariant), tracking the unsharded jnp solver."""
+    import jax
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.kernels.fused import to_internal_layout
+    from pytv4d_tpu.parallel import (
+        internal_d_sharding,
+        make_sharded_cp_solver_fused,
+    )
+    from pytv4d_tpu.parallel.mesh import make_mesh, shard_volume
+    from pytv4d_tpu.solvers.cp import chambolle_pock, init_state
+
+    rng = np.random.default_rng(21)
+    shape = (8, 4, 16, 16)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    noisy = jnp.asarray(rng.random(shape) + 3.0, jnp.float32)
+    mesh = make_mesh(z=4, t=2, devices=jax.devices()[:8])
+
+    ref = chambolle_pock(noisy, n_iter=20, reg=0.4, cfg=cfg, fused=False,
+                         fidelity="l1", nonneg=True)
+    solve = make_sharded_cp_solver_fused(mesh, cfg, shape, reg=0.4,
+                                         n_iter=20, fidelity="l1",
+                                         nonneg=True)
+    st = init_state(noisy, cfg)
+    x, _, _, losses = solve(
+        shard_volume(noisy, mesh),
+        shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(to_internal_layout(st.y_D),
+                       internal_d_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(losses), np.asarray(ref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
+                               atol=1e-5, rtol=1e-4)
+
+
 def test_tgv_inverse_fidelity_smoke():
     rng = np.random.default_rng(2)
     shape = (1, 1, 24, 24)
