@@ -263,10 +263,14 @@ def sharded_tv_and_subgrad(mesh: Mesh, cfg: TVConfig, global_shape,
 
 
 def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
-                    sigma_A, tau, shard_time: bool = True):
+                    sigma_A, tau, shard_time: bool = True,
+                    fidelity: str = "l2", fidelity_weight: float = 1.0,
+                    nonneg: bool = False):
     """One Chambolle-Pock iteration entirely inside shard_map: the only
     communication is the 1-plane halos inside D/D_T and one scalar psum for
-    the loss (``README.md:146-157`` semantics, cf. solvers/cp.py)."""
+    the loss (``README.md:146-157`` semantics, cf. solvers/cp.py; the
+    ``fidelity``/``nonneg`` family of ``cp_step`` is pointwise, so it
+    shards untouched — the weight must be a replicated scalar)."""
     ctx = _ShardCtx(mesh, shard_time)
     vol, dvol = _specs(ctx)
     axes = _mesh_axes(ctx)
@@ -278,12 +282,16 @@ def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
     )
     def fn(x, y_A, y_D, x_noisy):
         from ..solvers.cp import dual_prox
+        from ..solvers.fidelity import fidelity_dual_prox, fidelity_loss
 
-        y_A = (y_A + sigma_A * (x - x_noisy)) / (1.0 + sigma_A)
+        y_A = fidelity_dual_prox(y_A, x, x_noisy, sigma_A, fidelity,
+                                 fidelity_weight)
         D_x = _local_D(x, cfg, ctx, global_shape)
         y_D = dual_prox(y_D + sigma_D * D_x, reg, cfg.norm, sigma_D,
                         cfg.huber_delta)
         x = x - tau * y_A - tau * _local_D_T(y_D, cfg, ctx, global_shape)
+        if nonneg:
+            x = jnp.maximum(x, 0.0)
         if cfg.norm == "aniso":
             tv_local = jnp.sum(jnp.abs(D_x))
         elif cfg.norm == "huber":
@@ -293,7 +301,8 @@ def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
                                          n - d / 2.0))
         else:
             tv_local = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=1)))
-        loss_local = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_local
+        loss_local = (fidelity_loss(x, x_noisy, fidelity, fidelity_weight)
+                      + reg * tv_local)
         loss = lax.psum(loss_local, axes) if axes else loss_local
         return x, y_A, y_D, loss
 
@@ -302,15 +311,21 @@ def sharded_cp_step(mesh: Mesh, cfg: TVConfig, global_shape, *, reg, sigma_D,
 
 def make_sharded_cp_solver(mesh: Mesh, cfg: TVConfig, global_shape, *, reg,
                            n_iter, sigma_D=0.5, sigma_A=1.0, tau=None,
-                           shard_time: bool = True):
+                           shard_time: bool = True, fidelity: str = "l2",
+                           fidelity_weight: float = 1.0,
+                           nonneg: bool = False):
     """jit(lax.scan(sharded CP step)): the full multi-chip training step.
     Input arrays should be placed with ``parallel.mesh.shard_volume``."""
     from ..solvers.cp import default_tau
+    from ..solvers.fidelity import validate_fidelity
 
+    validate_fidelity(fidelity, jnp.zeros(()), fidelity_weight)
     if tau is None:
         tau = default_tau(cfg, global_shape[0], global_shape[1], sigma_A)
     step = sharded_cp_step(mesh, cfg, global_shape, reg=reg, sigma_D=sigma_D,
-                           sigma_A=sigma_A, tau=tau, shard_time=shard_time)
+                           sigma_A=sigma_A, tau=tau, shard_time=shard_time,
+                           fidelity=fidelity, fidelity_weight=fidelity_weight,
+                           nonneg=nonneg)
 
     @jax.jit
     def solve(x_noisy, x, y_A, y_D):

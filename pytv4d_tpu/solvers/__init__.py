@@ -8,6 +8,7 @@ from .cp import (
     chambolle_pock_precond,
     cp_step,
     default_tau,
+    pd_gap,
 )
 from .fidelity import fidelity_dual_prox, fidelity_loss
 from .fista import FISTAResult, fista

@@ -142,6 +142,34 @@ def chambolle_pock_precond(
     return CPResult(x=x, state=CPState(x, y_A, y_D), loss=losses)
 
 
+@functools.partial(jax.jit, static_argnames=("reg", "cfg"))
+def pd_gap(state: CPState, x_noisy, reg: float = 25.0,
+           cfg: TVConfig = TVConfig(), mask_static=None, weight_time=None):
+    """Duality gap of the TV denoising problem at ``(state.x, state.y_D)``
+    — a certified distance to optimality, unlike loss-delta heuristics:
+
+        gap = P(x) - g(y) >= P(x) - P(x*) >= 0
+
+    with ``P(x) = 1/2 ||x - x0||^2 + reg ||Dx||`` and the dual
+    ``g(y) = <D^T y, x0> - 1/2 ||D^T y||^2 - F*(y)`` (for Huber-TV,
+    ``F*(y) = delta/(2 reg) ||y||^2`` on the ball; 0 for iso/aniso).
+    ``y`` is projected onto the dual ball first — a no-op for CP iterates
+    (the prox keeps them feasible) that makes the bound valid for ANY
+    input.  l2 fidelity only (the reference denoising model)."""
+    kw = dict(mask_static=mask_static, weight_time=weight_time,
+              **cfg.kwargs())
+    x, _, y_D = state
+    # feasibility projection = the sigma->0 dual prox (pure ball/box)
+    y = dual_prox(y_D, reg, cfg.norm, 0.0, cfg.huber_delta)
+    primal = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
+        D(x, cfg.scheme, **kw), cfg.norm, huber_delta=cfg.huber_delta)
+    dty = D_T(y, cfg.scheme, **kw)
+    dual = jnp.sum(dty * x_noisy) - 0.5 * jnp.sum(jnp.square(dty))
+    if cfg.norm == "huber":
+        dual = dual - cfg.huber_delta / (2.0 * reg) * jnp.sum(jnp.square(y))
+    return primal - dual
+
+
 def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
     Nz, M = x_noisy.shape[0], x_noisy.shape[1]
     Nd = num_channels(cfg.scheme, Nz, M, cfg.reg_z_over_reg, cfg.reg_time)

@@ -113,14 +113,24 @@ def run_until_converged(
     tol: float = 1e-6,
     chunk: int = 50,
     max_iter: int = 5000,
+    criterion: str = "loss",
     **solver_kwargs,
 ):
     """Tolerance-based stopping for the fixed-length ``lax.scan`` solvers:
-    run ``solver`` in device-resident chunks and stop when the relative loss
-    change across a chunk, ``|loss[0] - loss[-1]| / |loss[-1]|``, falls
-    below ``tol`` (or at ``max_iter``).  Only one scalar crosses to the host
-    per chunk — the XLA-friendly alternative to a per-iteration
-    ``while_loop`` (which would forbid the stacked loss history).
+    run ``solver`` in device-resident chunks and stop when the convergence
+    criterion falls below ``tol`` (or at ``max_iter``).  Only one scalar
+    crosses to the host per chunk — the XLA-friendly alternative to a
+    per-iteration ``while_loop`` (which would forbid the stacked loss
+    history).
+
+    ``criterion``:
+
+    - ``'loss'`` (default, any solver): relative loss change across a
+      chunk, ``|loss[0] - loss[-1]| / |loss[-1]|`` — a heuristic.
+    - ``'gap'`` (``chambolle_pock`` only): relative primal-dual gap
+      ``pd_gap(state) / |loss[-1]|`` (``solvers.cp.pd_gap``) — a CERTIFIED
+      optimality bound: gap/P >= (P(x) - P(x*)) / P(x).  Requires the
+      solver to carry a CP state (x, y_A, y_D) and the l2 fidelity.
 
     Works with any solver following the package convention: ``chambolle_pock``
     and ``admm`` resume via their ``state`` kwarg; ``subgradient_descent``
@@ -129,7 +139,17 @@ def run_until_converged(
     """
     import inspect
 
+    if criterion not in ("loss", "gap"):
+        raise ValueError(
+            f"criterion must be 'loss' or 'gap', got {criterion!r}"
+        )
     takes_state = "state" in inspect.signature(solver).parameters
+    if criterion == "gap" and not takes_state:
+        raise ValueError(
+            "criterion='gap' needs a solver that carries a primal-dual "
+            "state (chambolle_pock); loss-based stopping works for all "
+            "solvers"
+        )
     state = None
     x_init = None
     losses = []
@@ -146,6 +166,30 @@ def run_until_converged(
         loss = np.asarray(result.loss)
         losses.append(loss)
         done += n
-        if abs(float(loss[0]) - float(loss[-1])) <= tol * abs(float(loss[-1])):
+        if criterion == "gap":
+            from .cp import pd_gap
+
+            if getattr(state, "y_D", None) is None:
+                raise ValueError(
+                    "criterion='gap' needs the dual in the state — do not "
+                    "pass return_dual=False"
+                )
+            gap = float(pd_gap(
+                state, x_noisy,
+                reg=solver_kwargs.get("reg", 25.0),
+                cfg=solver_kwargs.get("cfg", _default_cfg()),
+                mask_static=solver_kwargs.get("mask_static"),
+                weight_time=solver_kwargs.get("weight_time"),
+            ))
+            if gap <= tol * abs(float(loss[-1])):
+                break
+        elif (abs(float(loss[0]) - float(loss[-1]))
+                <= tol * abs(float(loss[-1]))):
             break
     return result._replace(loss=np.concatenate(losses))
+
+
+def _default_cfg():
+    from ..core.config import TVConfig
+
+    return TVConfig()

@@ -265,6 +265,22 @@ def test_sharded_fused_cp_fidelity_tracks_unsharded():
     np.testing.assert_allclose(np.asarray(x), np.asarray(ref.x),
                                atol=1e-5, rtol=1e-4)
 
+    # the jnp shard_map path carries the same family
+    from pytv4d_tpu.parallel import d_volume_sharding, make_sharded_cp_solver
+
+    solve_jnp = make_sharded_cp_solver(mesh, cfg, shape, reg=0.4,
+                                       n_iter=20, fidelity="l1",
+                                       nonneg=True)
+    xj, _, _, lj = solve_jnp(
+        shard_volume(noisy, mesh), shard_volume(st.x, mesh),
+        shard_volume(st.y_A, mesh),
+        jax.device_put(st.y_D, d_volume_sharding(mesh)),
+    )
+    np.testing.assert_allclose(np.asarray(lj), np.asarray(ref.loss),
+                               rtol=1e-5)
+    np.testing.assert_allclose(np.asarray(xj), np.asarray(ref.x),
+                               atol=1e-5, rtol=1e-4)
+
 
 def test_tgv_inverse_fidelity_smoke():
     rng = np.random.default_rng(2)

@@ -408,6 +408,54 @@ def test_run_until_converged(noisy_small):
                                rtol=1e-6)
 
 
+@pytest.mark.parametrize("norm", ["iso", "aniso", "huber"])
+def test_pd_gap_certifies_convergence(noisy_small, norm):
+    """The duality gap is nonnegative at every iterate, shrinks by orders
+    of magnitude as CP converges, and certifies near-optimality (gap is an
+    upper bound on P(x) - P(x*))."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers import pd_gap
+
+    from pytv4d_tpu.ops.operators import D, tv_norm
+
+    cfg = TVConfig(norm=norm, huber_delta=5.0)
+
+    def primal(x):  # true P(x) — the solver's loss line mixes iterates
+        return float(
+            0.5 * jnp.sum(jnp.square(x - noisy_small))
+            + 1.0 * tv_norm(D(x, cfg.scheme, **cfg.kwargs()), cfg.norm,
+                            huber_delta=cfg.huber_delta)
+        )
+
+    early = chambolle_pock(noisy_small, n_iter=10, reg=1.0, cfg=cfg)
+    late = chambolle_pock(noisy_small, n_iter=2000, reg=1.0, cfg=cfg)
+    g_early = float(pd_gap(early.state, noisy_small, reg=1.0, cfg=cfg))
+    g_late = float(pd_gap(late.state, noisy_small, reg=1.0, cfg=cfg))
+    p_early, p_late = primal(early.x), primal(late.x)
+    assert g_early > 0.0 and g_late > -1e-9 * p_late
+    assert g_late < 1e-3 * g_early
+    # the gap bounds the true suboptimality: P(early) - P(late) <= gap(early)
+    assert p_early - p_late <= g_early * (1 + 1e-12)
+
+
+def test_run_until_converged_gap_criterion(noisy_small):
+    """criterion='gap' stops on the certified relative duality gap."""
+    from pytv4d_tpu.solvers import pd_gap, run_until_converged
+
+    res = run_until_converged(chambolle_pock, noisy_small, tol=1e-6,
+                              chunk=100, max_iter=5000, reg=1.0,
+                              criterion="gap")
+    assert len(res.loss) < 5000
+    gap = float(pd_gap(res.state, noisy_small, reg=1.0))
+    assert gap <= 1e-6 * abs(float(res.loss[-1]))
+
+    with pytest.raises(ValueError, match="'loss' or 'gap'"):
+        run_until_converged(chambolle_pock, noisy_small, criterion="dx")
+    with pytest.raises(ValueError, match="primal-dual state"):
+        run_until_converged(subgradient_descent, noisy_small,
+                            criterion="gap", reg=1.0)
+
+
 def test_tgv_denoise_fixes_staircasing():
     """TGV-2: E's exact adjoint (linear_transpose), and the canonical ramp
     experiment — on piecewise-linear content TGV recovers the slope and
