@@ -217,6 +217,28 @@ def test_denoiser_fused_fidelity_matches_jnp(fidelity, nonneg):
         assert float(b.x.min()) >= 0.0
 
 
+def test_denoiser_fused_fidelity_with_static_mask():
+    """fidelity='l1' composes with the reference's static-mask feature on
+    the fused path (the t-channel multiplier is orthogonal to the fidelity
+    switch) — fused must track jnp."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    rng = np.random.default_rng(13)
+    x0 = jnp.asarray(rng.random((2, 3, 16, 128)), jnp.float32)
+    mask = np.zeros((1, 1, 16, 128), bool)
+    mask[..., 4:10, 30:90] = True
+    cfg = TVConfig(scheme="upwind", reg_time=1.0, factor_reg_static=0.5)
+    kw = dict(n_iter=12, reg=0.3, cfg=cfg, mask_static=jnp.asarray(mask),
+              fidelity="l1", fidelity_weight=1.5)
+    a = chambolle_pock(x0, fused=False, **kw)
+    b = chambolle_pock(x0, fused=True, **kw)
+    np.testing.assert_allclose(np.asarray(b.loss), np.asarray(a.loss),
+                               rtol=1e-4)
+    np.testing.assert_allclose(np.asarray(b.x), np.asarray(a.x),
+                               atol=1e-4, rtol=1e-4)
+
+
 def test_denoiser_fidelity_validation():
     from pytv4d_tpu.solvers.cp import chambolle_pock
 

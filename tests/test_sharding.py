@@ -712,6 +712,19 @@ def test_tgv_stream_sharded(axes):
         np.testing.assert_allclose(np.asarray(res.x), np.asarray(ref.x),
                                    rtol=1e-12, atol=1e-12)
 
+    # bf16 state storage: the overlap step's window kernels cast at the
+    # same tile boundaries as the ghost path's extended kernel, so the two
+    # step structures stay bit-identical even in bf16
+    x32 = jnp.asarray(np.asarray(x), jnp.float32)
+    outs = []
+    for overlap in (True, False):
+        solve16 = make_sharded_tgv_stream_solver(
+            mesh2, x.shape, axes, alpha1=2.0, alpha0=4.0, n_iter=6,
+            dtype="bfloat16", overlap=overlap)
+        outs.append(np.asarray(solve16(shard_volume(x32, mesh2)).x,
+                               np.float32))
+    np.testing.assert_array_equal(outs[0], outs[1])
+
     # overlap needs a nonempty interior (>= 3 local planes)
     mesh4 = make_mesh(z=4, t=1, devices=jax.devices()[:4])
     with pytest.raises(ValueError, match="3 local z"):
