@@ -180,7 +180,8 @@ def sinogram_sharding(mesh, shard_time: bool = True):
 
 class CPReconResult(NamedTuple):
     x: jax.Array       # reconstructed volume (Nz, M, N, N)
-    loss: jax.Array    # per-iteration 1/2||Ax-b||^2 + reg*TV history
+    loss: jax.Array    # per-iteration F(Ax) + reg*TV history
+    state: NamedTuple = None  # full solver carry (resume via state=)
 
 
 def cp_reconstruct(
@@ -198,6 +199,7 @@ def cp_reconstruct(
     fidelity: str = "l2",
     fidelity_weight=1.0,
     nonneg: bool = False,
+    state=None,
 ):
     """TV-regularized reconstruction ``min_x F(A x) + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
@@ -216,9 +218,9 @@ def cp_reconstruct(
     res = cp_inverse(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
         op_norm=op_norm, x_init=x_init, precond=precond, fidelity=fidelity,
-        fidelity_weight=fidelity_weight, nonneg=nonneg,
+        fidelity_weight=fidelity_weight, nonneg=nonneg, state=state,
     )
-    return CPReconResult(x=res.x, loss=res.loss)
+    return CPReconResult(x=res.x, loss=res.loss, state=res.state)
 
 
 def _select_projector(sino, angles, vol_shape, n_det, geom):
@@ -269,6 +271,7 @@ def tgv_reconstruct(
     fidelity: str = "l2",
     fidelity_weight=1.0,
     nonneg: bool = False,
+    state=None,
 ):
     """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
     second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV
@@ -287,8 +290,9 @@ def tgv_reconstruct(
         alpha0=alpha0, axes=axes, op_norm=op_norm, x_init=x_init,
         precond=precond, norm=norm, huber_delta=huber_delta,
         fidelity=fidelity, fidelity_weight=fidelity_weight, nonneg=nonneg,
+        state=state,
     )
-    return CPReconResult(x=res.x, loss=res.loss)
+    return CPReconResult(x=res.x, loss=res.loss, state=res.state)
 
 
 class FanBeamGeometry(NamedTuple):

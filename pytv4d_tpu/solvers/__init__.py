@@ -14,13 +14,14 @@ from .fidelity import fidelity_dual_prox, fidelity_loss
 from .fista import FISTAResult, fista
 from .inverse import (
     InverseResult,
+    InverseState,
     cp_inverse,
     exact_transpose,
     gaussian_blur_operator,
     power_iteration,
 )
 from .gd import GDResult, gd_step, subgradient_descent
-from .tgv import TGVResult, tgv_denoise, tgv_inverse
+from .tgv import TGVInverseState, TGVResult, tgv_denoise, tgv_inverse
 from .state import (
     load_state,
     load_state_orbax,

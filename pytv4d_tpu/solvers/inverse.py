@@ -22,9 +22,20 @@ from ..core.schemes import num_channels, operator_norm_bound_sq
 from ..ops.operators import D, D_T, tv_norm
 
 
+class InverseState(NamedTuple):
+    """Full CP carry of :func:`cp_inverse` for resume/checkpointing
+    (``solvers.state.save_state`` / ``run_until_converged``): primal,
+    over-relaxed primal, fidelity dual, TV dual."""
+    x: jax.Array
+    x_bar: jax.Array
+    y_A: jax.Array
+    y_D: jax.Array
+
+
 class InverseResult(NamedTuple):
     x: jax.Array
     loss: jax.Array
+    state: InverseState = None
 
 
 def check_nonneg_operator(A: Callable, vol_shape, dtype, what: str):
@@ -99,6 +110,7 @@ def cp_inverse(
     fidelity: str = "l2",
     fidelity_weight=1.0,
     nonneg: bool = False,
+    state: Optional[InverseState] = None,
 ) -> InverseResult:
     """Solve ``min_x F(A x) + reg TV(x)`` with Chambolle-Pock.
 
@@ -120,6 +132,13 @@ def cp_inverse(
     nonnegative coefficients — CT projectors, blurs, masks).  No
     ``op_norm``/power iteration, and typically several-fold fewer
     iterations (see the TGV analog in solvers/tgv.py).
+
+    ``state`` resumes a previous run from ``result.state`` (bit-exact
+    continuation — the over-relaxed iterate and both duals are carried);
+    composes with ``solvers.state`` checkpointing and
+    ``run_until_converged`` (pass the solver as
+    ``functools.partial(cp_inverse, A, vol_shape=shape, ...)`` so the
+    data ``b`` is the leading argument).
     """
     from .fidelity import fidelity_dual_prox, fidelity_loss, validate_fidelity
 
@@ -153,7 +172,7 @@ def cp_inverse(
         x_init, dtype)
 
     @jax.jit
-    def run(b, x0, fw):
+    def run(b, st0, fw):
         if precond:
             # maps built inside jit from tiny boundary masks + one |A|^T 1
             # volume — nothing volume-sized is baked into the executable
@@ -170,10 +189,6 @@ def cp_inverse(
             sig_A = fidelity_row_precond(A, tuple(b.shape), vol_shape, dtype)
         else:
             sig, tau_m, sig_A = sigma, tau, sigma_A
-        y_A = jnp.zeros_like(b)
-        y_D = jnp.zeros(
-            (vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]), dtype
-        )
 
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
@@ -192,12 +207,20 @@ def cp_inverse(
             )
             return (x_new, x_bar, y_A, y_D), loss
 
-        (x, _, _, _), losses = jax.lax.scan(step, (x0, x0, y_A, y_D),
-                                            length=n_iter)
-        return x, losses
+        final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
+        return final, losses
 
-    x, losses = run(b, x0, jnp.asarray(fidelity_weight, dtype))
-    return InverseResult(x=x, loss=losses)
+    if state is None:
+        y_A0 = jnp.zeros_like(b)
+        y_D0 = jnp.zeros(
+            (vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]), dtype
+        )
+        st0 = InverseState(x0, x0, y_A0, y_D0)
+    else:
+        st0 = InverseState(*state)
+    final, losses = run(b, st0, jnp.asarray(fidelity_weight, dtype))
+    final = InverseState(*final)
+    return InverseResult(x=final.x, loss=losses, state=final)
 
 
 def gaussian_blur_operator(vol_shape, sigma_px: float = 2.0, radius: int = 6,

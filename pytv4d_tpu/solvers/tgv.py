@@ -44,11 +44,25 @@ class TGVState(NamedTuple):
     q: jax.Array
 
 
+class TGVInverseState(NamedTuple):
+    """Full CP carry of :func:`tgv_inverse` for resume/checkpointing:
+    primal x/w with their over-relaxed copies, the fidelity dual y_A, and
+    the TGV duals p/q."""
+    x: jax.Array
+    xb: jax.Array
+    w: jax.Array
+    wb: jax.Array
+    y_A: jax.Array
+    p: jax.Array
+    q: jax.Array
+
+
 class TGVResult(NamedTuple):
     x: jax.Array     # denoised volume (Nz, M, N_row, N_col)
     w: jax.Array     # auxiliary vector field (Nz, 2, M, N_row, N_col)
     loss: jax.Array  # primal objective history (n_iter,)
-    state: TGVState = None  # full final state (resume via the state kwarg)
+    state: NamedTuple = None  # TGVState (tgv_denoise) or TGVInverseState
+                              # (tgv_inverse); resume via the state kwarg
 
 
 def _d_fwd(x):
@@ -627,6 +641,7 @@ def tgv_inverse(
     fidelity: str = "l2",
     fidelity_weight=1.0,
     nonneg: bool = False,
+    state: TGVInverseState = None,
 ) -> TGVResult:
     """TGV-2-regularized linear inverse problem:
 
@@ -655,7 +670,9 @@ def tgv_inverse(
     ``'l2'`` = ``weight/2 ||Ax - b||^2`` (default), ``'l1'`` (impulsive
     noise), ``'kl'`` (Poisson counts, ``b >= 0``); ``fidelity_weight`` a
     scalar or per-measurement array.  ``nonneg=True`` projects the primal
-    onto ``x >= 0``."""
+    onto ``x >= 0``.  ``state`` resumes from ``result.state`` (bit-exact
+    continuation; composes with ``solvers.state`` checkpointing and
+    ``run_until_converged`` via ``functools.partial``)."""
     from .fidelity import fidelity_dual_prox, fidelity_loss, validate_fidelity
     from .inverse import exact_transpose, power_iteration
 
@@ -696,7 +713,7 @@ def tgv_inverse(
           else jnp.asarray(x_init, dtype))
 
     @jax.jit
-    def run(b, x0, fw):
+    def run(b, st0, fw):
         # preconditioner masks are built INSIDE jit so they broadcast
         # lazily — nothing volume-sized is baked into the executable
         if precond:
@@ -706,11 +723,6 @@ def tgv_inverse(
         else:
             sig_A = sig_p = sig_q = jnp.asarray(sigma, dtype)
             T_x = T_w = jnp.asarray(tau, dtype)
-        w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
-        p0 = jnp.zeros_like(w0)
-        q0 = jnp.zeros((Nz, n_q, M, Nr, Nc), dtype)
-        y_A0 = jnp.zeros_like(b)
-
         def step(carry, _):
             x, xb, w, wb, y_A, p, q = carry
             y_A = fidelity_dual_prox(y_A, A(xb), b, sig_A, fidelity, fw)
@@ -731,10 +743,16 @@ def tgv_inverse(
                                          huber_delta))
             return (x_new, xb, w_new, wb, y_A, p, q), loss
 
-        (x, _, w, _, _, _, _), losses = jax.lax.scan(
-            step, (x0, x0, w0, w0, y_A0, p0, q0), length=n_iter
-        )
-        return x, w, losses
+        final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
+        return final, losses
 
-    x, w, losses = run(b, x0, jnp.asarray(fidelity_weight, dtype))
-    return TGVResult(x=x, w=w, loss=losses)
+    if state is None:
+        w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
+        st0 = TGVInverseState(x0, x0, w0, w0, jnp.zeros_like(b),
+                              jnp.zeros_like(w0),
+                              jnp.zeros((Nz, n_q, M, Nr, Nc), dtype))
+    else:
+        st0 = TGVInverseState(*state)
+    final, losses = run(b, st0, jnp.asarray(fidelity_weight, dtype))
+    final = TGVInverseState(*final)
+    return TGVResult(x=final.x, w=final.w, loss=losses, state=final)

@@ -408,6 +408,56 @@ def test_run_until_converged(noisy_small):
                                rtol=1e-6)
 
 
+def test_inverse_solvers_state_resume(tmp_path):
+    """cp_inverse/tgv_inverse resume bit-exactly from result.state (two
+    half-runs == one continuous run), survive an npz checkpoint round-trip,
+    and compose with run_until_converged via functools.partial."""
+    import functools
+
+    from pytv4d_tpu.solvers import (
+        cp_inverse,
+        load_state,
+        run_until_converged,
+        save_state,
+        tgv_inverse,
+    )
+    from pytv4d_tpu.solvers.inverse import gaussian_blur_operator
+
+    rng = np.random.default_rng(9)
+    shape = (1, 2, 16, 16)
+    truth = jnp.asarray(rng.random(shape))
+    A = gaussian_blur_operator(shape, sigma_px=1.0, radius=3,
+                               dtype=truth.dtype)
+    b = A(truth)
+    kw = dict(reg=1e-3, op_norm=1.0, fidelity="l1", nonneg=True)
+
+    cont = cp_inverse(A, b, shape, n_iter=30, **kw)
+    half = cp_inverse(A, b, shape, n_iter=15, **kw)
+    # checkpoint round-trip in the middle
+    save_state(str(tmp_path / "inv.npz"), half.state)
+    restored = load_state(str(tmp_path / "inv.npz"), half.state)
+    resumed = cp_inverse(A, b, shape, n_iter=15, state=restored, **kw)
+    assert np.array_equal(np.asarray(resumed.x), np.asarray(cont.x))
+    np.testing.assert_array_equal(
+        np.concatenate([half.loss, resumed.loss]), np.asarray(cont.loss))
+
+    cont_t = tgv_inverse(A, b, shape, n_iter=30, alpha1=0.1, alpha0=0.2,
+                         op_norm=1.0)
+    half_t = tgv_inverse(A, b, shape, n_iter=15, alpha1=0.1, alpha0=0.2,
+                         op_norm=1.0)
+    res_t = tgv_inverse(A, b, shape, n_iter=15, alpha1=0.1, alpha0=0.2,
+                        op_norm=1.0, state=half_t.state)
+    assert np.array_equal(np.asarray(res_t.x), np.asarray(cont_t.x))
+
+    # tolerance loop on the smooth l2 problem (an l1 objective oscillates
+    # at the optimum and need not satisfy a tight loss-delta criterion)
+    solver = functools.partial(cp_inverse, A, vol_shape=shape, reg=1e-3,
+                               op_norm=1.0)
+    res = run_until_converged(solver, b, tol=1e-6, chunk=40, max_iter=2000)
+    assert len(res.loss) < 2000
+    assert abs(res.loss[-40] - res.loss[-1]) <= 1e-6 * abs(res.loss[-1])
+
+
 @pytest.mark.parametrize("norm", ["iso", "aniso", "huber"])
 def test_pd_gap_certifies_convergence(noisy_small, norm):
     """The duality gap is nonnegative at every iterate, shrinks by orders
