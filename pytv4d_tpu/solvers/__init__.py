@@ -19,6 +19,7 @@ from .inverse import (
     exact_transpose,
     gaussian_blur_operator,
     power_iteration,
+    reg_discrepancy,
 )
 from .gd import GDResult, gd_step, subgradient_descent
 from .tgv import TGVInverseState, TGVResult, tgv_denoise, tgv_inverse

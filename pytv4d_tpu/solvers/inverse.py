@@ -223,6 +223,80 @@ def cp_inverse(
     return InverseResult(x=final.x, loss=losses, state=final)
 
 
+def reg_discrepancy(
+    A: Callable,
+    b,
+    vol_shape,
+    noise_norm: float,
+    n_iter: int = 150,
+    reg0: float = 1e-2,
+    n_bisect: int = 10,
+    rtol: float = 0.05,
+    **kw,
+) -> "tuple[float, InverseResult]":
+    """Choose ``reg`` by Morozov's discrepancy principle: the largest
+    regularization whose solution still fits the data to the noise level,
+    ``||A x_reg - b||_2 ~= noise_norm`` (= ``sigma * sqrt(b.size)`` for
+    i.i.d. Gaussian noise of std ``sigma``).  The residual norm is
+    monotone increasing in ``reg``, so a geometric bracket expansion from
+    ``reg0`` followed by ``n_bisect`` log-space bisections converges fast;
+    every solve warm-starts from the previous solution's full CP state
+    (``cp_inverse(state=...)``), so later evaluations are cheap
+    refinements.  Returns ``(reg, result)`` with ``|residual - noise_norm|
+    <= rtol * noise_norm`` (or the closest bracketed value).
+
+    ``**kw`` forwards to :func:`cp_inverse` (``cfg``, ``precond``,
+    ``nonneg``, ``op_norm``, ...).  The l2 data term is assumed (the
+    principle is defined for Gaussian noise); ``op_norm`` is estimated
+    once here when neither it nor ``precond`` is given.
+    """
+    b = jnp.asarray(b)
+    if not kw.get("precond") and kw.get("op_norm") is None:
+        A_T = kw.get("A_T") or exact_transpose(A, vol_shape, b.dtype)
+        kw = dict(kw, A_T=A_T,
+                  op_norm=float(power_iteration(A, A_T, vol_shape,
+                                                dtype=b.dtype)))
+    state = None
+
+    def solve(reg):
+        nonlocal state
+        res = cp_inverse(A, b, vol_shape, n_iter=n_iter, reg=reg,
+                         state=state, **kw)
+        state = res.state
+        return res, float(jnp.sqrt(jnp.sum(jnp.square(A(res.x) - b))))
+
+    target = float(noise_norm)
+    lo = hi = float(reg0)
+    res, r = solve(lo)
+    if r < target:  # under-regularized at reg0: expand upward
+        for _ in range(12):
+            hi *= 10.0
+            res, r = solve(hi)
+            if r >= target:
+                break
+        lo = hi / 10.0
+    else:           # over-regularized at reg0: expand downward
+        for _ in range(12):
+            lo /= 10.0
+            res, r = solve(lo)
+            if r <= target:
+                break
+        hi = lo * 10.0
+    best = (abs(r - target), (hi if r >= target else lo), res)
+    for _ in range(n_bisect):
+        mid = float(np.sqrt(lo * hi))
+        res, r = solve(mid)
+        if abs(r - target) < best[0]:
+            best = (abs(r - target), mid, res)
+        if abs(r - target) <= rtol * target:
+            break
+        if r > target:
+            hi = mid
+        else:
+            lo = mid
+    return best[1], best[2]
+
+
 def gaussian_blur_operator(vol_shape, sigma_px: float = 2.0, radius: int = 6,
                            dtype=jnp.float32) -> Callable:
     """A separable in-plane Gaussian blur as a linear forward operator

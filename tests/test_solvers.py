@@ -458,6 +458,34 @@ def test_inverse_solvers_state_resume(tmp_path):
     assert abs(res.loss[-40] - res.loss[-1]) <= 1e-6 * abs(res.loss[-1])
 
 
+def test_reg_discrepancy_principle():
+    """Morozov selection: the chosen reg's residual matches the known noise
+    norm, and the reconstruction beats the unregularized fit."""
+    from pytv4d_tpu.solvers import cp_inverse, reg_discrepancy
+    from pytv4d_tpu.solvers.inverse import gaussian_blur_operator
+
+    rng = np.random.default_rng(3)
+    shape = (1, 1, 32, 32)
+    truth = np.zeros(shape)
+    truth[0, 0, 8:24, 8:24] = 1.0
+    truth[0, 0, 12:20, 12:20] = 0.4
+    A = gaussian_blur_operator(shape, sigma_px=1.0, radius=3,
+                               dtype=jnp.float64)
+    sigma = 0.05
+    noise = sigma * rng.standard_normal(shape)
+    b = A(jnp.asarray(truth)) + noise
+    noise_norm = float(np.linalg.norm(noise))
+
+    reg, res = reg_discrepancy(A, b, shape, noise_norm, n_iter=120,
+                               rtol=0.05)
+    resid = float(jnp.sqrt(jnp.sum(jnp.square(A(res.x) - b))))
+    assert abs(resid - noise_norm) <= 0.06 * noise_norm
+    err_reg = float(np.sqrt(np.mean((np.asarray(res.x) - truth) ** 2)))
+    tiny = cp_inverse(A, b, shape, n_iter=400, reg=1e-8, op_norm=1.0)
+    err_tiny = float(np.sqrt(np.mean((np.asarray(tiny.x) - truth) ** 2)))
+    assert err_reg < err_tiny
+
+
 @pytest.mark.parametrize("norm", ["iso", "aniso", "huber"])
 def test_pd_gap_certifies_convergence(noisy_small, norm):
     """The duality gap is nonnegative at every iterate, shrinks by orders
