@@ -101,4 +101,19 @@ e1 = float(np.sqrt(np.mean((np.asarray(x_l1) - phantom) ** 2)))
 e2 = float(np.sqrt(np.mean((np.asarray(x_l2) - phantom) ** 2)))
 print(f"salt-and-pepper rmse: TV-L1 {e1:.4f} vs TV-L2 {e2:.4f}")
 assert e1 < e2
+
+# ---- 6. automatic regularization: Morozov's discrepancy principle ----------
+# when the noise level is known, pick reg so the residual matches it —
+# no manual sweep; each trial warm-starts from the previous solution
+from pytv4d_tpu.solvers import reg_discrepancy
+
+sigma_n = 0.15
+noise = sigma_n * rng.standard_normal(sino.shape).astype(np.float32)
+b_noisy = jnp.asarray(np.asarray(radon(phantom, angles)) + noise)
+reg_auto, res_auto = reg_discrepancy(
+    lambda x: radon(x, angles), b_noisy, phantom.shape,
+    noise_norm=float(np.linalg.norm(noise)), n_iter=100)
+resid = float(jnp.sqrt(jnp.sum((radon(res_auto.x, angles) - b_noisy) ** 2)))
+print(f"discrepancy principle: reg {reg_auto:.2e}, residual {resid:.2f} "
+      f"vs noise norm {float(np.linalg.norm(noise)):.2f}")
 print("inverse-problems example OK")
