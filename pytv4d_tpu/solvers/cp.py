@@ -179,13 +179,50 @@ def init_state(x_noisy, cfg: TVConfig, x_init=None) -> CPState:
     return CPState(x=x, y_A=y_A, y_D=y_D)
 
 
+def chambolle_pock(
+    x_noisy,
+    n_iter: int = 300,
+    reg: float = 25.0,
+    sigma_D: float = 0.5,
+    sigma_A: float = 1.0,
+    tau: float = None,
+    cfg: TVConfig = TVConfig(),
+    state: CPState = None,
+    mask_static=None,
+    weight_time=None,
+    fused: bool = None,
+    dual_dtype: str = None,
+    return_dual: bool = True,
+    progress_every: int = 0,
+    progress_fn=None,
+    fidelity: str = "l2",
+    fidelity_weight: float = 1.0,
+    nonneg: bool = False,
+) -> CPResult:
+    """Eager front door of :func:`_chambolle_pock_jit` (which holds the
+    full docstring): argument validation must run OUTSIDE the jit boundary
+    so data-dependent checks (``fidelity='kl'`` needs ``x_noisy >= 0``)
+    can actually fire on concrete inputs."""
+    from .fidelity import validate_fidelity
+
+    validate_fidelity(fidelity, x_noisy, fidelity_weight)
+    return _chambolle_pock_jit(
+        x_noisy, n_iter=n_iter, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,
+        tau=tau, cfg=cfg, state=state, mask_static=mask_static,
+        weight_time=weight_time, fused=fused, dual_dtype=dual_dtype,
+        return_dual=return_dual, progress_every=progress_every,
+        progress_fn=progress_fn, fidelity=fidelity,
+        fidelity_weight=fidelity_weight, nonneg=nonneg,
+    )
+
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
                      "fused", "dual_dtype", "return_dual", "progress_every",
                      "progress_fn", "fidelity", "fidelity_weight", "nonneg"),
 )
-def chambolle_pock(
+def _chambolle_pock_jit(
     x_noisy,
     n_iter: int = 300,
     reg: float = 25.0,
@@ -231,9 +268,6 @@ def chambolle_pock(
     ``cp_inverse(A=identity)``); ``nonneg=True`` projects onto x >= 0.
     All three ride the fused kernels.
     """
-    from .fidelity import validate_fidelity
-
-    validate_fidelity(fidelity, x_noisy, fidelity_weight)
     from ..kernels.dispatch import (
         can_fuse,
         default_interpret,

@@ -31,20 +31,31 @@ import numpy as np
 FIDELITIES = ("l2", "l1", "kl")
 
 
+def _concrete_any(x, op) -> bool:
+    """``any(op(x))`` for concrete inputs; False (check skipped) for
+    tracers.  Concrete jax Arrays reduce ON DEVICE (one scalar crosses the
+    host boundary — never the full measurement array, which may be
+    tunnel-remote or multi-host sharded); everything else goes through
+    numpy so the check also works for static python values inside a jit
+    trace."""
+    if isinstance(x, jax.core.Tracer):
+        return False
+    if isinstance(x, jax.Array):
+        return bool(jnp.any(op(x)))
+    return bool(np.any(op(np.asarray(x))))
+
+
 def validate_fidelity(fidelity: str, b, weight) -> None:
     """Eager argument checks.  Value checks (``weight > 0``, ``b >= 0`` for
-    'kl') run only on concrete inputs — on the host, so they also work for
-    static values inside a jit trace; traced inputs (solver called under
+    'kl') run only on concrete inputs; traced inputs (solver called under
     the user's jit/vmap) skip them."""
     if fidelity not in FIDELITIES:
         raise ValueError(
             f"fidelity must be one of {FIDELITIES}, got {fidelity!r}"
         )
-    if (not isinstance(weight, jax.core.Tracer)
-            and bool(np.any(np.asarray(weight) <= 0))):
+    if _concrete_any(weight, lambda w: w <= 0):
         raise ValueError("fidelity_weight must be positive")
-    if (fidelity == "kl" and not isinstance(b, jax.core.Tracer)
-            and bool(np.any(np.asarray(b) < 0))):
+    if fidelity == "kl" and _concrete_any(b, lambda v: v < 0):
         raise ValueError(
             "fidelity='kl' requires nonnegative data b (Poisson counts)"
         )

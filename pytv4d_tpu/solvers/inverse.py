@@ -11,6 +11,7 @@ this solver specialized to the Radon projector.
 
 from __future__ import annotations
 
+import functools
 from typing import Callable, NamedTuple, Optional
 
 import jax
@@ -140,7 +141,7 @@ def cp_inverse(
     ``functools.partial(cp_inverse, A, vol_shape=shape, ...)`` so the
     data ``b`` is the leading argument).
     """
-    from .fidelity import fidelity_dual_prox, fidelity_loss, validate_fidelity
+    from .fidelity import validate_fidelity
 
     b = jnp.asarray(b)
     dtype = b.dtype
@@ -165,22 +166,48 @@ def cp_inverse(
         )
         sigma = tau = float(1.0 / np.sqrt(L_sq))
         sigma_A = sigma
-    kw = cfg.kwargs()
     Nd = num_channels(cfg.scheme, vol_shape[0], vol_shape[1],
                       cfg.reg_z_over_reg, cfg.reg_time)
     x0 = jnp.zeros(vol_shape, dtype) if x_init is None else jnp.asarray(
         x_init, dtype)
 
+    run = _make_inverse_run(
+        A, A_T, tuple(vol_shape), cfg, bool(precond), fidelity,
+        bool(nonneg), int(n_iter), jnp.dtype(dtype).name, Nd,
+        fresh=state is None,
+    )
+    steps = ((0.0, 0.0, 0.0) if precond else (sigma, tau, sigma_A))
+    init = x0 if state is None else InverseState(*state)
+    final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
+                        float(reg), *steps)
+    final = InverseState(*final)
+    return InverseResult(x=final.x, loss=losses, state=final)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
+                      n_iter, dtype_name, Nd, fresh):
+    """One jitted CP executable per (operator, config) — ``reg``, the step
+    scalars and the fidelity weight are TRACED arguments, so a reg sweep
+    (``reg_discrepancy``) or changed step sizes reuse the same compiled
+    program instead of paying a TPU recompile per value.  ``fresh=True``
+    takes just the initial volume and allocates the zero duals INSIDE jit
+    (no transient second dual-sized buffer in HBM)."""
+    from .cp import dual_prox
+    from .fidelity import fidelity_dual_prox, fidelity_loss
+
+    dtype = jnp.dtype(dtype_name)
+    kw = cfg.kwargs()
+
     @jax.jit
-    def run(b, st0, fw):
+    def run(b, init, fw, reg, sigma, tau, sigma_A):
         if precond:
             # maps built inside jit from tiny boundary masks + one |A|^T 1
             # volume — nothing volume-sized is baked into the executable
             from ..ops.operators import precond_maps
 
             sig, tau_m = precond_maps(
-                tuple(vol_shape), cfg.scheme, cfg.reg_z_over_reg,
-                cfg.reg_time,
+                vol_shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
                 fidelity_colsum=A_T(jnp.ones(tuple(b.shape), dtype)),
                 grouped=(cfg.norm != "aniso"),
             )
@@ -190,11 +217,17 @@ def cp_inverse(
         else:
             sig, tau_m, sig_A = sigma, tau, sigma_A
 
+        if fresh:
+            x0 = init
+            st = (x0, x0, jnp.zeros_like(b),
+                  jnp.zeros((vol_shape[0], Nd, vol_shape[1])
+                            + tuple(vol_shape[2:]), dtype))
+        else:
+            st = tuple(init)
+
         def step(carry, _):
             x, x_bar, y_A, y_D = carry
             y_A = fidelity_dual_prox(y_A, A(x_bar), b, sig_A, fidelity, fw)
-            from .cp import dual_prox
-
             p = y_D + sig * D(x_bar, cfg.scheme, **kw)
             y_D = dual_prox(p, reg, cfg.norm, sig, cfg.huber_delta)
             x_new = x - tau_m * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
@@ -207,20 +240,10 @@ def cp_inverse(
             )
             return (x_new, x_bar, y_A, y_D), loss
 
-        final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
+        final, losses = jax.lax.scan(step, st, length=n_iter)
         return final, losses
 
-    if state is None:
-        y_A0 = jnp.zeros_like(b)
-        y_D0 = jnp.zeros(
-            (vol_shape[0], Nd, vol_shape[1]) + tuple(vol_shape[2:]), dtype
-        )
-        st0 = InverseState(x0, x0, y_A0, y_D0)
-    else:
-        st0 = InverseState(*state)
-    final, losses = run(b, st0, jnp.asarray(fidelity_weight, dtype))
-    final = InverseState(*final)
-    return InverseResult(x=final.x, loss=losses, state=final)
+    return run
 
 
 def reg_discrepancy(
@@ -266,12 +289,21 @@ def reg_discrepancy(
         return res, float(jnp.sqrt(jnp.sum(jnp.square(A(res.x) - b))))
 
     target = float(noise_norm)
+    best = None
+
+    def consider(reg_val, res, r):
+        nonlocal best
+        if best is None or abs(r - target) < best[0]:
+            best = (abs(r - target), reg_val, res)
+
     lo = hi = float(reg0)
     res, r = solve(lo)
+    consider(lo, res, r)
     if r < target:  # under-regularized at reg0: expand upward
         for _ in range(12):
             hi *= 10.0
             res, r = solve(hi)
+            consider(hi, res, r)
             if r >= target:
                 break
         lo = hi / 10.0
@@ -279,17 +311,16 @@ def reg_discrepancy(
         for _ in range(12):
             lo /= 10.0
             res, r = solve(lo)
+            consider(lo, res, r)
             if r <= target:
                 break
         hi = lo * 10.0
-    best = (abs(r - target), (hi if r >= target else lo), res)
     for _ in range(n_bisect):
+        if best[0] <= rtol * target:
+            break
         mid = float(np.sqrt(lo * hi))
         res, r = solve(mid)
-        if abs(r - target) < best[0]:
-            best = (abs(r - target), mid, res)
-        if abs(r - target) <= rtol * target:
-            break
+        consider(mid, res, r)
         if r > target:
             hi = mid
         else:

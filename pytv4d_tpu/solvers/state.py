@@ -144,12 +144,19 @@ def run_until_converged(
             f"criterion must be 'loss' or 'gap', got {criterion!r}"
         )
     takes_state = "state" in inspect.signature(solver).parameters
-    if criterion == "gap" and not takes_state:
-        raise ValueError(
-            "criterion='gap' needs a solver that carries a primal-dual "
-            "state (chambolle_pock); loss-based stopping works for all "
-            "solvers"
-        )
+    if criterion == "gap":
+        if not takes_state:
+            raise ValueError(
+                "criterion='gap' needs a solver that carries a primal-dual "
+                "state (chambolle_pock); loss-based stopping works for all "
+                "solvers"
+            )
+        if solver_kwargs.get("fidelity", "l2") != "l2":
+            raise ValueError(
+                "criterion='gap' certifies the l2-fidelity denoising "
+                "objective only (solvers.cp.pd_gap) — use criterion='loss' "
+                "for fidelity='l1'/'kl'"
+            )
     state = None
     x_init = None
     losses = []
@@ -167,9 +174,16 @@ def run_until_converged(
         losses.append(loss)
         done += n
         if criterion == "gap":
-            from .cp import pd_gap
+            from .cp import CPState, pd_gap
 
-            if getattr(state, "y_D", None) is None:
+            if not isinstance(state, CPState):
+                raise ValueError(
+                    f"criterion='gap' supports solvers carrying a CPState "
+                    f"(chambolle_pock) — got {type(state).__name__}; the "
+                    f"gap certificate is for the denoising objective, not "
+                    f"general inverse problems"
+                )
+            if state.y_D is None:
                 raise ValueError(
                     "criterion='gap' needs the dual in the state — do not "
                     "pass return_dual=False"

@@ -712,8 +712,10 @@ def tgv_inverse(
     x0 = (jnp.zeros(vol_shape, dtype) if x_init is None
           else jnp.asarray(x_init, dtype))
 
+    fresh = state is None
+
     @jax.jit
-    def run(b, st0, fw):
+    def run(b, init, fw):
         # preconditioner masks are built INSIDE jit so they broadcast
         # lazily — nothing volume-sized is baked into the executable
         if precond:
@@ -723,6 +725,16 @@ def tgv_inverse(
         else:
             sig_A = sig_p = sig_q = jnp.asarray(sigma, dtype)
             T_x = T_w = jnp.asarray(tau, dtype)
+        if fresh:
+            # zero duals/fields allocated INSIDE jit: no transient second
+            # state-sized buffer in HBM for large fresh runs
+            x0 = init
+            w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
+            st0 = TGVInverseState(x0, x0, w0, w0, jnp.zeros_like(b),
+                                  jnp.zeros_like(w0),
+                                  jnp.zeros((Nz, n_q, M, Nr, Nc), dtype))
+        else:
+            st0 = init
         def step(carry, _):
             x, xb, w, wb, y_A, p, q = carry
             y_A = fidelity_dual_prox(y_A, A(xb), b, sig_A, fidelity, fw)
@@ -746,13 +758,7 @@ def tgv_inverse(
         final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
         return final, losses
 
-    if state is None:
-        w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
-        st0 = TGVInverseState(x0, x0, w0, w0, jnp.zeros_like(b),
-                              jnp.zeros_like(w0),
-                              jnp.zeros((Nz, n_q, M, Nr, Nc), dtype))
-    else:
-        st0 = TGVInverseState(*state)
-    final, losses = run(b, st0, jnp.asarray(fidelity_weight, dtype))
+    init = x0 if fresh else TGVInverseState(*state)
+    final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype))
     final = TGVInverseState(*final)
     return TGVResult(x=final.x, w=final.w, loss=losses, state=final)

@@ -247,6 +247,44 @@ def test_denoiser_fidelity_validation():
         chambolle_pock(x, n_iter=1, fidelity="tv")
     with pytest.raises(ValueError, match="positive"):
         chambolle_pock(x, n_iter=1, fidelity_weight=-1.0)
+    # the kl data check runs EAGERLY (outside the jit boundary) — negative
+    # pixels must raise, not silently produce NaNs in the conjugate prox
+    with pytest.raises(ValueError, match="nonnegative data"):
+        chambolle_pock(-x, n_iter=1, fidelity="kl")
+
+
+def test_gap_criterion_guards():
+    """criterion='gap' certifies the l2 denoising objective only: reject
+    other fidelities up front and non-CPState solvers after one chunk."""
+    import functools
+
+    from pytv4d_tpu.solvers import cp_inverse, run_until_converged
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    x = jnp.ones((1, 1, 8, 8))
+    with pytest.raises(ValueError, match="l2-fidelity"):
+        run_until_converged(chambolle_pock, x, criterion="gap",
+                            fidelity="l1", reg=1.0)
+    solver = functools.partial(cp_inverse, lambda v: v, vol_shape=x.shape,
+                               op_norm=1.0, reg=0.1)
+    with pytest.raises(ValueError, match="CPState"):
+        run_until_converged(solver, x, criterion="gap", chunk=5,
+                            max_iter=10)
+
+
+def test_inverse_runner_cache_shared_across_regs():
+    """cp_inverse's jitted runner is shared across reg values (reg is a
+    traced scalar) — a reg sweep must not build one executable per reg."""
+    from pytv4d_tpu.solvers.inverse import _make_inverse_run, cp_inverse
+
+    _make_inverse_run.cache_clear()
+    b = jnp.ones((1, 1, 8, 8))
+    A = lambda v: v
+    A_T = lambda v: v
+    for reg in (0.1, 0.237, 1.7):
+        cp_inverse(A, b, b.shape, A_T=A_T, n_iter=2, reg=reg, op_norm=1.0)
+    info = _make_inverse_run.cache_info()
+    assert info.misses == 1 and info.hits == 2
 
 
 def test_sharded_fused_cp_fidelity_tracks_unsharded():
