@@ -80,6 +80,16 @@ def exact_transpose(A: Callable, vol_shape, dtype=jnp.float32) -> Callable:
     return A_T
 
 
+@functools.lru_cache(maxsize=64)
+def cached_transpose(A, vol_shape, dtype_name):
+    """``exact_transpose`` memoized on the operator identity — repeated
+    solver calls with the same ``A`` (chunked resumes, reg sweeps) get the
+    SAME adjoint function object, so the cached jitted runners
+    (``_make_inverse_run`` and the TGV analog) can be reused instead of
+    re-traced per call."""
+    return exact_transpose(A, vol_shape, jnp.dtype(dtype_name))
+
+
 def power_iteration(A: Callable, A_T: Callable, vol_shape, n_iter: int = 12,
                     seed: int = 0, dtype=jnp.float32):
     """Power-method estimate of ||A||_2 for step sizing."""
@@ -147,7 +157,7 @@ def cp_inverse(
     dtype = b.dtype
     validate_fidelity(fidelity, b, fidelity_weight)
     if A_T is None:
-        A_T = exact_transpose(A, vol_shape, dtype)
+        A_T = cached_transpose(A, tuple(vol_shape), jnp.dtype(dtype).name)
     if precond:
         if op_norm is not None:
             raise ValueError(

@@ -689,7 +689,9 @@ def tgv_inverse(
         raise ValueError(f"norm must be 'iso', 'aniso' or 'huber', got "
                          f"{norm!r}")
     if A_T is None:
-        A_T = exact_transpose(A, vol_shape, dtype)
+        from .inverse import cached_transpose
+
+        A_T = cached_transpose(A, vol_shape, jnp.dtype(dtype).name)
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, L_sq = _tgv_ops(
         axes, vol_shape, dtype)
     if precond:
@@ -706,16 +708,40 @@ def tgv_inverse(
         if op_norm is None:
             op_norm = float(power_iteration(A, A_T, vol_shape, dtype=dtype))
         sigma = tau = float(1.0 / jnp.sqrt(op_norm ** 2 + L_sq))
-    a1 = float(alpha1)
-    a0 = float(alpha0)
-    Nz, M, Nr, Nc = vol_shape
     x0 = (jnp.zeros(vol_shape, dtype) if x_init is None
           else jnp.asarray(x_init, dtype))
 
     fresh = state is None
+    run = _make_tgv_inverse_run(
+        A, A_T, vol_shape, axes, bool(precond), norm, float(huber_delta),
+        fidelity, bool(nonneg), int(n_iter), jnp.dtype(dtype).name, fresh,
+    )
+    steps = (0.0, 0.0) if precond else (sigma, tau)
+    init = x0 if fresh else TGVInverseState(*state)
+    final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
+                        float(alpha1), float(alpha0), *steps)
+    final = TGVInverseState(*final)
+    return TGVResult(x=final.x, w=final.w, loss=losses, state=final)
+
+
+@functools.lru_cache(maxsize=32)
+def _make_tgv_inverse_run(A, A_T, vol_shape, axes, precond, norm,
+                          huber_delta, fidelity, nonneg, n_iter, dtype_name,
+                          fresh):
+    """One jitted TGV-CP executable per (operator, config): alpha1/alpha0,
+    the step scalars and the fidelity weight are TRACED arguments, so
+    regularization sweeps and chunked resumes (``run_until_converged``)
+    reuse the same compiled program.  ``fresh=True`` takes just the
+    initial volume and allocates the zero state INSIDE jit."""
+    from .fidelity import fidelity_dual_prox, fidelity_loss
+
+    dtype = jnp.dtype(dtype_name)
+    d_fwd, sym_grad, d_T, sym_T, n_w, n_q, _ = _tgv_ops(
+        axes, vol_shape, dtype)
+    Nz, M, Nr, Nc = vol_shape
 
     @jax.jit
-    def run(b, init, fw):
+    def run(b, init, fw, a1, a0, sigma, tau):
         # preconditioner masks are built INSIDE jit so they broadcast
         # lazily — nothing volume-sized is baked into the executable
         if precond:
@@ -735,6 +761,7 @@ def tgv_inverse(
                                   jnp.zeros((Nz, n_q, M, Nr, Nc), dtype))
         else:
             st0 = init
+
         def step(carry, _):
             x, xb, w, wb, y_A, p, q = carry
             y_A = fidelity_dual_prox(y_A, A(xb), b, sig_A, fidelity, fw)
@@ -758,7 +785,4 @@ def tgv_inverse(
         final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
         return final, losses
 
-    init = x0 if fresh else TGVInverseState(*state)
-    final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype))
-    final = TGVInverseState(*final)
-    return TGVResult(x=final.x, w=final.w, loss=losses, state=final)
+    return run
