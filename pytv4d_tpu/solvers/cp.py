@@ -216,6 +216,7 @@ def chambolle_pock(
     )
 
 
+
 @functools.partial(
     jax.jit,
     static_argnames=("n_iter", "cfg", "reg", "sigma_D", "sigma_A", "tau",
@@ -359,3 +360,7 @@ def _chambolle_pock_jit(
 
     final, losses = jax.lax.scan(body, state, jnp.arange(n_iter))
     return CPResult(x=final.x, state=final, loss=losses)
+
+
+# AOT handle for utils.warm_compile (the eager wrapper cannot .lower())
+chambolle_pock._jit = _chambolle_pock_jit

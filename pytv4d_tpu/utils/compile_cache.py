@@ -53,5 +53,10 @@ def warm_compile(solver, *args, **kwargs):
     256, 256), jnp.float32), n_iter=300)``.  Arguments may be
     ``ShapeDtypeStruct``s (no memory allocated) or real arrays; static
     kwargs (n_iter, cfg, reg, ...) must match later calls exactly.  With the
-    persistent cache enabled the compiled program also lands on disk."""
+    persistent cache enabled the compiled program also lands on disk.
+
+    Solvers with an eager validation wrapper around their jitted core
+    (``chambolle_pock``) expose it as ``solver._jit`` — used here
+    automatically so AOT lowering still works."""
+    solver = getattr(solver, "_jit", solver)
     return solver.lower(*args, **kwargs).compile()
