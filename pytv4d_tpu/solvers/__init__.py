@@ -2,6 +2,7 @@ from . import admm as admm_mod
 from . import cp, fista as fista_mod, gd, state
 from .admm import ADMMResult, ADMMState, admm, admm_step, group_soft_threshold
 from .cp import (
+    CPPrecondState,
     CPResult,
     CPState,
     chambolle_pock,

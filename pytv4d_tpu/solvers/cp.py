@@ -26,6 +26,15 @@ class CPState(NamedTuple):
     y_D: jax.Array   # dual variable of the TV term (Nz, Nd, M, N_row, N_col)
 
 
+class CPPrecondState(NamedTuple):
+    """Carry of :func:`chambolle_pock_precond` — the over-relaxed iterate
+    rides along so resume is bit-exact."""
+    x: jax.Array
+    x_bar: jax.Array
+    y_A: jax.Array
+    y_D: jax.Array
+
+
 class CPResult(NamedTuple):
     x: jax.Array
     state: CPState
@@ -88,37 +97,73 @@ def cp_step(state: CPState, x_noisy, *, reg, sigma_D, sigma_A, tau, cfg: TVConfi
 
 
 def cp_step_precond(state_and_bar, x_noisy, *, reg, sigma_D_map, tau_map,
-                    sigma_A, cfg: TVConfig):
+                    sigma_A, cfg: TVConfig, fidelity="l2",
+                    fidelity_weight=1.0, nonneg=False):
     """One diagonally-preconditioned CP iteration (Pock & Chambolle 2011)
     with over-relaxation: per-slot dual steps, per-pixel primal steps —
     no operator-norm tuning needed, and faster on anisotropic configs
     (reg_z/reg_time far from 1)."""
+    from .fidelity import fidelity_dual_prox, fidelity_loss
+
     kw = cfg.kwargs()
     x, x_bar, y_A, y_D = state_and_bar
-    y_A = (y_A + sigma_A * (x_bar - x_noisy)) / (1.0 + sigma_A)
+    y_A = fidelity_dual_prox(y_A, x_bar, x_noisy, sigma_A, fidelity,
+                             fidelity_weight)
     D_x = D(x_bar, cfg.scheme, **kw)
     p = y_D + sigma_D_map * D_x
     y_D = dual_prox(p, reg, cfg.norm, sigma_D_map, cfg.huber_delta)
     x_new = x - tau_map * (y_A + D_T(y_D, cfg.scheme, **kw))
+    if nonneg:
+        x_new = jnp.maximum(x_new, 0.0)
     x_bar = 2.0 * x_new - x
-    loss = 0.5 * jnp.sum(jnp.square(x_new - x_noisy)) + reg * tv_norm(
-        D(x_new, cfg.scheme, **kw), cfg.norm, huber_delta=cfg.huber_delta
+    loss = fidelity_loss(x_new, x_noisy, fidelity, fidelity_weight) + (
+        reg * tv_norm(D(x_new, cfg.scheme, **kw), cfg.norm,
+                      huber_delta=cfg.huber_delta)
     )
     return (x_new, x_bar, y_A, y_D), loss
 
 
-@functools.partial(
-    jax.jit, static_argnames=("n_iter", "cfg", "reg", "sigma_A")
-)
 def chambolle_pock_precond(
     x_noisy,
     n_iter: int = 300,
     reg: float = 25.0,
     sigma_A: float = 1.0,
     cfg: TVConfig = TVConfig(),
+    state=None,
+    fidelity: str = "l2",
+    fidelity_weight: float = 1.0,
+    nonneg: bool = False,
 ) -> CPResult:
     """Diagonally-preconditioned Chambolle-Pock: parameter-free step sizes
-    from the stencil table (``ops.operators.precond_maps``)."""
+    from the stencil table (``ops.operators.precond_maps``).  Carries the
+    fidelity family of :func:`chambolle_pock`.  ``state`` resumes from
+    ``result.state`` (a :class:`CPPrecondState` — the over-relaxed iterate
+    must ride along for bit-exact continuation)."""
+    from .fidelity import validate_fidelity
+
+    validate_fidelity(fidelity, x_noisy, fidelity_weight)
+    return _chambolle_pock_precond_jit(
+        x_noisy, n_iter=n_iter, reg=reg, sigma_A=sigma_A, cfg=cfg,
+        state=state, fidelity=fidelity, fidelity_weight=fidelity_weight,
+        nonneg=nonneg,
+    )
+
+
+@functools.partial(
+    jax.jit, static_argnames=("n_iter", "cfg", "reg", "sigma_A", "fidelity",
+                              "fidelity_weight", "nonneg")
+)
+def _chambolle_pock_precond_jit(
+    x_noisy,
+    n_iter: int = 300,
+    reg: float = 25.0,
+    sigma_A: float = 1.0,
+    cfg: TVConfig = TVConfig(),
+    state=None,
+    fidelity: str = "l2",
+    fidelity_weight: float = 1.0,
+    nonneg: bool = False,
+) -> CPResult:
     from ..ops.operators import precond_maps
 
     sigma_D_map, tau_map = precond_maps(
@@ -127,19 +172,23 @@ def chambolle_pock_precond(
     )
     sigma_D_map = sigma_D_map.astype(x_noisy.dtype)
     tau_map = tau_map.astype(x_noisy.dtype)
-    st = init_state(x_noisy, cfg)
+    if state is None:
+        st = init_state(x_noisy, cfg)
+        carry0 = (st.x, st.x, st.y_A, st.y_D)
+    else:
+        carry0 = tuple(CPPrecondState(*state))
 
     def body(carry, _):
         carry, loss = cp_step_precond(
             carry, x_noisy, reg=reg, sigma_D_map=sigma_D_map,
-            tau_map=tau_map, sigma_A=sigma_A, cfg=cfg,
+            tau_map=tau_map, sigma_A=sigma_A, cfg=cfg, fidelity=fidelity,
+            fidelity_weight=fidelity_weight, nonneg=nonneg,
         )
         return carry, loss
 
-    (x, _, y_A, y_D), losses = jax.lax.scan(
-        body, (st.x, st.x, st.y_A, st.y_D), length=n_iter
-    )
-    return CPResult(x=x, state=CPState(x, y_A, y_D), loss=losses)
+    (x, x_bar, y_A, y_D), losses = jax.lax.scan(body, carry0, length=n_iter)
+    return CPResult(x=x, state=CPPrecondState(x, x_bar, y_A, y_D),
+                    loss=losses)
 
 
 @functools.partial(jax.jit, static_argnames=("reg", "cfg"))
@@ -158,7 +207,7 @@ def pd_gap(state: CPState, x_noisy, reg: float = 25.0,
     input.  l2 fidelity only (the reference denoising model)."""
     kw = dict(mask_static=mask_static, weight_time=weight_time,
               **cfg.kwargs())
-    x, _, y_D = state
+    x, y_D = state.x, state.y_D
     # feasibility projection = the sigma->0 dual prox (pure ball/box)
     y = dual_prox(y_D, reg, cfg.norm, 0.0, cfg.huber_delta)
     primal = 0.5 * jnp.sum(jnp.square(x - x_noisy)) + reg * tv_norm(
@@ -362,5 +411,6 @@ def _chambolle_pock_jit(
     return CPResult(x=final.x, state=final, loss=losses)
 
 
-# AOT handle for utils.warm_compile (the eager wrapper cannot .lower())
+# AOT handles for utils.warm_compile (the eager wrappers cannot .lower())
 chambolle_pock._jit = _chambolle_pock_jit
+chambolle_pock_precond._jit = _chambolle_pock_precond_jit

@@ -174,14 +174,14 @@ def run_until_converged(
         losses.append(loss)
         done += n
         if criterion == "gap":
-            from .cp import CPState, pd_gap
+            from .cp import CPPrecondState, CPState, pd_gap
 
-            if not isinstance(state, CPState):
+            if not isinstance(state, (CPState, CPPrecondState)):
                 raise ValueError(
-                    f"criterion='gap' supports solvers carrying a CPState "
-                    f"(chambolle_pock) — got {type(state).__name__}; the "
-                    f"gap certificate is for the denoising objective, not "
-                    f"general inverse problems"
+                    f"criterion='gap' supports the denoising CP solvers "
+                    f"(chambolle_pock / chambolle_pock_precond) — got "
+                    f"{type(state).__name__}; the gap certificate is for "
+                    f"the denoising objective, not general inverse problems"
                 )
             if state.y_D is None:
                 raise ValueError(

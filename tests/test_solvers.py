@@ -970,3 +970,31 @@ def test_tgv_inverse_norm_family():
                               huber_delta=0.1, precond=pc)
             loss = np.asarray(res.loss)
             assert loss[-1] < loss[0] and np.all(np.isfinite(loss))
+
+
+def test_precond_denoiser_resume_fidelity_and_gap(noisy_small):
+    """chambolle_pock_precond: bit-exact state resume, the fidelity family,
+    and the certified-gap stopping criterion."""
+    from pytv4d_tpu.solvers import (
+        chambolle_pock_precond,
+        pd_gap,
+        run_until_converged,
+    )
+
+    cont = chambolle_pock_precond(noisy_small, n_iter=40, reg=5.0)
+    half = chambolle_pock_precond(noisy_small, n_iter=20, reg=5.0)
+    res = chambolle_pock_precond(noisy_small, n_iter=20, reg=5.0,
+                                 state=half.state)
+    assert np.array_equal(np.asarray(res.x), np.asarray(cont.x))
+
+    l1 = chambolle_pock_precond(noisy_small, n_iter=60, reg=5.0,
+                                fidelity="l1", nonneg=True)
+    loss = np.asarray(l1.loss)
+    assert np.all(np.isfinite(loss)) and loss[-1] < loss[0]
+    assert float(l1.x.min()) >= 0.0
+
+    out = run_until_converged(chambolle_pock_precond, noisy_small,
+                              tol=1e-6, chunk=100, max_iter=4000, reg=5.0,
+                              criterion="gap")
+    gap = float(pd_gap(out.state, noisy_small, reg=5.0))
+    assert gap <= 1e-6 * abs(float(out.loss[-1]))
