@@ -96,6 +96,7 @@ class TVDenoiser:
 def denoise_tv_chambolle(
     image,
     weight: float = 0.1,
+    eps: float = None,
     max_num_iter: int = 200,
     scheme: str = "hybrid",
     channel_axis: int = None,
@@ -103,6 +104,12 @@ def denoise_tv_chambolle(
     """scikit-image-compatible TV denoising (the reference's to-do item,
     ``README.md:260``): minimizes ``1/2 ||x - x0||^2 + weight * TV(x)`` with
     the Chambolle-Pock solver and returns a numpy array of the input rank.
+
+    ``eps`` (scikit-image's stopping tolerance): when given, the solve runs
+    in chunks and stops once the relative objective change over a chunk
+    falls below ``eps`` (or at ``max_num_iter``).  Default ``None`` runs
+    exactly ``max_num_iter`` iterations — one compiled scan, fastest on
+    TPU (scikit-image's own default is ``eps=2e-4``).
 
     ``channel_axis`` (scikit-image convention) marks an axis of independent
     channels: 2D multichannel ``(H, W, C)``-style or 3D z-stack multichannel.
@@ -113,24 +120,32 @@ def denoise_tv_chambolle(
     here channels are independent (per-channel TV), which is the reference
     library's semantics for uncoupled frames.
     """
+    def solve(vol, cfg):
+        if eps is None:
+            return chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
+                                  reg=weight, cfg=cfg)
+        from ..solvers.state import run_until_converged
+
+        return run_until_converged(
+            chambolle_pock, jnp.asarray(vol), tol=eps,
+            chunk=min(20, max_num_iter), max_iter=max_num_iter,
+            reg=weight, cfg=cfg,
+        )
+
     if channel_axis is None:
-        model = TVDenoiser(reg=weight, cfg=TVConfig(scheme=scheme))
-        res = model.cp(image, n_iter=max_num_iter)
-        return np.asarray(res.x)
+        vol, ndim = _to_volume(image)
+        res = solve(vol, TVConfig(scheme=scheme))
+        return np.asarray(_from_volume(res.x, ndim))
 
     img = np.asarray(image)
     ch_first = np.moveaxis(img, channel_axis, 0)
     if ch_first.ndim == 3:       # 2D multichannel: channels -> decoupled z
         vol = ch_first[:, None]  # (C, 1, H, W)
-        cfg = TVConfig(scheme=scheme, reg_z_over_reg=0.0)
-        res = chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
-                             reg=weight, cfg=cfg)
+        res = solve(vol, TVConfig(scheme=scheme, reg_z_over_reg=0.0))
         out = np.asarray(res.x)[:, 0]
     elif ch_first.ndim == 4:     # 3D z-stack multichannel: channels -> t
         vol = np.moveaxis(ch_first, 0, 1)  # (Nz, C, H, W), reg_time=0
-        cfg = TVConfig(scheme=scheme)
-        res = chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
-                             reg=weight, cfg=cfg)
+        res = solve(vol, TVConfig(scheme=scheme))
         out = np.moveaxis(np.asarray(res.x), 1, 0)
     else:
         raise ValueError(

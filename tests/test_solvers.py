@@ -998,3 +998,23 @@ def test_precond_denoiser_resume_fidelity_and_gap(noisy_small):
                               criterion="gap")
     gap = float(pd_gap(out.state, noisy_small, reg=5.0))
     assert gap <= 1e-6 * abs(float(out.loss[-1]))
+
+
+def test_denoise_tv_chambolle_eps_stopping():
+    """scikit-image's eps tolerance: the solve stops early once the
+    relative objective change over a chunk falls below eps, matching the
+    fixed-iteration result at the same effective iteration count."""
+    rng = np.random.default_rng(23)
+    img = np.where(rng.random((32, 32)) > 0.5, 1.0, 0.0) + 10.0
+    out_eps = denoise_tv_chambolle(img, weight=5.0, eps=1e-4,
+                                   max_num_iter=400)
+    out_fix = denoise_tv_chambolle(img, weight=5.0, max_num_iter=400)
+    assert out_eps.shape == img.shape
+    # eps-stopped result is already converged to the fixed-run answer
+    np.testing.assert_allclose(out_eps, out_fix, atol=5e-3)
+    # channel path honors eps too
+    stack = np.stack([img, img + 1.0], axis=-1)
+    out_c = denoise_tv_chambolle(stack, weight=5.0, eps=1e-4,
+                                 max_num_iter=400, channel_axis=-1)
+    assert out_c.shape == stack.shape
+    np.testing.assert_allclose(out_c[..., 0], out_eps, atol=5e-3)
