@@ -133,10 +133,32 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
     return it_s
 
 
-def main():
-    import jax
+def _probe_devices(timeout_s: float = 180.0):
+    """Bounded platform probe: ``jax.devices()`` hangs INDEFINITELY when
+    the TPU tunnel is wedged (observed after worker crashes) — better to
+    fast-fail with a diagnostic than to block the driver.  Runs the first
+    backend touch in a daemon thread and gives up after ``timeout_s``."""
+    import threading
 
-    log(f"devices: {jax.devices()}")
+    out = {}
+
+    def probe():
+        import jax
+
+        out["devices"] = jax.devices()
+
+    t = threading.Thread(target=probe, daemon=True)
+    t.start()
+    t.join(timeout_s)
+    if "devices" not in out:
+        log(f"FATAL: backend unreachable after {timeout_s:.0f}s "
+            f"(wedged tunnel?) — no benchmark is possible")
+        sys.exit(3)
+    return out["devices"]
+
+
+def main():
+    log(f"devices: {_probe_devices()}")
     it_per_s, final_loss = bench_cp_cameraman()
     extras = {}
     try:
