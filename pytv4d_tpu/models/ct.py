@@ -178,6 +178,28 @@ def sinogram_sharding(mesh, shard_time: bool = True):
     )
 
 
+def cone_sinogram_sharding(mesh):
+    """NamedSharding for a cone-beam ``(M, n_angles, n_det_v, n_det_u)``
+    sinogram on a mesh with a 't' axis.  The cone geometry couples z (one
+    frame's projection reads the whole z extent), so z stays unsharded —
+    but TIME is a pure batch dim of :func:`radon_cone`: shard the sinogram
+    and the volume over t and the jitted reconstruction runs SPMD with
+    zero communication in the projector (the TV stencil's t halos, when
+    ``reg_time > 0``, come from the partitioner)."""
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from ..parallel.mesh import T_AXIS
+
+    if T_AXIS not in mesh.shape or mesh.shape[T_AXIS] == 1:
+        raise ValueError(
+            "cone_sinogram_sharding needs a mesh with a sharded 't' axis — "
+            "the cone projector couples z, so time is the only "
+            "zero-communication direction (parallel.mesh.make_mesh(z=1, "
+            "t=...))"
+        )
+    return NamedSharding(mesh, P(T_AXIS, None, None, None))
+
+
 class CPReconResult(NamedTuple):
     x: jax.Array       # reconstructed volume (Nz, M, N, N)
     loss: jax.Array    # per-iteration F(Ax) + reg*TV history
