@@ -29,20 +29,35 @@ print(f"static 2D: {len(angles)} views, loss {float(res.loss[0]):.2e} -> "
       f"{float(res.loss[-1]):.2e}, corr(truth) = {corr:.3f}")
 
 # ---- dynamic 4D: each time frame sees a DIFFERENT sparse angle subset ----
-M, n_per_frame = 4, 12
-moving = np.stack([np.roll(truth[0, 0], 2 * m, axis=1) for m in range(M)])
+# 7 views per frame is hopeless frame-by-frame; interleaved angles + TIME
+# coupling share information across frames — the paper's core mechanism
+M, n_per_frame = 6, 7
+moving = np.stack([np.roll(truth[0, 0], m, axis=1) for m in range(M)])
 vol = moving[None]  # (1, M, N, N)
 frame_angles = jnp.stack([
     jnp.linspace(0, np.pi, n_per_frame, endpoint=False) + m * np.pi / (M * n_per_frame)
     for m in range(M)
 ])
 sino4d = radon(vol, frame_angles)
-cfg = TVConfig(scheme="hybrid", reg_time=0.3)  # time coupling regularizes sparse views
-res4d = cp_reconstruct(sino4d, frame_angles, vol.shape, n_iter=150, reg=0.01,
-                       cfg=cfg)
+cfg = TVConfig(scheme="hybrid", reg_time=1.0)
+res4d = cp_reconstruct(sino4d, frame_angles, vol.shape, n_iter=250, reg=0.05,
+                       cfg=cfg, precond=True)
 corr4d = np.corrcoef(np.asarray(res4d.x).ravel(), vol.ravel())[0, 1]
 print(f"dynamic 4D: {M} frames x {n_per_frame} views each, time-coupled TV, "
       f"corr(truth) = {corr4d:.3f}")
+
+# the claim, quantified: same data, same reg, only the time coupling differs
+from pytv4d_tpu.utils.metrics import psnr
+
+framewise = cp_reconstruct(sino4d, frame_angles, vol.shape, n_iter=250,
+                           reg=0.05, cfg=TVConfig(scheme="hybrid"),
+                           precond=True)
+rng_vol = float(vol.max() - vol.min())
+p_coupled = float(psnr(vol, np.asarray(res4d.x), data_range=rng_vol))
+p_frame = float(psnr(vol, np.asarray(framewise.x), data_range=rng_vol))
+print(f"  {n_per_frame}-view frames: frame-wise TV {p_frame:.1f} dB vs "
+      f"time-coupled TV {p_coupled:.1f} dB")
+assert p_coupled > p_frame + 1.0
 
 # ---- fan-beam geometry + ordered-subsets SART warm start -----------------
 from pytv4d_tpu.models.ct import FanBeamGeometry, radon_fan, sart
