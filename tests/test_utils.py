@@ -100,7 +100,8 @@ def test_example_scripts_run():
     getting-started one is exercised via the solver tests; it just takes
     longer)."""
     for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py",
-                   "examples/e_tgv.py", "examples/f_inverse_problems.py"):
+                   "examples/d_ct_reconstruction.py", "examples/e_tgv.py",
+                   "examples/f_inverse_problems.py"):
         runpy.run_path(script, run_name="__main__")
 
 
