@@ -93,6 +93,54 @@ class TVDenoiser:
         return res._replace(x=_from_volume(res.x, ndim))
 
 
+def _cp_vectorial(stack, weight, n_iter, cfg: TVConfig):
+    """Chambolle-Pock for VECTORIAL (channel-coupled) TV on a channel
+    stack ``(C, Nz, M, Nr, Nc)``:
+
+        min_x 1/2 sum_c ||x_c - x0_c||^2
+              + weight * sum_pixels sqrt(sum_c sum_d D(x_c)_d^2)
+
+    — scikit-image's multichannel semantics: one joint per-pixel norm over
+    channels AND difference directions, so edges are encouraged to align
+    across channels.  K = blockdiag(D, ..., D) has the same operator norm
+    as one D, so the reference step rule applies unchanged; the dual prox
+    pools over the (channel, direction) group."""
+    import jax
+    from ..ops.operators import D, D_T
+    from ..solvers.cp import default_tau
+
+    kw = cfg.kwargs()
+    sigma_D, sigma_A = 0.5, 1.0
+    tau = default_tau(cfg, stack.shape[1], stack.shape[2], sigma_A)
+    D_c = jax.vmap(lambda v: D(v, cfg.scheme, **kw))
+    D_T_c = jax.vmap(lambda y: D_T(y, cfg.scheme, **kw))
+
+    @jax.jit
+    def run(x0):
+        def step(carry, _):
+            x, y_A, y_D = carry
+            y_A = (y_A + sigma_A * (x - x0)) / (1.0 + sigma_A)
+            D_x = D_c(x)
+            p = y_D + sigma_D * D_x
+            # joint per-pixel norm over channels (axis 0) and directions
+            # (axis 2 of the (C, Nz, Nd, M, Nr, Nc) stack)
+            nrm = jnp.sqrt(jnp.sum(jnp.square(p), axis=(0, 2),
+                                   keepdims=True))
+            y_D = p / jnp.maximum(1.0, nrm / weight)
+            x = x - tau * y_A - tau * D_T_c(y_D)
+            tv = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=(0, 2))))
+            loss = 0.5 * jnp.sum(jnp.square(x - x0)) + weight * tv
+            return (x, y_A, y_D), loss
+
+        y_D0 = jnp.zeros_like(D_c(x0))
+        (x, _, _), losses = jax.lax.scan(
+            step, (x0, jnp.zeros_like(x0), y_D0), length=n_iter)
+        return x, losses
+
+    x, _ = run(jnp.asarray(stack))
+    return x
+
+
 def denoise_tv_chambolle(
     image,
     weight: float = 0.1,
@@ -100,6 +148,7 @@ def denoise_tv_chambolle(
     max_num_iter: int = 200,
     scheme: str = "hybrid",
     channel_axis: int = None,
+    coupled_channels: bool = False,
 ):
     """scikit-image-compatible TV denoising (the reference's to-do item,
     ``README.md:260``): minimizes ``1/2 ||x - x0||^2 + weight * TV(x)`` with
@@ -111,15 +160,18 @@ def denoise_tv_chambolle(
     exactly ``max_num_iter`` iterations — one compiled scan, fastest on
     TPU (scikit-image's own default is ``eps=2e-4``).
 
-    ``channel_axis`` (scikit-image convention) marks an axis of independent
-    channels: 2D multichannel ``(H, W, C)``-style or 3D z-stack multichannel.
-    Channels ride ONE device-resident solve by mapping them onto a decoupled
-    volume axis (z with ``reg_z_over_reg=0`` for 2D, the time axis with
-    ``reg_time=0`` for 3D) — mathematically identical to solving each
-    channel separately.  Note scikit-image couples channels in the TV norm;
-    here channels are independent (per-channel TV), which is the reference
-    library's semantics for uncoupled frames.
+    ``channel_axis`` (scikit-image convention) marks an axis of channels:
+    2D multichannel ``(H, W, C)``-style or 3D z-stack multichannel.  By
+    default channels are INDEPENDENT (per-channel TV, the reference
+    library's semantics for uncoupled frames), riding one device-resident
+    solve on a decoupled volume axis.  ``coupled_channels=True`` switches
+    to scikit-image's VECTORIAL TV — one joint per-pixel norm over
+    channels and directions (edges align across channels;
+    :func:`_cp_vectorial`).
     """
+    if coupled_channels and channel_axis is None:
+        raise ValueError("coupled_channels=True requires channel_axis")
+
     def solve(vol, cfg):
         if eps is None:
             return chambolle_pock(jnp.asarray(vol), n_iter=max_num_iter,
@@ -139,6 +191,20 @@ def denoise_tv_chambolle(
 
     img = np.asarray(image)
     ch_first = np.moveaxis(img, channel_axis, 0)
+    if coupled_channels:
+        if ch_first.ndim == 3:   # (C, H, W) -> channel stack of 2D volumes
+            stack = ch_first[:, None, None]
+        elif ch_first.ndim == 4:  # (C, Nz, H, W) -> z-coupled volumes
+            stack = ch_first[:, :, None]
+        else:
+            raise ValueError(
+                f"channel_axis given but image has rank {img.ndim}; "
+                f"expected 3 or 4"
+            )
+        x = _cp_vectorial(jnp.asarray(stack), weight, max_num_iter,
+                          TVConfig(scheme=scheme))
+        out = np.asarray(x).reshape(ch_first.shape)
+        return np.moveaxis(out, 0, channel_axis)
     if ch_first.ndim == 3:       # 2D multichannel: channels -> decoupled z
         vol = ch_first[:, None]  # (C, 1, H, W)
         res = solve(vol, TVConfig(scheme=scheme, reg_z_over_reg=0.0))

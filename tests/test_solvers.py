@@ -1018,3 +1018,38 @@ def test_denoise_tv_chambolle_eps_stopping():
                                  max_num_iter=400, channel_axis=-1)
     assert out_c.shape == stack.shape
     np.testing.assert_allclose(out_c[..., 0], out_eps, atol=5e-3)
+
+
+def test_denoise_coupled_channels_vectorial_tv():
+    """Vectorial (channel-coupled) TV: with C IDENTICAL channels the joint
+    per-pixel norm is sqrt(C) x the per-channel norm, so the coupled solve
+    at weight w equals the single-channel solve at w/sqrt(C) exactly (same
+    CP constants, channel symmetry preserved by every step)."""
+    rng = np.random.default_rng(29)
+    img = rng.random((24, 24)) * 4.0
+    C = 3
+    stack = np.stack([img] * C, axis=-1)
+    coupled = denoise_tv_chambolle(stack, weight=1.2, max_num_iter=80,
+                                   channel_axis=-1, coupled_channels=True)
+    single = denoise_tv_chambolle(img, weight=1.2 / np.sqrt(C),
+                                  max_num_iter=80)
+    for c in range(C):
+        np.testing.assert_allclose(coupled[..., c], single, rtol=1e-6,
+                                   atol=1e-8)
+
+    # coupled differs from the independent-channel path on distinct data
+    stack2 = np.stack([img, np.roll(img, 5, axis=0)], axis=-1)
+    dec = denoise_tv_chambolle(stack2, weight=1.2, max_num_iter=60,
+                               channel_axis=-1)
+    cpl = denoise_tv_chambolle(stack2, weight=1.2, max_num_iter=60,
+                               channel_axis=-1, coupled_channels=True)
+    assert not np.allclose(dec, cpl, atol=1e-3)
+
+    # 3D z-stack multichannel round-trips shape
+    zstack = rng.random((3, 16, 16, 2))
+    out = denoise_tv_chambolle(zstack, weight=0.5, max_num_iter=20,
+                               channel_axis=-1, coupled_channels=True)
+    assert out.shape == zstack.shape
+
+    with pytest.raises(ValueError, match="requires channel_axis"):
+        denoise_tv_chambolle(img, weight=1.0, coupled_channels=True)
