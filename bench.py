@@ -153,6 +153,12 @@ def _probe_devices(timeout_s: float = 180.0):
     if "devices" not in out:
         log(f"FATAL: backend unreachable after {timeout_s:.0f}s "
             f"(wedged tunnel?) — no benchmark is possible")
+        # keep the one-JSON-line stdout contract even on failure
+        print(json.dumps({
+            "metric": "cp_denoise_cameraman_300it", "value": 0.0,
+            "unit": "it/s", "vs_baseline": 0.0,
+            "error": "backend unreachable (wedged tunnel)",
+        }))
         sys.exit(3)
     return out["devices"]
 

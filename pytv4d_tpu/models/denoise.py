@@ -9,7 +9,9 @@ lists as a to-do (``README.md:260``).
 from __future__ import annotations
 
 import dataclasses
+import functools
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -93,9 +95,12 @@ class TVDenoiser:
         return res._replace(x=_from_volume(res.x, ndim))
 
 
-def _cp_vectorial(stack, weight, n_iter, cfg: TVConfig):
-    """Chambolle-Pock for VECTORIAL (channel-coupled) TV on a channel
-    stack ``(C, Nz, M, Nr, Nc)``:
+@functools.partial(jax.jit,
+                   static_argnames=("n_iter", "cfg", "compute_loss"))
+def _cp_vectorial_run(x0, carry, weight, n_iter: int, cfg: TVConfig,
+                      compute_loss: bool):
+    """Jitted VECTORIAL (channel-coupled) TV CP scan on a channel stack
+    ``(C, Nz, M, Nr, Nc)``:
 
         min_x 1/2 sum_c ||x_c - x0_c||^2
               + weight * sum_pixels sqrt(sum_c sum_d D(x_c)_d^2)
@@ -104,41 +109,61 @@ def _cp_vectorial(stack, weight, n_iter, cfg: TVConfig):
     channels AND difference directions, so edges are encouraged to align
     across channels.  K = blockdiag(D, ..., D) has the same operator norm
     as one D, so the reference step rule applies unchanged; the dual prox
-    pools over the (channel, direction) group."""
-    import jax
+    pools over the (channel, direction) group.  Module-level jit with a
+    TRACED weight: repeated calls share one executable.  ``carry=None``
+    starts fresh; pass the returned carry to continue (eps chunking).
+    ``compute_loss=False`` skips the objective (nothing is wasted when the
+    history is not consumed)."""
     from ..ops.operators import D, D_T
     from ..solvers.cp import default_tau
 
     kw = cfg.kwargs()
     sigma_D, sigma_A = 0.5, 1.0
-    tau = default_tau(cfg, stack.shape[1], stack.shape[2], sigma_A)
+    tau = default_tau(cfg, x0.shape[1], x0.shape[2], sigma_A)
     D_c = jax.vmap(lambda v: D(v, cfg.scheme, **kw))
     D_T_c = jax.vmap(lambda y: D_T(y, cfg.scheme, **kw))
 
-    @jax.jit
-    def run(x0):
-        def step(carry, _):
-            x, y_A, y_D = carry
-            y_A = (y_A + sigma_A * (x - x0)) / (1.0 + sigma_A)
-            D_x = D_c(x)
-            p = y_D + sigma_D * D_x
-            # joint per-pixel norm over channels (axis 0) and directions
-            # (axis 2 of the (C, Nz, Nd, M, Nr, Nc) stack)
-            nrm = jnp.sqrt(jnp.sum(jnp.square(p), axis=(0, 2),
-                                   keepdims=True))
-            y_D = p / jnp.maximum(1.0, nrm / weight)
-            x = x - tau * y_A - tau * D_T_c(y_D)
+    def step(carry, _):
+        x, y_A, y_D = carry
+        y_A = (y_A + sigma_A * (x - x0)) / (1.0 + sigma_A)
+        D_x = D_c(x)
+        p = y_D + sigma_D * D_x
+        # joint per-pixel norm over channels (axis 0) and directions
+        # (axis 2 of the (C, Nz, Nd, M, Nr, Nc) stack)
+        nrm = jnp.sqrt(jnp.sum(jnp.square(p), axis=(0, 2), keepdims=True))
+        y_D = p / jnp.maximum(1.0, nrm / weight)
+        x = x - tau * y_A - tau * D_T_c(y_D)
+        if compute_loss:
             tv = jnp.sum(jnp.sqrt(jnp.sum(jnp.square(D_x), axis=(0, 2))))
             loss = 0.5 * jnp.sum(jnp.square(x - x0)) + weight * tv
-            return (x, y_A, y_D), loss
+        else:
+            loss = jnp.zeros((), x.dtype)
+        return (x, y_A, y_D), loss
 
-        y_D0 = jnp.zeros_like(D_c(x0))
-        (x, _, _), losses = jax.lax.scan(
-            step, (x0, jnp.zeros_like(x0), y_D0), length=n_iter)
-        return x, losses
+    if carry is None:
+        carry = (x0, jnp.zeros_like(x0), jnp.zeros_like(D_c(x0)))
+    return jax.lax.scan(step, carry, length=n_iter)
 
-    x, _ = run(jnp.asarray(stack))
-    return x
+
+def _cp_vectorial(stack, weight, n_iter, cfg: TVConfig, eps=None):
+    """Front door of :func:`_cp_vectorial_run`: one fixed-length scan, or
+    eps-chunked early stopping (relative objective change per chunk)."""
+    x0 = jnp.asarray(stack)
+    if eps is None:
+        (x, _, _), _ = _cp_vectorial_run(x0, None, weight, int(n_iter),
+                                         cfg, False)
+        return x
+    carry = None
+    done = 0
+    chunk = min(20, int(n_iter))
+    while done < n_iter:
+        n = min(chunk, int(n_iter) - done)
+        carry, losses = _cp_vectorial_run(x0, carry, weight, n, cfg, True)
+        done += n
+        l = np.asarray(losses)
+        if abs(float(l[0]) - float(l[-1])) <= eps * abs(float(l[-1])):
+            break
+    return carry[0]
 
 
 def denoise_tv_chambolle(
@@ -202,7 +227,7 @@ def denoise_tv_chambolle(
                 f"expected 3 or 4"
             )
         x = _cp_vectorial(jnp.asarray(stack), weight, max_num_iter,
-                          TVConfig(scheme=scheme))
+                          TVConfig(scheme=scheme), eps=eps)
         out = np.asarray(x).reshape(ch_first.shape)
         return np.moveaxis(out, 0, channel_axis)
     if ch_first.ndim == 3:       # 2D multichannel: channels -> decoupled z

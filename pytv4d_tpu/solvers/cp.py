@@ -166,9 +166,11 @@ def _chambolle_pock_precond_jit(
 ) -> CPResult:
     from ..ops.operators import precond_maps
 
+    # the fidelity rows use the CALLER's sigma_A, so the tau map must be
+    # sized against it (Pock-Chambolle: tau_j = 1/(colsum_D_j + sigma_A))
     sigma_D_map, tau_map = precond_maps(
         x_noisy.shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
-        sigma_A_rows=1.0,
+        sigma_A_rows=sigma_A,
     )
     sigma_D_map = sigma_D_map.astype(x_noisy.dtype)
     tau_map = tau_map.astype(x_noisy.dtype)

@@ -35,7 +35,15 @@ def load_state(path: str, like: Any) -> Any:
     tree structure (e.g. a freshly-initialized solver state)."""
     with np.load(path) as data:
         leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
-    _, treedef = jax.tree_util.tree_flatten(like)
+    want, treedef = jax.tree_util.tree_flatten(like)
+    if len(leaves) != len(want):
+        raise ValueError(
+            f"checkpoint {path!r} holds {len(leaves)} arrays but the "
+            f"template {type(like).__name__} expects {len(want)} — the "
+            f"solver's state format has likely changed since the "
+            f"checkpoint was written (e.g. chambolle_pock_precond now "
+            f"carries the over-relaxed iterate); restart the run"
+        )
     return jax.tree_util.tree_unflatten(treedef, leaves)
 
 

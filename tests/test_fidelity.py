@@ -267,7 +267,7 @@ def test_gap_criterion_guards():
                             fidelity="l1", reg=1.0)
     solver = functools.partial(cp_inverse, lambda v: v, vol_shape=x.shape,
                                op_norm=1.0, reg=0.1)
-    with pytest.raises(ValueError, match="CPState"):
+    with pytest.raises(ValueError, match="denoising CP solvers"):
         run_until_converged(solver, x, criterion="gap", chunk=5,
                             max_iter=10)
 

@@ -1053,3 +1053,13 @@ def test_denoise_coupled_channels_vectorial_tv():
 
     with pytest.raises(ValueError, match="requires channel_axis"):
         denoise_tv_chambolle(img, weight=1.0, coupled_channels=True)
+
+    # eps is honored on the coupled path: a loose tolerance stops early
+    # (well short of the fixed-run answer at tiny iteration counts would
+    # differ; here we just check it converges to the same solution)
+    out_eps = denoise_tv_chambolle(stack, weight=1.2, eps=1e-6,
+                                   max_num_iter=400, channel_axis=-1,
+                                   coupled_channels=True)
+    full = denoise_tv_chambolle(stack, weight=1.2, max_num_iter=400,
+                                channel_axis=-1, coupled_channels=True)
+    np.testing.assert_allclose(out_eps, full, atol=5e-3)
