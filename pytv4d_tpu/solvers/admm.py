@@ -76,8 +76,9 @@ def group_soft_threshold(v, thresh, norm: str = "iso",
 
 
 def admm_step(state: ADMMState, x_noisy, *, reg, rho, cg_iter, cfg: TVConfig,
-              mask_static=None):
-    kw = dict(mask_static=mask_static, **cfg.kwargs())
+              mask_static=None, weight_time=None):
+    kw = dict(mask_static=mask_static, weight_time=weight_time,
+              **cfg.kwargs())
     x, z, u = state
 
     def apply_A(v):
@@ -116,6 +117,7 @@ def admm(
     cfg: TVConfig = TVConfig(),
     state: ADMMState = None,
     mask_static=None,
+    weight_time=None,
 ) -> ADMMResult:
     """Run ``n_iter`` ADMM iterations on device (state resumable)."""
     if state is None:
@@ -124,7 +126,7 @@ def admm(
     def body(st, _):
         st, loss = admm_step(
             st, x_noisy, reg=reg, rho=rho, cg_iter=cg_iter, cfg=cfg,
-            mask_static=mask_static,
+            mask_static=mask_static, weight_time=weight_time,
         )
         return st, loss
 

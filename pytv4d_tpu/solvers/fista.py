@@ -48,13 +48,17 @@ def fista(
     cfg: TVConfig = TVConfig(),
     L: float = None,
     y_init=None,
+    mask_static=None,
+    weight_time=None,
 ) -> FISTAResult:
     """Run ``n_iter`` dual-FISTA iterations on device.
 
     ``L`` defaults to the scheme's operator-norm bound ``||D||^2``
     (core/schemes.operator_norm_bound_sq).  The loss history reports the
     PRIMAL objective at each iterate for comparability with the other
-    solvers.
+    solvers.  ``mask_static``/``weight_time`` follow the reference's
+    time-channel weighting; pass an explicit ``L`` if a weight plane
+    exceeds 1 (the default bound assumes multipliers <= 1).
     """
     if cfg.norm == "huber":
         raise ValueError(
@@ -62,7 +66,8 @@ def fista(
             "quadratic term to the ball constraint); use chambolle_pock or "
             "admm for Huber-TV"
         )
-    kw = cfg.kwargs()
+    kw = dict(mask_static=mask_static, weight_time=weight_time,
+              **cfg.kwargs())
     if L is None:
         L = operator_norm_bound_sq(cfg.scheme, x_noisy.shape[0],
                                    x_noisy.shape[1], cfg.reg_z_over_reg,

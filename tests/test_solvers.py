@@ -1063,3 +1063,25 @@ def test_denoise_coupled_channels_vectorial_tv():
     full = denoise_tv_chambolle(stack, weight=1.2, max_num_iter=400,
                                 channel_axis=-1, coupled_channels=True)
     np.testing.assert_allclose(out_eps, full, atol=5e-3)
+
+
+def test_admm_fista_static_mask_weight_time():
+    """mask_static / weight_time ride ADMM and FISTA too: all solvers
+    minimize the same masked objective, so their converged losses agree."""
+    from pytv4d_tpu.solvers import admm, fista
+
+    rng = np.random.default_rng(31)
+    vol = jnp.asarray(rng.random((1, 3, 16, 16)) + 2.0)
+    mask = np.zeros((1, 1, 16, 16), bool)
+    mask[..., 4:10, 4:10] = True
+    wt = jnp.asarray(0.5 + 0.5 * rng.random((1, 1, 16, 16)))
+    cfg = TVConfig(scheme="upwind", reg_time=1.0, factor_reg_static=0.3)
+    kw = dict(reg=0.5, cfg=cfg, mask_static=jnp.asarray(mask),
+              weight_time=wt)
+
+    cp = chambolle_pock(vol, n_iter=400, **kw)
+    ad = admm(vol, n_iter=80, **kw)
+    fi = fista(vol, n_iter=200, **kw)
+    ref = float(cp.loss[-1])
+    assert float(ad.loss[-1]) == pytest.approx(ref, rel=2e-3)
+    assert float(fi.loss[-1]) == pytest.approx(ref, rel=2e-3)
