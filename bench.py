@@ -128,8 +128,18 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
         run()
         best = min(best, time.perf_counter() - t0)
     it_s = n_iter / best
+    roof = ""
+    if axes in ("3d", "4d"):  # streaming two-pass kernels: HBM-bound
+        from pytv4d_tpu.utils.profiling import (
+            roofline_fraction,
+            tgv_traffic_model,
+        )
+
+        t_min = tgv_traffic_model(shape, axes, dtype=dtype)
+        roof = (f", {100 * roofline_fraction(t_min, it_s):.0f}% of HBM "
+                f"roofline (minimal model)")
     log(f"tgv {axes} {shape} {dtype}: {it_s:.1f} it/s, "
-        f"{float(np.prod(shape)) * it_s / 1e9:.2f} Gvox-it/s")
+        f"{float(np.prod(shape)) * it_s / 1e9:.2f} Gvox-it/s{roof}")
     return it_s
 
 

@@ -115,6 +115,31 @@ def cp_traffic_model(shape, Nd: int, dtype=jnp.float32, fused: bool = True,
     return int((pass_a + pass_b) * vox)
 
 
+def tgv_traffic_model(shape, mode: str, dtype=jnp.float32,
+                      model: str = "minimal") -> int:
+    """Bytes moved per streaming TGV-2 iteration (kernels/tgv_stream.py
+    two-pass form) for the coupled modes ('3d'/'4d') and streamed '2d'.
+
+    ``model='minimal'`` counts each array once per pass: pass PQ reads
+    xb, wb, p, q and writes p, q; pass XW reads x, x0, p, w, q and writes
+    x, xb, w, wb.  ``model='actual'`` adds the z-shifted full-block
+    operand re-reads the kernels issue (pass PQ: xb at z+1 and the n wb
+    channels at z-1; pass XW: p's z channel at z-1 and the z-coupled q
+    channels at z+1); thin row-seam operands are negligible and not
+    counted.  The slice-resident 2d kernel has ZERO per-iteration HBM
+    traffic — this model is for the streaming path."""
+    n = {"2d": 2, "3d": 3, "4d": 4}[mode]
+    n_q = n + n * (n - 1) // 2
+    has_z = mode in ("3d", "4d")
+    vox = int(np.prod(shape))
+    bpe = jnp.dtype(dtype).itemsize
+    planes = (1 + 2 * n + n_q) + (n + n_q) + (2 + 2 * n + n_q) + (2 + 2 * n)
+    if model == "actual" and has_z:
+        # PQ: xb(z+1) + n wb(z-1); XW: p_z(z-1) + (n z-coupled q)(z+1)
+        planes += (1 + n) + (1 + n)
+    return int(planes * vox * bpe)
+
+
 def roofline_fraction(bytes_per_iter: int, iters_per_s: float) -> float:
     peak = HBM_PEAK_GBPS.get(device_kind(), 819.0) * 1e9
     return bytes_per_iter * iters_per_s / peak

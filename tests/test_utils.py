@@ -127,3 +127,23 @@ def test_compile_cache_and_warm_compile(tmp_path):
         assert len(list((tmp_path / "jc").iterdir())) >= 1
     finally:
         jax.config.update("jax_compilation_cache_dir", None)
+
+
+def test_tgv_traffic_model_counts():
+    """Plane counts of the streaming TGV traffic model, hand-derived from
+    the kernel operand lists (kernels/tgv_stream.py)."""
+    from pytv4d_tpu.utils.profiling import tgv_traffic_model
+
+    vox = 2 * 3 * 8 * 16
+    # 4d: n=4, n_q=10 -> PQ (1+8+10)+(4+10); XW (2+8+10)+(2+8) = 63 planes
+    assert tgv_traffic_model((2, 3, 8, 16), "4d") == 63 * vox * 4
+    # actual adds (1+4)+(1+4) z-shift planes = 73
+    assert tgv_traffic_model((2, 3, 8, 16), "4d", model="actual") == (
+        73 * vox * 4)
+    # 2d: n=2, n_q=3 -> (1+4+3)+(2+3)+(2+4+3)+(2+4) = 28; no z extras
+    assert tgv_traffic_model((2, 3, 8, 16), "2d") == 28 * vox * 4
+    assert tgv_traffic_model((2, 3, 8, 16), "2d", model="actual") == (
+        28 * vox * 4)
+    # bf16 halves bytes
+    assert tgv_traffic_model((2, 3, 8, 16), "3d", dtype="bfloat16") == (
+        tgv_traffic_model((2, 3, 8, 16), "3d") // 2)
