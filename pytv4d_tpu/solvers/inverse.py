@@ -188,8 +188,11 @@ def cp_inverse(
     )
     steps = ((0.0, 0.0, 0.0) if precond else (sigma, tau, sigma_A))
     init = x0 if state is None else InverseState(*state)
+    # reg stays traced when the caller differentiates through the solve
+    # (unrolled hyperparameter gradients, cf. Bertrand et al. 2020)
+    reg_t = reg if isinstance(reg, jax.core.Tracer) else float(reg)
     final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
-                        float(reg), *steps)
+                        reg_t, *steps)
     final = InverseState(*final)
     return InverseResult(x=final.x, loss=losses, state=final)
 

@@ -1085,3 +1085,28 @@ def test_admm_fista_static_mask_weight_time():
     ref = float(cp.loss[-1])
     assert float(ad.loss[-1]) == pytest.approx(ref, rel=2e-3)
     assert float(fi.loss[-1]) == pytest.approx(ref, rel=2e-3)
+
+
+def test_cp_inverse_differentiable_in_reg():
+    """The solve is differentiable THROUGH the unrolled iterations w.r.t.
+    reg (hyperparameter gradients, cf. Bertrand et al. 2020, one of the
+    retrieved technique papers): jax.grad matches finite differences."""
+    import jax
+
+    from pytv4d_tpu.solvers import cp_inverse
+
+    rng = np.random.default_rng(41)
+    shape = (1, 1, 12, 12)
+    truth = np.zeros(shape)
+    truth[0, 0, 3:9, 3:9] = 1.0
+    b = jnp.asarray(truth + 0.1 * rng.standard_normal(shape))
+
+    def recon_err(reg):
+        res = cp_inverse(lambda v: v, b, shape, A_T=lambda v: v, n_iter=40,
+                         reg=reg, op_norm=1.0)
+        return jnp.sum(jnp.square(res.x - jnp.asarray(truth)))
+
+    g = float(jax.grad(recon_err)(0.15))
+    h = 1e-4
+    fd = (float(recon_err(0.15 + h)) - float(recon_err(0.15 - h))) / (2 * h)
+    assert g == pytest.approx(fd, rel=2e-3)
