@@ -242,12 +242,22 @@ def compute_huber_norm(D_img, delta: float, return_array: bool = False, *,
     the Moreau envelope of the isotropic TV (quadratic near 0, so
     differentiable everywhere; Chambolle & Pock 2011 section 6.2).
     Optionally also returns the per-pixel magnitude array."""
-    n = xp.sqrt(xp.sum(xp.square(D_img), axis=1))
+    n = _safe_sqrt(xp.sum(xp.square(D_img), axis=1), xp)
     val = xp.sum(xp.where(n <= delta, xp.square(n) / (2.0 * delta),
                           n - delta / 2.0))
     if return_array:
         return val, n
     return val
+
+
+def _safe_sqrt(s, xp):
+    """sqrt with a finite gradient at 0 (double-where): the primal is
+    bit-identical to ``sqrt`` for s >= 0 (0 -> 0) and still propagates
+    NaNs, but the VJP at s == 0 is 0 instead of ``0 * inf = nan`` — this
+    is what makes the solvers differentiable through their loss lines at
+    flat pixels (unrolled hyperparameter gradients)."""
+    zero = s == 0
+    return xp.where(zero, 0.0, xp.sqrt(xp.where(zero, 1.0, s)))
 
 
 def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):
@@ -259,7 +269,7 @@ def compute_L21_norm(D_img, return_array: bool = False, *, xp=jnp):
     """
     out = xp.square(D_img)
     out = xp.sum(out, axis=1)
-    out = xp.sqrt(out)
+    out = _safe_sqrt(out, xp)
     l21 = xp.sum(out)
     if return_array:
         return l21, out

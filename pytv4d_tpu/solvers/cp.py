@@ -56,11 +56,15 @@ def dual_prox(p, reg, norm: str, sigma=1.0, huber_delta: float = 1.0):
     before the ball projection (F* gains the quadratic
     ``delta/(2 reg) |y|^2``, Chambolle & Pock 2011 section 6.2; ``sigma``
     may be a per-slot map for the preconditioned solver)."""
+    from ..ops.operators import _safe_sqrt
+
     if norm == "aniso":
         return jnp.clip(p, -reg, reg)
     if norm == "huber":
         p = p / (1.0 + sigma * huber_delta / reg)
-    p_norms = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+    # safe sqrt: bit-identical primal, finite reverse-mode gradient at the
+    # p = 0 pixels every cold-started solve passes through
+    p_norms = _safe_sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True), jnp)
     return p / jnp.maximum(1.0, p_norms / reg)
 
 

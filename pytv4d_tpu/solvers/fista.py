@@ -32,9 +32,11 @@ class FISTAResult(NamedTuple):
 def _project_dual(y, radius, norm: str):
     """Projection onto the TV-norm dual ball: per-pixel L2 ball (isotropic)
     or the [-radius, radius] box (anisotropic)."""
+    from ..ops.operators import _safe_sqrt
+
     if norm == "aniso":
         return jnp.clip(y, -radius, radius)
-    norms = jnp.sqrt(jnp.sum(jnp.square(y), axis=1, keepdims=True))
+    norms = _safe_sqrt(jnp.sum(jnp.square(y), axis=1, keepdims=True), jnp)
     return y / jnp.maximum(1.0, norms / radius)
 
 

@@ -159,7 +159,9 @@ def _sym_grad4(w):
 
 
 def _proj_ball(p, radius):
-    n = jnp.sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True))
+    from ..ops.operators import _safe_sqrt
+
+    n = _safe_sqrt(jnp.sum(jnp.square(p), axis=1, keepdims=True), jnp)
     return p / jnp.maximum(1.0, n / radius)
 
 
@@ -179,10 +181,13 @@ def _tgv_dual_prox(p, radius, norm, sigma, delta):
 def _tgv_norm_val(v, norm, delta):
     """The TGV term's norm value (channel axis 1): iso L2,1; aniso L1,1;
     Huber of the per-pixel channel 2-norm (ops.operators.compute_huber_norm
-    convention)."""
+    convention).  Uses the safe sqrt so gradients stay finite at exactly
+    flat pixels (ops.operators._safe_sqrt)."""
+    from ..ops.operators import _safe_sqrt
+
     if norm == "aniso":
         return jnp.sum(jnp.abs(v))
-    n = jnp.sqrt(jnp.sum(jnp.square(v), axis=1))
+    n = _safe_sqrt(jnp.sum(jnp.square(v), axis=1), jnp)
     if norm == "huber":
         return jnp.sum(jnp.where(n <= delta, jnp.square(n) / (2.0 * delta),
                                  n - delta / 2.0))
@@ -718,8 +723,12 @@ def tgv_inverse(
     )
     steps = (0.0, 0.0) if precond else (sigma, tau)
     init = x0 if fresh else TGVInverseState(*state)
+
+    def _scalar(a):  # stays traced under the caller's jax.grad/jit
+        return a if isinstance(a, jax.core.Tracer) else float(a)
+
     final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
-                        float(alpha1), float(alpha0), *steps)
+                        _scalar(alpha1), _scalar(alpha0), *steps)
     final = TGVInverseState(*final)
     return TGVResult(x=final.x, w=final.w, loss=losses, state=final)
 

@@ -1110,3 +1110,26 @@ def test_cp_inverse_differentiable_in_reg():
     h = 1e-4
     fd = (float(recon_err(0.15 + h)) - float(recon_err(0.15 - h))) / (2 * h)
     assert g == pytest.approx(fd, rel=2e-3)
+
+
+def test_tgv_inverse_differentiable_in_alpha():
+    """tgv_inverse is differentiable through the unrolled iterations w.r.t.
+    a traced alpha1 (the safe-sqrt treatment keeps reverse-mode gradients
+    finite at the exactly-flat pixels every cold start passes through)."""
+    import jax
+
+    from pytv4d_tpu.solvers import tgv_inverse
+
+    rng = np.random.default_rng(2)
+    shape = (1, 1, 10, 10)
+    b = jnp.asarray(rng.random(shape))
+
+    def f(a1):
+        r = tgv_inverse(lambda v: v, b, shape, A_T=lambda v: v, n_iter=20,
+                        alpha1=a1, alpha0=0.2, op_norm=1.0)
+        return jnp.sum(jnp.square(r.x))
+
+    g = float(jax.grad(f)(0.1))
+    h = 1e-5
+    fd = (float(f(0.1 + h)) - float(f(0.1 - h))) / (2 * h)
+    assert g == pytest.approx(fd, rel=1e-6)
