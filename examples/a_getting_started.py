@@ -57,3 +57,18 @@ tv_fn = pytv.make_tv("hybrid", reg_time=0.5)
 grad = jax.grad(tv_fn)(np.asarray(img))
 print(f"jax.grad of TV matches the subgradient convention; |grad| = "
       f"{float(abs(grad).sum()):.1f}")
+
+# ---- Beyond the reference (docs/solvers.md is the full picker) ------------
+# robust + certified: TV-L1 fidelity for impulsive noise, nonnegativity,
+# and a duality-gap certificate instead of a loss-delta heuristic
+cp_l1 = model.cp(noisy[0, 0], n_iter=100, fidelity="l1",
+                 fidelity_weight=0.02, nonneg=True)
+from pytv4d_tpu.solvers import pd_gap
+
+gap = float(pd_gap(cp.state, noisy, reg=25.0))  # state keeps the 4D layout
+print(f"TV-L1 denoise loss {float(cp_l1.loss[-1]):.1f}; l2 solve duality "
+      f"gap {gap:.2e} (certified suboptimality bound)")
+
+# staircasing-free second-order TGV on the same image
+tgv = model.tgv(noisy[0, 0], n_iter=100)
+print(f"TGV-2:               final loss {float(tgv.loss[-1]):.1f}")
