@@ -49,6 +49,25 @@ def default_tau(cfg: TVConfig, Nz: int, M: int, sigma_A: float = 1.0) -> float:
     return 1.0 / (L2 + sigma_A)
 
 
+def _require_scalar_weight(fidelity_weight, what: str):
+    """The denoising solvers jit with ``fidelity_weight`` static — an array
+    weight would die with an opaque unhashable-type jit error, so fail with
+    guidance first (ADVICE r2)."""
+    import numpy as np
+
+    if isinstance(fidelity_weight, (int, float)):
+        return float(fidelity_weight)
+    if np.ndim(fidelity_weight) == 0 and not isinstance(
+        fidelity_weight, jax.core.Tracer
+    ):
+        return float(fidelity_weight)
+    raise ValueError(
+        f"{what} takes a SCALAR fidelity_weight (it is static under jit); "
+        f"for a per-measurement weight array use the inverse solvers, e.g. "
+        f"cp_inverse(A=lambda x: x, fidelity_weight=w)"
+    )
+
+
 def dual_prox(p, reg, norm: str, sigma=1.0, huber_delta: float = 1.0):
     """Prox of the TV term's convex conjugate: the per-pixel L2 reg-ball
     projection for isotropic TV (``README.md:150-151``), the [-reg, reg] box
@@ -145,6 +164,8 @@ def chambolle_pock_precond(
     must ride along for bit-exact continuation)."""
     from .fidelity import validate_fidelity
 
+    fidelity_weight = _require_scalar_weight(
+        fidelity_weight, "chambolle_pock_precond")
     validate_fidelity(fidelity, x_noisy, fidelity_weight)
     return _chambolle_pock_precond_jit(
         x_noisy, n_iter=n_iter, reg=reg, sigma_A=sigma_A, cfg=cfg,
@@ -260,6 +281,7 @@ def chambolle_pock(
     can actually fire on concrete inputs."""
     from .fidelity import validate_fidelity
 
+    fidelity_weight = _require_scalar_weight(fidelity_weight, "chambolle_pock")
     validate_fidelity(fidelity, x_noisy, fidelity_weight)
     return _chambolle_pock_jit(
         x_noisy, n_iter=n_iter, reg=reg, sigma_D=sigma_D, sigma_A=sigma_A,

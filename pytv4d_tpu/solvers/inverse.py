@@ -59,12 +59,16 @@ def check_nonneg_operator(A: Callable, vol_shape, dtype, what: str):
 
 
 def fidelity_row_precond(A: Callable, b_shape, vol_shape, dtype):
-    """(sigma_A, |A|^T 1) for a nonnegative operator: reciprocal row sums
-    (zero rows floored — their duals are decoupled from the primal) and the
-    fidelity column sums for the primal step.  Shared by cp_inverse and
-    tgv_inverse; call inside jit."""
+    """Per-measurement dual step ``sigma_A = 1 / (|A| 1)`` for a nonnegative
+    operator (Pock-Chambolle 2011 diagonal preconditioning, alpha=1): the
+    reciprocal row sums of A.  Zero rows (rays that miss the volume) are
+    floored RELATIVE to the live-row scale so their decoupled duals get a
+    bounded step without distorting the live rows — an absolute floor would
+    cap sigma_A at a fixed value for uniformly small-scaled operators.
+    Shared by cp_inverse and tgv_inverse; call inside jit."""
     row = A(jnp.ones(tuple(vol_shape), dtype))
-    return 1.0 / jnp.maximum(row, 1e-3)
+    floor = 1e-6 * jnp.maximum(jnp.max(row), jnp.asarray(1e-30, dtype))
+    return 1.0 / jnp.maximum(row, floor)
 
 
 def exact_transpose(A: Callable, vol_shape, dtype=jnp.float32) -> Callable:

@@ -145,6 +145,7 @@ def run_until_converged(
     (no carried dual) resumes via ``x_init``.  Returns the solver's result
     type with the concatenated loss history.
     """
+    import functools
     import inspect
 
     if criterion not in ("loss", "gap"):
@@ -152,14 +153,31 @@ def run_until_converged(
             f"criterion must be 'loss' or 'gap', got {criterion!r}"
         )
     takes_state = "state" in inspect.signature(solver).parameters
+    # The gap is computed against the *objective the solver optimizes*; a
+    # caller composing via functools.partial(chambolle_pock, reg=...) bakes
+    # that objective into the solver, so merge partial keywords into the
+    # lookup (call-site solver_kwargs win, matching call semantics).
+    gap_kwargs = dict(solver_kwargs)
+    f = solver
+    while isinstance(f, functools.partial):
+        for k, v in (f.keywords or {}).items():
+            gap_kwargs.setdefault(k, v)
+        f = f.func
     if criterion == "gap":
+        if "reg" not in gap_kwargs:
+            raise ValueError(
+                "criterion='gap' computes the duality gap of the objective "
+                "1/2||x-x0||^2 + reg*TV(x) and needs the SAME reg the "
+                "solver uses — pass reg= explicitly (as a kwarg here or on "
+                "a functools.partial solver); refusing to silently default"
+            )
         if not takes_state:
             raise ValueError(
                 "criterion='gap' needs a solver that carries a primal-dual "
                 "state (chambolle_pock); loss-based stopping works for all "
                 "solvers"
             )
-        if solver_kwargs.get("fidelity", "l2") != "l2":
+        if gap_kwargs.get("fidelity", "l2") != "l2":
             raise ValueError(
                 "criterion='gap' certifies the l2-fidelity denoising "
                 "objective only (solvers.cp.pd_gap) — use criterion='loss' "
@@ -170,6 +188,7 @@ def run_until_converged(
     losses = []
     done = 0
     result = None
+    prev_last_loss = None
     while done < max_iter:
         n = min(chunk, max_iter - done)
         if takes_state:
@@ -198,16 +217,23 @@ def run_until_converged(
                 )
             gap = float(pd_gap(
                 state, x_noisy,
-                reg=solver_kwargs.get("reg", 25.0),
-                cfg=solver_kwargs.get("cfg", _default_cfg()),
-                mask_static=solver_kwargs.get("mask_static"),
-                weight_time=solver_kwargs.get("weight_time"),
+                reg=gap_kwargs["reg"],
+                cfg=gap_kwargs.get("cfg", _default_cfg()),
+                mask_static=gap_kwargs.get("mask_static"),
+                weight_time=gap_kwargs.get("weight_time"),
             ))
             if gap <= tol * abs(float(loss[-1])):
                 break
-        elif (abs(float(loss[0]) - float(loss[-1]))
-                <= tol * abs(float(loss[-1]))):
-            break
+        else:
+            # Compare against the previous chunk's last loss so a length-1
+            # chunk (chunk=1, or a trailing remainder of 1) cannot trivially
+            # report convergence via loss[0] == loss[-1].
+            ref = float(loss[0]) if len(loss) > 1 else prev_last_loss
+            if (ref is not None
+                    and abs(ref - float(loss[-1]))
+                    <= tol * abs(float(loss[-1]))):
+                break
+        prev_last_loss = float(loss[-1])
     return result._replace(loss=np.concatenate(losses))
 
 

@@ -1133,3 +1133,64 @@ def test_tgv_inverse_differentiable_in_alpha():
     h = 1e-5
     fd = (float(f(0.1 + h)) - float(f(0.1 - h))) / (2 * h)
     assert g == pytest.approx(fd, rel=1e-6)
+
+
+def test_run_until_converged_advice_fixes(noisy_small):
+    """ADVICE r2 regressions: (a) criterion='gap' reads reg baked into a
+    functools.partial solver instead of silently defaulting; (b) a missing
+    reg raises instead of certifying the wrong objective; (c) chunk=1 does
+    not trivially report loss convergence via loss[0] == loss[-1]."""
+    import functools
+
+    from pytv4d_tpu.solvers import run_until_converged
+
+    # (a) reg baked into the partial: must converge against reg=1.0's gap,
+    # matching an explicit-kwarg run exactly.
+    part = functools.partial(chambolle_pock, reg=1.0)
+    res_p = run_until_converged(part, noisy_small, tol=1e-4,
+                                criterion="gap", chunk=25, max_iter=2000)
+    res_k = run_until_converged(chambolle_pock, noisy_small, tol=1e-4,
+                                criterion="gap", chunk=25, max_iter=2000,
+                                reg=1.0)
+    assert len(res_p.loss) == len(res_k.loss)
+    np.testing.assert_array_equal(res_p.loss, res_k.loss)
+
+    # (b) no reg anywhere -> explicit error, not a silent reg=25 default
+    with pytest.raises(ValueError, match="reg"):
+        run_until_converged(chambolle_pock, noisy_small, tol=1e-4,
+                            criterion="gap", chunk=25, max_iter=50)
+
+    # (c) chunk=1 must run more than one iteration on an unconverged problem
+    res1 = run_until_converged(chambolle_pock, noisy_small, tol=1e-5,
+                               chunk=1, max_iter=8, reg=1.0)
+    assert len(res1.loss) > 1
+
+
+def test_fidelity_weight_array_rejected(noisy_small):
+    """ADVICE r2: an array fidelity_weight on the denoising solvers raises
+    a clear ValueError (it is static under jit) instead of an opaque
+    unhashable-type error, and points at the inverse solvers."""
+    from pytv4d_tpu.solvers import chambolle_pock_precond
+
+    w = jnp.ones_like(noisy_small)
+    with pytest.raises(ValueError, match="SCALAR fidelity_weight"):
+        chambolle_pock(noisy_small, n_iter=2, fidelity_weight=w)
+    with pytest.raises(ValueError, match="SCALAR fidelity_weight"):
+        chambolle_pock_precond(noisy_small, n_iter=2, fidelity_weight=w)
+    # a 0-d numpy scalar is fine
+    r = chambolle_pock(noisy_small, n_iter=2,
+                       fidelity_weight=np.float64(1.0))
+    assert np.all(np.isfinite(np.asarray(r.loss)))
+
+
+def test_fidelity_row_precond_relative_floor():
+    """ADVICE r2: the zero-row floor in fidelity_row_precond is relative to
+    the row-sum scale — a uniformly small-scaled operator keeps its live
+    rows' exact reciprocal row sums instead of being capped at 1e3."""
+    from pytv4d_tpu.solvers.inverse import fidelity_row_precond
+
+    shape = (1, 1, 8, 8)
+    scale = 1e-5
+    A = lambda x: scale * x  # noqa: E731 - uniform tiny row sums
+    sig = np.asarray(fidelity_row_precond(A, shape, shape, jnp.float64))
+    np.testing.assert_allclose(sig, 1.0 / scale, rtol=1e-12)
