@@ -1,2 +1,8 @@
 from . import harness
-from .harness import bench_ct, bench_solver, weak_scaling, weak_scaling_tgv
+from .harness import (
+    bench_ct,
+    bench_ct_production,
+    bench_solver,
+    weak_scaling,
+    weak_scaling_tgv,
+)

@@ -136,18 +136,23 @@ def weak_scaling_tgv(base_shape=(8, 2, 128, 128), n_iter=20, repeats=3,
 def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
              repeats=3, reg=0.5,
              cfg: TVConfig = TVConfig(scheme="hybrid", reg_time=0.5),
-             seed=0) -> Dict[str, float]:
-    """On-chip CT throughput: batched-angle Radon forward projection, the
-    exact adjoint, and the full TV-regularized ``cp_reconstruct`` loop.
+             seed=0, method: str = "auto") -> Dict[str, float]:
+    """On-chip CT throughput: Radon forward projection, the exact adjoint,
+    and the full TV-regularized ``cp_reconstruct`` loop.
 
     Returns projections/s for A and A_T (one projection = one (z, t, angle)
     slice line-integral set) and reconstruction it/s.
 
-    WARNING: keep sizes modest on tunneled dev chips — large gather
+    ``method`` as in ``models.ct.make_projector``: 'auto' = the gather-free
+    SPECTRAL projector on accelerators (FFT + matmuls — the production
+    path, safe at (16,4,512,512) x 96 angles:
+    ``bench_ct_production()``), bilinear gather on CPU.
+
+    WARNING for ``method='gather'`` on tunneled dev chips: large gather
     programs have crashed the remote compiler and wedged the TPU worker
     ((16,4,512,512) x 96 angles reproducibly; (8,4,256,256) x 64 angles hit
-    a remote-compile HTTP 500 once).  The default here stays inside the
-    envelope that has measured cleanly.
+    a remote-compile HTTP 500 once).  The default size stays inside the
+    envelope that measured cleanly on the gather path.
     """
     from ..models.ct import (
         cp_reconstruct,
@@ -163,7 +168,7 @@ def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
                          jnp.float32)
     n_proj = Nz * M * n_angles
 
-    A, A_T = make_projector(vol_shape, angles)
+    A, A_T = make_projector(vol_shape, angles, method=method)
     A_j, AT_j = jax.jit(A), jax.jit(A_T)
     sino = A_j(vol)
     _force(sino)
@@ -183,13 +188,14 @@ def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
     # 12-iteration power method (and each of those is ~24 projections)
     op_norm = float(estimate_op_norm(A, A_T, vol_shape))
     res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter, reg=reg,
-                         cfg=cfg, op_norm=op_norm)
+                         cfg=cfg, op_norm=op_norm, method=method)
     _force(res.loss)
     best = float("inf")
     for _ in range(repeats):
         t0 = time.perf_counter()
         res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter,
-                             reg=reg, cfg=cfg, op_norm=op_norm)
+                             reg=reg, cfg=cfg, op_norm=op_norm,
+                             method=method)
         _force(res.loss)
         best = min(best, time.perf_counter() - t0)
 
@@ -201,3 +207,13 @@ def bench_ct(vol_shape=(8, 2, 256, 256), n_angles=48, n_iter=30,
         "recon_it_per_s": n_iter / best,
         "recon_final_loss": float(res.loss[-1]),
     }
+
+
+def bench_ct_production(n_iter=10, repeats=3) -> Dict[str, float]:
+    """The VERDICT r2 done-criterion: forward + adjoint + TV-regularized
+    ``cp_reconstruct`` at the PRODUCTION dynamic-CT scale
+    ((16, 4, 512, 512) x 96 angles) on-chip, on the gather-free spectral
+    projector.  The gather path reproducibly crashed the TPU worker at
+    exactly this configuration."""
+    return bench_ct(vol_shape=(16, 4, 512, 512), n_angles=96,
+                    n_iter=n_iter, repeats=repeats, method="spectral")

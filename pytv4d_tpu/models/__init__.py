@@ -1,4 +1,4 @@
-from . import ct, denoise
+from . import ct, ct_spectral, denoise
 from .ct import (
     ConeBeamGeometry,
     FanBeamGeometry,
@@ -15,4 +15,5 @@ from .ct import (
     sinogram_sharding,
     tgv_reconstruct,
 )
+from .ct_spectral import make_spectral_projector, radon_spectral
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

@@ -120,15 +120,47 @@ def radon(vol, angles, n_det: Optional[int] = None,
     return out[:, :, :A]
 
 
+_PROJECTOR_METHODS = ("auto", "gather", "spectral")
+
+
+def _resolve_method(method: str) -> str:
+    """'auto' = spectral on accelerators, gather on CPU.  The spectral
+    path exists because the bilinear map_coordinates HLO reproducibly
+    CRASHED the TPU worker at production sizes (models/ct_spectral.py);
+    on CPU the gather path is safe and is where the recorded golden
+    parity lives."""
+    if method not in _PROJECTOR_METHODS:
+        raise ValueError(
+            f"unknown projector method {method!r}; expected one of "
+            f"{_PROJECTOR_METHODS}"
+        )
+    if method != "auto":
+        return method
+    return "gather" if jax.default_backend() == "cpu" else "spectral"
+
+
 def make_projector(vol_shape, angles, n_det: Optional[int] = None,
-                   dtype=jnp.float32, angle_batch: Optional[int] = None):
+                   dtype=jnp.float32, angle_batch: Optional[int] = None,
+                   method: str = "auto"):
     """Build ``(A, A_T)`` for a fixed geometry.  ``A_T`` is the exact
     transpose of the linear map ``A`` (its vjp — exact since A is linear),
     so ``<y, A x> == <A_T y, x>`` holds to fp precision — the same
     adjointness contract the TV operators satisfy (SURVEY.md section 4
     oracle 1).  ``angle_batch`` as in :func:`radon` (vjp is used rather
     than ``jax.linear_transpose`` because the latter cannot transpose
-    through the chunked ``lax.map`` sweep)."""
+    through the chunked ``lax.map`` sweep).
+
+    ``method``: ``'gather'`` = bilinear-sampling :func:`radon` (CPU-safe;
+    giant gather HLOs have crashed TPU workers at production sizes),
+    ``'spectral'`` = the gather-free FFT+matmul Fourier-slice projector
+    (``models/ct_spectral.py`` — the TPU production path, spectrally
+    accurate, no gather in forward or adjoint), ``'auto'`` (default) =
+    spectral on accelerators, gather on CPU."""
+    if _resolve_method(method) == "spectral":
+        from .ct_spectral import make_spectral_projector
+
+        return make_spectral_projector(vol_shape, angles, n_det=n_det,
+                                       dtype=dtype)
     angles = jnp.asarray(angles, dtype)
     n_det = n_det or vol_shape[-1]
 
@@ -222,6 +254,7 @@ def cp_reconstruct(
     fidelity_weight=1.0,
     nonneg: bool = False,
     state=None,
+    method: str = "auto",
 ):
     """TV-regularized reconstruction ``min_x F(A x) + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
@@ -232,9 +265,15 @@ def cp_reconstruct(
     ignored — detector dims come from the sinogram).  ``fidelity``/
     ``fidelity_weight``/``nonneg`` as in :func:`solvers.inverse.cp_inverse`
     (``fidelity='kl'`` = Poisson counts, ``nonneg=True`` = nonnegative
-    attenuation)."""
+    attenuation).  ``method`` picks the parallel-beam projector
+    (:func:`make_projector`): 'auto' = the gather-free spectral path on
+    accelerators, bilinear gather on CPU.  ``precond=True`` works on both
+    (for the spectral path the nonnegative-row gate passes when
+    ``n_det ~ N``; a much wider detector can expose the spectral splat's
+    ringing and trip it — use ``op_norm`` there)."""
     sino = jnp.asarray(sino)
-    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
+    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
+                               method=method)
     from ..solvers.inverse import cp_inverse
 
     res = cp_inverse(
@@ -245,11 +284,18 @@ def cp_reconstruct(
     return CPReconResult(x=res.x, loss=res.loss, state=res.state)
 
 
-def _select_projector(sino, angles, vol_shape, n_det, geom):
+def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto"):
     """Validate the sinogram layout for the requested beam geometry and
     build the matching (A, A_T) projector pair."""
     dtype = sino.dtype
     n_angles = jnp.asarray(angles).shape[-1]
+    if geom is not None and _resolve_method(method) == "spectral" \
+            and method != "auto":
+        raise ValueError(
+            "method='spectral' implements parallel-beam geometry only — "
+            "fan/cone reconstructions use the gather projectors (keep "
+            "their angle_batch/size envelope modest on TPU)"
+        )
     if isinstance(geom, ConeBeamGeometry):
         want = (vol_shape[1], n_angles)
         if tuple(sino.shape[:2]) != want:
@@ -270,7 +316,8 @@ def _select_projector(sino, angles, vol_shape, n_det, geom):
             f"expected {want} (layout (Nz, M, n_angles, n_det))"
         )
     if geom is None:
-        return make_projector(vol_shape, angles, n_det=n_det, dtype=dtype)
+        return make_projector(vol_shape, angles, n_det=n_det, dtype=dtype,
+                              method=method)
     return make_fan_projector(vol_shape, angles, geom, n_det=n_det,
                               dtype=dtype)
 
@@ -294,6 +341,7 @@ def tgv_reconstruct(
     fidelity_weight=1.0,
     nonneg: bool = False,
     state=None,
+    method: str = "auto",
 ):
     """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
     second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV
@@ -302,9 +350,10 @@ def tgv_reconstruct(
     ``geom`` selection as :func:`cp_reconstruct`; ``axes`` picks in-plane
     ('2d', per (z, t) slice), volumetric ('3d') or space-time ('4d') TGV
     coupling; ``fidelity``/``fidelity_weight``/``nonneg`` as in
-    :func:`cp_reconstruct`."""
+    :func:`cp_reconstruct`; ``method`` as in :func:`cp_reconstruct`."""
     sino = jnp.asarray(sino)
-    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom)
+    A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
+                               method=method)
     from ..solvers.tgv import tgv_inverse
 
     res = tgv_inverse(

@@ -1,0 +1,236 @@
+"""Gather-free spectral projector (models/ct_spectral.py).
+
+Oracles: analytic Gaussian line integrals (the Radon transform of a
+Gaussian is a Gaussian — an implementation-independent ground truth),
+parity with the bilinear gather radon at the gather path's own O(h^2)
+accuracy, the adjointness dot test, and a hard structural guarantee that
+the lowered forward AND adjoint programs contain no gather/scatter HLO
+(the failure mode that crashed the TPU worker at production sizes —
+VERDICT r2 item 1)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pytv4d_tpu.models.ct import (
+    FanBeamGeometry,
+    cp_reconstruct,
+    make_projector,
+    radon,
+)
+from pytv4d_tpu.models.ct_spectral import (
+    make_spectral_projector,
+    radon_spectral,
+)
+
+
+def _gaussians(N, blobs):
+    c0 = (N - 1) / 2.0
+    rr, cc = np.meshgrid(np.arange(N) - c0, np.arange(N) - c0,
+                         indexing="ij")
+    img = np.zeros((N, N))
+    for (r0, c0b, sig, amp) in blobs:
+        img += amp * np.exp(-((rr - r0) ** 2 + (cc - c0b) ** 2)
+                            / (2 * sig ** 2))
+    return img
+
+
+def _analytic_radon(N, n_det, angles, blobs):
+    """Radon of sum-of-Gaussians: each blob projects to
+    amp * sig * sqrt(2 pi) * exp(-(s - s0)^2 / (2 sig^2)),
+    s0 = r0 cos(t) - c0 sin(t) (the projector's detector convention)."""
+    s = np.arange(n_det) - (n_det - 1) / 2.0
+    out = np.zeros((len(angles), n_det))
+    for i, t in enumerate(angles):
+        for (r0, c0b, sig, amp) in blobs:
+            s0 = r0 * np.cos(t) - c0b * np.sin(t)
+            out[i] += amp * sig * np.sqrt(2 * np.pi) * np.exp(
+                -(s - s0) ** 2 / (2 * sig ** 2))
+    return out
+
+
+BLOBS = [(0.0, 0.0, 12.0, 1.0), (15.0, -10.0, 8.0, 0.7),
+         (-20.0, 5.0, 10.0, 0.5)]
+
+
+def _rel(a, b):
+    return np.linalg.norm(a - b) / np.linalg.norm(b)
+
+
+def test_spectral_matches_analytic_gaussians():
+    """Spectral accuracy: <= 1e-5 against analytic line integrals, and
+    strictly tighter than the gather path's bilinear O(h^2) error on the
+    same phantom (angles span both NUDFT regimes incl. the 45-degree
+    boundary)."""
+    N = 128
+    img = _gaussians(N, BLOBS)
+    vol = jnp.asarray(img[None, None])
+    angles = np.concatenate([
+        np.linspace(0, np.pi, 24, endpoint=False),
+        [np.pi / 4, 3 * np.pi / 4],      # exact regime boundary
+    ])
+    ana = _analytic_radon(N, N, angles, BLOBS)
+    ps = np.asarray(radon_spectral(vol, angles))[0, 0]
+    pg = np.asarray(radon(vol, jnp.asarray(angles)))[0, 0]
+    assert _rel(ps, ana) < 1e-5
+    assert _rel(pg, ana) < 2e-3           # gather's own bilinear error
+    assert _rel(ps, ana) < 0.1 * _rel(pg, ana)
+
+
+def test_spectral_gather_parity_smooth_phantom():
+    """Direct parity with the gather radon at ~1e-4 on a smooth in-disk
+    phantom at N=256 — the residual IS the gather path's interpolation
+    error (its analytic error is the same size; see the analytic test)."""
+    N = 256
+    blobs = [(0.0, 0.0, 32.0, 1.0), (20.0, -15.0, 28.0, 0.6)]
+    vol = jnp.asarray(_gaussians(N, blobs)[None, None])
+    angles = np.linspace(0, np.pi, 8, endpoint=False) + 0.03
+    pg = np.asarray(radon(vol, jnp.asarray(angles)))[0, 0]
+    ps = np.asarray(radon_spectral(vol, angles))[0, 0]
+    assert _rel(pg, ps) < 1.5e-4
+
+
+def test_spectral_adjointness_and_linearity():
+    rng = np.random.default_rng(3)
+    shape = (3, 2, 32, 32)
+    angles = np.linspace(0, np.pi, 11, endpoint=False) + 0.05
+    A, A_T = make_spectral_projector(shape, angles, dtype=jnp.float64)
+    x = jnp.asarray(rng.random(shape))
+    y = jnp.asarray(rng.random((3, 2, 11, 32)))
+    lhs = float(jnp.vdot(y, A(x)))
+    rhs = float(jnp.vdot(A_T(y), x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-13
+    # linearity (the map must be exactly linear for CP convergence theory)
+    x2 = jnp.asarray(rng.random(shape))
+    np.testing.assert_allclose(
+        np.asarray(A(2.0 * x + 0.5 * x2)),
+        np.asarray(2.0 * A(x) + 0.5 * A(x2)), rtol=1e-12, atol=1e-12)
+
+
+def test_spectral_hlo_has_no_gather_or_scatter():
+    """The whole point: forward and adjoint lower to FFT + matmul +
+    elementwise only.  jnp.take-style reordering or map_coordinates
+    would reintroduce the op class that crashed the TPU worker."""
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random((2, 2, 32, 32)), jnp.float32)
+    # deliberately interleaved regimes so the un-permutation path runs
+    angles = np.asarray([0.1, 1.3, 0.4, 1.9, 2.8, 1.0])
+    A, A_T = make_spectral_projector(vol.shape, angles, dtype=jnp.float32)
+    fwd = jax.jit(A).lower(vol).compile().as_text()
+    sino = A(vol)
+    adj = jax.jit(A_T).lower(sino).compile().as_text()
+    for txt, what in ((fwd, "forward"), (adj, "adjoint")):
+        # match op APPLICATIONS (`%x = ... gather(...)`) — a bare substring
+        # check would trip on HLO metadata (source paths, op names)
+        assert " gather(" not in txt, f"gather op in {what} HLO"
+        assert " scatter(" not in txt, f"scatter op in {what} HLO"
+
+
+def test_spectral_per_frame_angles_and_chunking():
+    rng = np.random.default_rng(1)
+    vol = jnp.asarray(rng.random((2, 3, 24, 24)))
+    base = np.linspace(0, np.pi, 9, endpoint=False)
+    ang2 = np.stack([base, base + 0.11, base + 0.22])
+    pf = radon_spectral(vol, ang2)
+    assert pf.shape == (2, 3, 9, 24)
+    for m in range(3):
+        ps = radon_spectral(vol[:, m:m + 1], ang2[m])
+        np.testing.assert_allclose(np.asarray(pf[:, m]),
+                                   np.asarray(ps[:, 0]), atol=1e-12)
+    p1 = radon_spectral(vol, base)
+    p2 = radon_spectral(vol, base, angle_chunk=2)
+    np.testing.assert_allclose(np.asarray(p1), np.asarray(p2), atol=1e-12)
+    # n_det != N
+    assert radon_spectral(vol, base, n_det=40).shape == (2, 3, 9, 40)
+
+
+def test_spectral_input_validation():
+    vol = jnp.zeros((2, 2, 16, 16))
+    with pytest.raises(ValueError, match="rank-4"):
+        radon_spectral(jnp.zeros((16, 16)), np.asarray([0.1]))
+    with pytest.raises(ValueError, match="square"):
+        radon_spectral(jnp.zeros((2, 2, 8, 16)), np.asarray([0.1]))
+    with pytest.raises(ValueError, match="per-frame"):
+        radon_spectral(vol, np.zeros((3, 4)))  # M mismatch
+    with pytest.raises(ValueError, match="concrete"):
+        jax.jit(lambda a: radon_spectral(vol, a))(jnp.asarray([0.1]))
+
+
+def test_make_projector_method_selection():
+    """'auto' resolves to gather on CPU (golden parity lives there);
+    explicit 'spectral' works everywhere; unknown methods and
+    spectral-with-fan/cone raise."""
+    shape = (1, 1, 16, 16)
+    angles = np.linspace(0, np.pi, 4, endpoint=False) + 0.1
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(shape))
+    A_auto, _ = make_projector(shape, angles, dtype=jnp.float64)
+    A_g, _ = make_projector(shape, angles, dtype=jnp.float64,
+                            method="gather")
+    np.testing.assert_array_equal(np.asarray(A_auto(x)), np.asarray(A_g(x)))
+    A_s, AT_s = make_projector(shape, angles, dtype=jnp.float64,
+                               method="spectral")
+    y = A_s(x)
+    assert y.shape == (1, 1, 4, 16)
+    lhs = float(jnp.vdot(y, A_s(x)))
+    rhs = float(jnp.vdot(AT_s(y), x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-13
+    with pytest.raises(ValueError, match="unknown projector method"):
+        make_projector(shape, angles, method="fourier")
+    sino = jnp.zeros((1, 1, 4, 16))
+    with pytest.raises(ValueError, match="parallel-beam"):
+        cp_reconstruct(sino, angles, shape, n_iter=1, method="spectral",
+                       geom=FanBeamGeometry(source_dist=100.0), op_norm=1.0)
+
+
+def test_cp_reconstruct_spectral_end_to_end():
+    """TV-regularized reconstruction through the spectral projector
+    converges and matches the gather-projector reconstruction closely
+    (same solver, same data, two discretizations of the same operator)."""
+    N = 32
+    truth = _gaussians(N, [(0.0, 0.0, 6.0, 1.0), (6.0, -4.0, 3.0, 0.6)])
+    vol_shape = (1, 1, N, N)
+    vol = jnp.asarray(truth[None, None])
+    angles = np.linspace(0, np.pi, 24, endpoint=False)
+    sino = radon_spectral(vol, angles)
+    res_s = cp_reconstruct(sino, angles, vol_shape, n_iter=150, reg=1e-3,
+                           method="spectral")
+    res_g = cp_reconstruct(np.asarray(radon(vol, jnp.asarray(angles))),
+                           angles, vol_shape, n_iter=150, reg=1e-3,
+                           method="gather")
+    err_s = _rel(np.asarray(res_s.x[0, 0]), truth)
+    err_g = _rel(np.asarray(res_g.x[0, 0]), truth)
+    assert err_s < 0.02
+    assert abs(err_s - err_g) < 0.01
+    assert np.all(np.isfinite(np.asarray(res_s.loss)))
+    assert res_s.loss[-1] < res_s.loss[0]
+
+
+def test_spectral_precond_reconstruction():
+    """precond=True works on the spectral projector: A(ones) stays
+    strictly positive for n_det ~ N (the Gibbs dips of the spectral splat
+    land OUTSIDE the detector extent), so the nonnegative-row gate passes
+    and the diagonally-preconditioned solve converges — measured rel err
+    ~5e-4 on a noiseless Gaussian at 200 iterations."""
+    N = 32
+    truth = _gaussians(N, [(0.0, 0.0, 6.0, 1.0)])
+    vol = jnp.asarray(truth[None, None])
+    angles = np.linspace(0, np.pi, 24, endpoint=False)
+    sino = radon_spectral(vol, angles)
+    res = cp_reconstruct(sino, angles, (1, 1, N, N), n_iter=200, reg=1e-3,
+                         method="spectral", precond=True)
+    assert _rel(np.asarray(res.x[0, 0]), truth) < 2e-3
+    assert res.loss[-1] < 1e-2 * res.loss[0]
+
+
+def test_spectral_mass_conservation_in_disk():
+    """Sum over the detector equals the image mass for objects inside the
+    inscribed disk (DC exactness of the Fourier-slice evaluation)."""
+    N = 64
+    img = _gaussians(N, [(2.0, -3.0, 7.0, 1.0)])
+    vol = jnp.asarray(img[None, None])
+    p = np.asarray(radon_spectral(vol, np.asarray([0.3, 1.2, 2.2]),
+                                  n_det=2 * N))
+    mass = float(np.sum(img))
+    np.testing.assert_allclose(p[0, 0].sum(axis=-1), mass, rtol=1e-6)
