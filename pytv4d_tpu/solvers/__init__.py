@@ -11,7 +11,11 @@ from .cp import (
     default_tau,
     pd_gap,
 )
-from .fidelity import fidelity_dual_prox, fidelity_loss
+from .fidelity import (
+    fidelity_conjugate,
+    fidelity_dual_prox,
+    fidelity_loss,
+)
 from .fista import FISTAResult, fista
 from .inverse import (
     InverseResult,
@@ -19,6 +23,7 @@ from .inverse import (
     cp_inverse,
     exact_transpose,
     gaussian_blur_operator,
+    pd_gap_inverse,
     power_iteration,
     reg_discrepancy,
 )

@@ -104,3 +104,35 @@ def fidelity_loss(Ax, b, fidelity: str = "l2", weight=1.0):
                         b * jnp.log(jnp.maximum(b, 1e-30) / ax), 0.0)
         return jnp.sum(weight * (Ax - b + ent))
     return 0.5 * jnp.sum(weight * jnp.square(Ax - b))
+
+
+def fidelity_conjugate(y, b, fidelity: str = "l2", weight=1.0):
+    """``(y_feasible, F*(y_feasible))`` — the convex conjugate of the data
+    term, with ``y`` first projected onto ``dom F*`` so the returned value
+    is finite (and the duality bound valid) for ANY input.  The conjugate
+    is taken of the same primal form :func:`fidelity_loss` reports:
+
+    - l2: ``F* = <y, b> + sum y^2/(2w)`` (finite everywhere; measurements
+      with ``w = 0`` force ``y = 0`` there),
+    - l1: ``F* = <y, b>`` on the box ``|y| <= w`` (projection = clip),
+    - kl (Csiszar-form primal): ``F* = -sum w b log(1 - y/w)`` on
+      ``y <= w`` (strict where ``b > 0``); projection = clamp to
+      ``(1 - 1e-6) w``.
+
+    Used by the duality-gap certificates (``solvers.cp.pd_gap``,
+    ``solvers.inverse.pd_gap_inverse``)."""
+    w = jnp.asarray(weight, jnp.asarray(y).dtype)
+    if fidelity == "l1":
+        y = jnp.clip(y, -w, w)
+        return y, jnp.sum(y * b)
+    if fidelity == "kl":
+        y = jnp.minimum(y, (1.0 - 1e-6) * w)
+        val = -jnp.sum(jnp.where(
+            b > 0.0, w * b * jnp.log1p(-y / w), 0.0))
+        return y, val
+    live = w > 0
+    y = jnp.where(live, y, 0.0)
+    val = jnp.sum(y * b) + jnp.sum(
+        jnp.where(live, jnp.square(y) / (2.0 * jnp.where(live, w, 1.0)),
+                  0.0))
+    return y, val

@@ -111,6 +111,84 @@ def power_iteration(A: Callable, A_T: Callable, vol_shape, n_iter: int = 12,
     return jnp.sqrt(norms[-1])
 
 
+def pd_gap_inverse(
+    state: "InverseState",
+    A: Callable,
+    b,
+    reg: float = 1.0,
+    cfg: TVConfig = TVConfig(),
+    fidelity: str = "l2",
+    fidelity_weight=1.0,
+    x_box: Optional[float] = None,
+    norm_bound: Optional[float] = None,
+    A_T: Optional[Callable] = None,
+):
+    """Certified duality gap for the inverse problem
+    ``min_{x in C} F(A x) + reg TV(x)`` at ``(state.x, state.y_A,
+    state.y_D)`` — the inverse-solver analog of :func:`..cp.pd_gap`
+    (VERDICT r2 item 4).
+
+    Unlike denoising, the fidelity here composes with ``A``, so Fenchel
+    duality leaves a residual ``r = A^T y_A + D^T y_D`` that is only zero
+    at the exact dual optimum; a finite certificate needs a compact prior
+    set ``C`` containing the minimizer to absorb it (the classical
+    bounded-domain device):
+
+        gap(x, y) = F(A x) + reg TV(x)            [primal P(x)]
+                  + F*(y_A) + TV*(y_D)            [conjugates, y projected
+                                                   feasible first]
+                  + sup_{z in C} <-r, z>          [support function of C]
+            >= P(x) - min_{z in C} P(z) >= 0.
+
+    ``C`` comes from whichever bound you can assert about the true
+    solution (pass at least one; both = the tighter certificate wins):
+
+    - ``x_box = c``: the box ``0 <= x <= c`` (natural for attenuation
+      coefficients — c is the maximum physical attenuation);
+      ``sup = c * sum(relu(-r))``.
+    - ``norm_bound = R``: the ball ``||x||_2 <= R`` (sign-free);
+      ``sup = R * ||r||_2``.
+
+    As the iterates converge, ``r -> 0`` and the support term vanishes, so
+    the certificate is asymptotically tight.  ``fidelity`` in
+    ``('l2', 'l1', 'kl')`` via :func:`..fidelity.fidelity_conjugate`; the
+    TV dual is ball/box-projected exactly as in ``pd_gap`` (for Huber-TV
+    its conjugate gains the quadratic).  Composes with
+    ``run_until_converged(criterion='gap', gap_x_box=...)``.
+    """
+    from .cp import dual_prox
+    from .fidelity import fidelity_conjugate, fidelity_loss
+
+    if x_box is None and norm_bound is None:
+        raise ValueError(
+            "pd_gap_inverse needs a compact prior set containing the true "
+            "solution to certify against — pass x_box=c (the physical "
+            "upper bound, 0 <= x <= c) and/or norm_bound=R (||x||_2 <= R)"
+        )
+    kw = cfg.kwargs()
+    x, y_A, y_D = state.x, state.y_A, state.y_D
+    primal = fidelity_loss(A(x), b, fidelity, fidelity_weight) + (
+        reg * tv_norm(D(x, cfg.scheme, **kw), cfg.norm,
+                      huber_delta=cfg.huber_delta)
+    )
+    # feasibility projections make the bound valid for ANY input
+    y_A, f_star = fidelity_conjugate(y_A, b, fidelity, fidelity_weight)
+    y = dual_prox(y_D, reg, cfg.norm, 0.0, cfg.huber_delta)
+    tv_star = 0.0
+    if cfg.norm == "huber":
+        tv_star = cfg.huber_delta / (2.0 * reg) * jnp.sum(jnp.square(y))
+    if A_T is None:
+        A_T = cached_transpose(A, tuple(x.shape), jnp.dtype(x.dtype).name)
+    r = A_T(y_A) + D_T(y, cfg.scheme, **kw)
+    sup_terms = []
+    if x_box is not None:
+        sup_terms.append(x_box * jnp.sum(jnp.maximum(-r, 0.0)))
+    if norm_bound is not None:
+        sup_terms.append(norm_bound * jnp.sqrt(jnp.sum(jnp.square(r))))
+    sup_C = sup_terms[0] if len(sup_terms) == 1 else jnp.minimum(*sup_terms)
+    return primal + f_star + tv_star + sup_C
+
+
 def cp_inverse(
     A: Callable,
     b,

@@ -122,6 +122,9 @@ def run_until_converged(
     chunk: int = 50,
     max_iter: int = 5000,
     criterion: str = "loss",
+    gap_x_box=None,
+    gap_norm_bound=None,
+    gap_operator=None,
     **solver_kwargs,
 ):
     """Tolerance-based stopping for the fixed-length ``lax.scan`` solvers:
@@ -135,10 +138,19 @@ def run_until_converged(
 
     - ``'loss'`` (default, any solver): relative loss change across a
       chunk, ``|loss[0] - loss[-1]| / |loss[-1]|`` — a heuristic.
-    - ``'gap'`` (``chambolle_pock`` only): relative primal-dual gap
-      ``pd_gap(state) / |loss[-1]|`` (``solvers.cp.pd_gap``) — a CERTIFIED
-      optimality bound: gap/P >= (P(x) - P(x*)) / P(x).  Requires the
-      solver to carry a CP state (x, y_A, y_D) and the l2 fidelity.
+    - ``'gap'``: relative primal-dual gap — a CERTIFIED optimality bound,
+      gap/P >= (P(x) - P(x*)) / P(x).  For the denoising solvers
+      (``chambolle_pock``/``chambolle_pock_precond``, l2 fidelity) this is
+      ``solvers.cp.pd_gap``.  For the INVERSE solvers (``cp_inverse`` /
+      ``cp_reconstruct`` states) it is ``solvers.inverse.pd_gap_inverse``,
+      which additionally needs a compact prior set containing the true
+      solution: pass ``gap_x_box=c`` (0 <= x <= c) and/or
+      ``gap_norm_bound=R`` (||x||_2 <= R) — these are consumed here, not
+      forwarded to the solver.  The forward operator is read from the
+      ``functools.partial`` composition (``partial(cp_inverse, A,
+      vol_shape=...)`` — the documented pattern) or passed explicitly as
+      ``gap_operator=A`` (required for ``cp_reconstruct``, whose projector
+      is built internally: reuse ``models.ct.make_projector``).
 
     Works with any solver following the package convention: ``chambolle_pock``
     and ``admm`` resume via their ``state`` kwarg; ``subgradient_descent``
@@ -158,30 +170,27 @@ def run_until_converged(
     # that objective into the solver, so merge partial keywords into the
     # lookup (call-site solver_kwargs win, matching call semantics).
     gap_kwargs = dict(solver_kwargs)
+    gap_pos_args = []
     f = solver
     while isinstance(f, functools.partial):
         for k, v in (f.keywords or {}).items():
             gap_kwargs.setdefault(k, v)
+        # partial(partial(f, *a1), *a2) calls f(*a1, *a2): inner args lead
+        gap_pos_args = list(f.args) + gap_pos_args
         f = f.func
     if criterion == "gap":
         if "reg" not in gap_kwargs:
             raise ValueError(
                 "criterion='gap' computes the duality gap of the objective "
-                "1/2||x-x0||^2 + reg*TV(x) and needs the SAME reg the "
-                "solver uses — pass reg= explicitly (as a kwarg here or on "
-                "a functools.partial solver); refusing to silently default"
+                "F(x) + reg*TV(x) and needs the SAME reg the solver uses — "
+                "pass reg= explicitly (as a kwarg here or on a "
+                "functools.partial solver); refusing to silently default"
             )
         if not takes_state:
             raise ValueError(
                 "criterion='gap' needs a solver that carries a primal-dual "
-                "state (chambolle_pock); loss-based stopping works for all "
-                "solvers"
-            )
-        if gap_kwargs.get("fidelity", "l2") != "l2":
-            raise ValueError(
-                "criterion='gap' certifies the l2-fidelity denoising "
-                "objective only (solvers.cp.pd_gap) — use criterion='loss' "
-                "for fidelity='l1'/'kl'"
+                "state (chambolle_pock / cp_inverse); loss-based stopping "
+                "works for all solvers"
             )
     state = None
     x_init = None
@@ -202,26 +211,56 @@ def run_until_converged(
         done += n
         if criterion == "gap":
             from .cp import CPPrecondState, CPState, pd_gap
+            from .inverse import InverseState, pd_gap_inverse
 
-            if not isinstance(state, (CPState, CPPrecondState)):
-                raise ValueError(
-                    f"criterion='gap' supports the denoising CP solvers "
-                    f"(chambolle_pock / chambolle_pock_precond) — got "
-                    f"{type(state).__name__}; the gap certificate is for "
-                    f"the denoising objective, not general inverse problems"
-                )
             if state.y_D is None:
                 raise ValueError(
                     "criterion='gap' needs the dual in the state — do not "
                     "pass return_dual=False"
                 )
-            gap = float(pd_gap(
-                state, x_noisy,
-                reg=gap_kwargs["reg"],
-                cfg=gap_kwargs.get("cfg", _default_cfg()),
-                mask_static=gap_kwargs.get("mask_static"),
-                weight_time=gap_kwargs.get("weight_time"),
-            ))
+            if isinstance(state, InverseState):
+                A = gap_operator
+                if A is None and gap_pos_args and callable(gap_pos_args[0]):
+                    A = gap_pos_args[0]  # partial(cp_inverse, A, ...)
+                if A is None:
+                    raise ValueError(
+                        "criterion='gap' on an inverse-solver state needs "
+                        "the forward operator: compose the solver as "
+                        "functools.partial(cp_inverse, A, vol_shape=...) "
+                        "or pass gap_operator=A (for cp_reconstruct, "
+                        "build A via models.ct.make_projector)"
+                    )
+                gap = float(pd_gap_inverse(
+                    state, A, x_noisy,
+                    reg=gap_kwargs["reg"],
+                    cfg=gap_kwargs.get("cfg", _default_cfg()),
+                    fidelity=gap_kwargs.get("fidelity", "l2"),
+                    fidelity_weight=gap_kwargs.get("fidelity_weight", 1.0),
+                    x_box=gap_x_box,
+                    norm_bound=gap_norm_bound,
+                    A_T=gap_kwargs.get("A_T"),
+                ))
+            elif isinstance(state, (CPState, CPPrecondState)):
+                if gap_kwargs.get("fidelity", "l2") != "l2":
+                    raise ValueError(
+                        "criterion='gap' certifies the l2-fidelity "
+                        "denoising objective (solvers.cp.pd_gap) — use "
+                        "criterion='loss' for fidelity='l1'/'kl' denoising "
+                        "(the inverse solvers' gap supports all three)"
+                    )
+                gap = float(pd_gap(
+                    state, x_noisy,
+                    reg=gap_kwargs["reg"],
+                    cfg=gap_kwargs.get("cfg", _default_cfg()),
+                    mask_static=gap_kwargs.get("mask_static"),
+                    weight_time=gap_kwargs.get("weight_time"),
+                ))
+            else:
+                raise ValueError(
+                    f"criterion='gap' supports the denoising CP solvers "
+                    f"and the inverse solvers (cp_inverse/cp_reconstruct) "
+                    f"— got {type(state).__name__}"
+                )
             if gap <= tol * abs(float(loss[-1])):
                 break
         else:

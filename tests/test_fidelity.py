@@ -254,8 +254,9 @@ def test_denoiser_fidelity_validation():
 
 
 def test_gap_criterion_guards():
-    """criterion='gap' certifies the l2 denoising objective only: reject
-    other fidelities up front and non-CPState solvers after one chunk."""
+    """criterion='gap' guards: the DENOISING gap certifies l2 only (the
+    inverse gap supports all three fidelities); an inverse-solver state
+    without a prior set gets the pd_gap_inverse guidance."""
     import functools
 
     from pytv4d_tpu.solvers import cp_inverse, run_until_converged
@@ -267,9 +268,14 @@ def test_gap_criterion_guards():
                             fidelity="l1", reg=1.0)
     solver = functools.partial(cp_inverse, lambda v: v, vol_shape=x.shape,
                                op_norm=1.0, reg=0.1)
-    with pytest.raises(ValueError, match="denoising CP solvers"):
+    with pytest.raises(ValueError, match="x_box"):
         run_until_converged(solver, x, criterion="gap", chunk=5,
                             max_iter=10)
+    # with the prior set, the inverse gap criterion runs (and on the
+    # identity operator the denoising-equivalent problem certifies fast)
+    res = run_until_converged(solver, x, criterion="gap", chunk=25,
+                              max_iter=500, tol=1e-3, gap_x_box=2.0)
+    assert len(res.loss) <= 500
 
 
 def test_inverse_runner_cache_shared_across_regs():
@@ -359,3 +365,37 @@ def test_tgv_inverse_fidelity_smoke():
     assert float(jnp.min(res.x)) >= 0.0
     err = float(jnp.sqrt(jnp.mean((res.x - ramp) ** 2)))
     assert err < 0.15
+
+
+def test_fidelity_conjugate_fenchel_young():
+    """F(v) + F*(y) >= <y, v> for all (v, y), equality at y = grad F(v) —
+    the conjugates must pair with the reported fidelity_loss forms."""
+    from pytv4d_tpu.solvers.fidelity import fidelity_conjugate, fidelity_loss
+
+    rng = np.random.default_rng(0)
+    b = jnp.asarray(rng.random((4, 8)) + 0.1)
+    v = jnp.asarray(rng.random((4, 8)) + 0.2)
+    w = 1.7
+    for fid in ("l2", "l1", "kl"):
+        y_raw = jnp.asarray(rng.standard_normal((4, 8)))
+        y, fstar = fidelity_conjugate(y_raw, b, fid, w)
+        lhs = float(fidelity_loss(v, b, fid, w) + fstar)
+        rhs = float(jnp.sum(y * v))
+        assert lhs >= rhs - 1e-9 * abs(lhs), fid
+        # equality at the subgradient: l2 grad = w (v - b)
+        if fid == "l2":
+            yg, fg = fidelity_conjugate(w * (v - b), b, fid, w)
+            eq = float(fidelity_loss(v, b, fid, w) + fg - jnp.sum(yg * v))
+            assert abs(eq) < 1e-9
+        if fid == "kl":
+            # Csiszar primal: grad = w (1 - b / v)
+            yg, fg = fidelity_conjugate(w * (1.0 - b / v), b, fid, w)
+            eq = float(fidelity_loss(v, b, fid, w) + fg - jnp.sum(yg * v))
+            assert abs(eq) < 1e-8
+    # per-measurement array weight with dead rows (w = 0)
+    wv = jnp.asarray(rng.random((4, 8)))
+    wv = wv.at[0].set(0.0)
+    y, fstar = fidelity_conjugate(jnp.asarray(rng.standard_normal((4, 8))),
+                                  b, "l2", wv)
+    assert float(jnp.max(jnp.abs(y[0]))) == 0.0
+    assert np.isfinite(float(fstar))

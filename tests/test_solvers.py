@@ -1194,3 +1194,101 @@ def test_fidelity_row_precond_relative_floor():
     A = lambda x: scale * x  # noqa: E731 - uniform tiny row sums
     sig = np.asarray(fidelity_row_precond(A, shape, shape, jnp.float64))
     np.testing.assert_allclose(sig, 1.0 / scale, rtol=1e-12)
+
+
+def test_pd_gap_inverse_bounds_suboptimality():
+    """The inverse-problem gap certificate (VERDICT r2 item 4): on a TV-CT
+    problem, pd_gap_inverse at n iterations bounds the TRUE suboptimality
+    measured against a 10x-iteration reference solve, shrinks with n, and
+    both prior-set forms (box / norm ball) are valid."""
+    from pytv4d_tpu.models.ct import make_projector, radon
+    from pytv4d_tpu.solvers import cp_inverse, pd_gap_inverse
+
+    N = 24
+    c0 = (N - 1) / 2.0
+    rr, cc = np.meshgrid(np.arange(N) - c0, np.arange(N) - c0,
+                         indexing="ij")
+    truth = np.exp(-(rr ** 2 + cc ** 2) / (2 * 5.0 ** 2))
+    shape = (1, 1, N, N)
+    angles = np.linspace(0, np.pi, 16, endpoint=False)
+    A, A_T = make_projector(shape, angles, dtype=jnp.float64,
+                            method="gather")
+    b = A(jnp.asarray(truth[None, None]))
+    kw = dict(reg=5e-3, op_norm=None, nonneg=True)
+
+    ref = cp_inverse(A, b, shape, A_T=A_T, n_iter=3000, **kw)
+    p_star = float(ref.loss[-1])
+
+    gaps, subopts = [], []
+    for n in (100, 300):
+        res = cp_inverse(A, b, shape, A_T=A_T, n_iter=n, **kw)
+        gap = float(pd_gap_inverse(res.state, A, b, reg=kw["reg"],
+                                   x_box=2.0, A_T=A_T))
+        subopt = float(res.loss[-1]) - p_star
+        assert gap >= subopt - 1e-9, (n, gap, subopt)
+        assert gap >= 0.0
+        gaps.append(gap)
+        subopts.append(subopt)
+    assert gaps[1] < gaps[0]  # certificate tightens with iterations
+
+    # norm-ball prior set is valid too, and min(box, ball) is the tighter
+    res = cp_inverse(A, b, shape, A_T=A_T, n_iter=300, **kw)
+    R = float(jnp.sqrt(jnp.sum(jnp.square(jnp.asarray(truth))))) * 2.0
+    g_ball = float(pd_gap_inverse(res.state, A, b, reg=kw["reg"],
+                                  norm_bound=R, A_T=A_T))
+    g_both = float(pd_gap_inverse(res.state, A, b, reg=kw["reg"],
+                                  x_box=2.0, norm_bound=R, A_T=A_T))
+    assert g_ball >= float(res.loss[-1]) - p_star - 1e-9
+    assert g_both <= min(g_ball, gaps[1]) + 1e-9
+
+    # missing prior set -> explicit error
+    with pytest.raises(ValueError, match="x_box"):
+        pd_gap_inverse(res.state, A, b, reg=kw["reg"])
+
+
+def test_run_until_converged_gap_inverse_ct():
+    """run_until_converged(criterion='gap') on the TV-CT experiment: the
+    operator rides the documented functools.partial composition, the
+    stop is certified (gap <= tol * loss), and gap_x_box is consumed
+    rather than forwarded to the solver."""
+    import functools
+
+    from pytv4d_tpu.models.ct import make_projector
+    from pytv4d_tpu.solvers import cp_inverse, pd_gap_inverse
+    from pytv4d_tpu.solvers import run_until_converged
+
+    N = 16
+    rng = np.random.default_rng(5)
+    shape = (1, 1, N, N)
+    angles = np.linspace(0, np.pi, 12, endpoint=False)
+    A, A_T = make_projector(shape, angles, dtype=jnp.float64,
+                            method="gather")
+    truth = rng.random((N, N))
+    b = A(jnp.asarray(truth[None, None]))
+
+    solver = functools.partial(cp_inverse, A, vol_shape=shape, A_T=A_T,
+                               reg=1e-3, nonneg=True)
+    # the certified gap decays at CP's O(1/n): rel ~5.5e-2 at 4000 its on
+    # this problem (measured) — certify at 6e-2 and verify the stop
+    res = run_until_converged(solver, b, tol=6e-2, chunk=250,
+                              max_iter=6000, criterion="gap", gap_x_box=2.0)
+    n_run = len(res.loss)
+    assert n_run < 6000
+    gap = float(pd_gap_inverse(res.state, A, b, reg=1e-3, x_box=2.0,
+                               A_T=A_T))
+    assert gap <= 6e-2 * abs(float(res.loss[-1]))
+
+    # without the partial operator or gap_operator: explicit guidance
+    def opaque_solver(b_, n_iter=10, state=None, **kw):
+        return cp_inverse(A, b_, shape, A_T=A_T, n_iter=n_iter,
+                          state=state, **kw)
+
+    with pytest.raises(ValueError, match="gap_operator"):
+        run_until_converged(opaque_solver, b, tol=1e-4, chunk=10,
+                            max_iter=20, criterion="gap", reg=1e-3,
+                            gap_x_box=2.0)
+    # ... and gap_operator= fixes it (tol loose: exercising the path)
+    res2 = run_until_converged(opaque_solver, b, tol=5e-2, chunk=100,
+                               max_iter=200, criterion="gap", reg=1e-3,
+                               gap_operator=A, gap_x_box=2.0)
+    assert len(res2.loss) <= 200
