@@ -919,7 +919,7 @@ def _filter_projections(p, H, size: int, n_det: int, dtype):
 
 
 def fbp(sino, angles, n_out: Optional[int] = None,
-        filter_name: str = "ramp"):
+        filter_name: str = "ramp", method: str = "auto"):
     """Filtered backprojection of a ``(Nz, M, n_angles, n_det)`` sinogram —
     the classical analytic reconstruction (bandlimited Ram-Lak filter +
     backprojection), vmapped over z and time.
@@ -930,11 +930,29 @@ def fbp(sino, angles, n_out: Optional[int] = None,
     ``(M, n_angles)``.  ``filter_name``: 'ramp' (sharpest), 'shepp-logan',
     'cosine', 'hann' or 'hamming' (progressively smoother — trade noise
     and ringing for resolution on real data).
+
+    ``method`` selects the backprojector: ``'gather'`` interpolates each
+    pixel's detector coordinate (``map_coordinates`` — the op class that
+    crashed TPU workers at production sizes), ``'spectral'`` uses the
+    exact adjoint of the gather-free spectral projector (FFT + matmuls);
+    ``'auto'`` = spectral on accelerators, gather on CPU.
     """
     sino = jnp.asarray(sino)
+    angles_host = angles  # keep pre-conversion values: under a user jit,
+    # jnp.asarray turns constants into tracers, but the spectral tables
+    # need host values
     angles = jnp.asarray(angles, sino.dtype)
     Nz, M, n_angles, n_det = sino.shape
     N = n_out or n_det
+
+    if _resolve_method(method) == "spectral":
+        from .ct_spectral import make_spectral_projector
+
+        H, size = _fourier_ramp(n_det, filter_name, sino.dtype)
+        filtered = _filter_projections(sino, H, size, n_det, sino.dtype)
+        _, A_T = make_spectral_projector((Nz, M, N, N), angles_host,
+                                         n_det=n_det, dtype=sino.dtype)
+        return A_T(filtered) * (jnp.pi / (2 * n_angles))
 
     per_angle = Nz * M * N * N * jnp.dtype(sino.dtype).itemsize
     angle_batch = max(1, _RADON_GATHER_BUDGET // max(per_angle, 1))

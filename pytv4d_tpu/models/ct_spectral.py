@@ -90,16 +90,20 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     real_dt = vol.dtype
     cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
     c0 = (N - 1) / 2.0
-    k = jnp.asarray(np.fft.fftfreq(Np) * Np, real_dt)       # (Np,)
+    # HALF spectrum: the volume is real, so G(-k) = conj(G(k)) and the
+    # (real) detector synthesis folds to k = 0..Np/2 with weight 2 on the
+    # interior bins — both NUDFT matmuls and the phase tables halve.
+    k = jnp.arange(Np // 2 + 1, dtype=real_dt)              # (Np/2+1,)
+    wk = jnp.where((k == 0) | (k == Np // 2), 1.0, 2.0).astype(real_dt)
     s_j = jnp.arange(n_det, dtype=real_dt) - (n_det - 1) / 2.0
     x = jnp.arange(N, dtype=real_dt) - c0                   # x_r == y_c grid
 
     if vertical:
         # column FFT once: F[..., r, k] = sum_c img[..,r,c] e^{-2i pi kc/Np}
-        F = jnp.fft.fft(vol, n=Np, axis=-1)
+        F = jnp.fft.rfft(vol, n=Np, axis=-1)
     else:
         # row FFT once; move the k axis last: F[..., c, k]
-        F = jnp.moveaxis(jnp.fft.fft(vol, n=Np, axis=-2), -2, -1)
+        F = jnp.moveaxis(jnp.fft.rfft(vol, n=Np, axis=-2), -2, -1)
     # centering phase e^{+2i pi k c0 / Np} (x_r = r - c0 / y_c = c - c0)
     F = F * jnp.exp(2j * jnp.pi * k * c0 / Np).astype(cplx_dt)
 
@@ -129,7 +133,9 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
         dphase = (det_sign * 2.0 * jnp.pi / Np) \
             * (k[None, :, None] / denom[:, None, None]) * s_j[None, None, :]
         E = jnp.exp(1j * dphase.astype(real_dt)).astype(cplx_dt)
-        E = E / (Np * jnp.abs(denom))[:, None, None].astype(cplx_dt)
+        scale = (wk[None, :, None]
+                 / (Np * jnp.abs(denom))[:, None, None]).astype(cplx_dt)
+        E = E * scale
         return jnp.real(jnp.einsum("...ak,aks->...as", G, E)).astype(real_dt)
 
     A = ang_b.shape[0]
@@ -148,7 +154,7 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
 
 
 def _auto_chunk(N: int, Np: int, n_det: int, itemsize: int) -> int:
-    per_angle = (N * Np + Np * n_det) * 2 * itemsize  # P + E tables
+    per_angle = (N * Np + Np * n_det) * itemsize  # P + E tables (half-k)
     return max(1, _SPECTRAL_TABLE_BUDGET // max(per_angle, 1))
 
 
