@@ -94,3 +94,32 @@ res_c = cp_reconstruct(sino_c, angles_c, truth3d.shape, n_iter=60, reg=0.01,
 corr_c = np.corrcoef(np.asarray(res_c.x).ravel(), truth3d.ravel())[0, 1]
 print(f"cone-beam: {len(angles_c)} views, FDK warm start, "
       f"TV recon corr(truth) = {corr_c:.3f}")
+
+# ---- round 3: the gather-free spectral projector + certified stopping ----
+# On TPU, `method='auto'` picks the spectral projector (FFT + matmuls, no
+# gather in the compiled program) — the production path at scales where the
+# bilinear gather projector crashed TPU workers ((16,4,512,512) x 96
+# angles).  Here we request it explicitly (this example also runs on CPU)
+# and stop on the CERTIFIED duality gap instead of a fixed count.
+import functools
+
+from pytv4d_tpu.models.ct import make_projector
+from pytv4d_tpu.models.ct_spectral import radon_spectral
+from pytv4d_tpu.solvers import cp_inverse, pd_gap_inverse, run_until_converged
+
+angles_s = np.linspace(0, np.pi, 45, endpoint=False)
+sino_s = radon_spectral(truth, angles_s)
+A, A_T = make_projector(truth.shape, angles_s, method="spectral")
+solver = functools.partial(cp_inverse, A, vol_shape=truth.shape, A_T=A_T,
+                           reg=0.01, nonneg=True)
+# prior set for the certificate: attenuation is physically <= 1 here
+res_s = run_until_converged(solver, sino_s, tol=5e-2, chunk=100,
+                            max_iter=2000, criterion="gap", gap_x_box=1.5)
+gap = float(pd_gap_inverse(res_s.state, A, sino_s, reg=0.01, x_box=1.5,
+                           A_T=A_T))
+corr_s = np.corrcoef(np.asarray(res_s.x).ravel(), truth.ravel())[0, 1]
+print(f"spectral projector + gap stopping: {len(res_s.loss)} iterations, "
+      f"certified gap/loss = {gap / float(res_s.loss[-1]):.3f}, "
+      f"corr(truth) = {corr_s:.3f}")
+assert gap <= 5e-2 * float(res_s.loss[-1])
+assert corr_s > 0.95
