@@ -770,6 +770,10 @@ def sart(
     ``functools.partial(radon_fan, geom=geom)`` for fan-beam, or
     ``functools.partial(radon_cone, geom=geom)`` with ``angle_axis=1`` for
     cone-beam (whose sinogram is ``(M, n_angles, n_det_v, n_det_u)``).
+    The SPECTRAL projector cannot ride here: subsets scan as traced
+    angles, but its NUDFT tables need concrete ones — warm-start with the
+    gather projector (modest sizes) or skip straight to
+    ``cp_reconstruct(method='spectral')``.
     """
     sino = jnp.asarray(sino)
     dtype = sino.dtype
