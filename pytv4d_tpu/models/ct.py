@@ -159,8 +159,11 @@ def make_projector(vol_shape, angles, n_det: Optional[int] = None,
     if _resolve_method(method) == "spectral":
         from .ct_spectral import make_spectral_projector
 
+        # angle_batch and the spectral angle_chunk mean the same thing
+        # (angles per sequential sweep), so an explicit memory bound
+        # carries across methods instead of being silently dropped
         return make_spectral_projector(vol_shape, angles, n_det=n_det,
-                                       dtype=dtype)
+                                       dtype=dtype, angle_chunk=angle_batch)
     angles = jnp.asarray(angles, dtype)
     n_det = n_det or vol_shape[-1]
 

@@ -126,9 +126,11 @@ def fidelity_conjugate(y, b, fidelity: str = "l2", weight=1.0):
         y = jnp.clip(y, -w, w)
         return y, jnp.sum(y * b)
     if fidelity == "kl":
-        y = jnp.minimum(y, (1.0 - 1e-6) * w)
+        live = w > 0
+        y = jnp.where(live, jnp.minimum(y, (1.0 - 1e-6) * w), 0.0)
+        safe_w = jnp.where(live, w, 1.0)  # dead rows force y = 0, F* = 0
         val = -jnp.sum(jnp.where(
-            b > 0.0, w * b * jnp.log1p(-y / w), 0.0))
+            live & (b > 0.0), w * b * jnp.log1p(-y / safe_w), 0.0))
         return y, val
     live = w > 0
     y = jnp.where(live, y, 0.0)

@@ -192,6 +192,19 @@ def run_until_converged(
                 "state (chambolle_pock / cp_inverse); loss-based stopping "
                 "works for all solvers"
             )
+        if (gap_kwargs.get("fidelity", "l2") != "l2"
+                and gap_x_box is None and gap_norm_bound is None):
+            # fail FAST, before a whole chunk of solve: without a prior
+            # set this can only be the denoising gap, which is l2-only
+            # (the inverse gap supports l1/kl but requires gap_x_box /
+            # gap_norm_bound anyway)
+            raise ValueError(
+                "criterion='gap' certifies the l2-fidelity denoising "
+                "objective (solvers.cp.pd_gap) — use criterion='loss' for "
+                "fidelity='l1'/'kl' denoising, or, for the INVERSE "
+                "solvers (which support all three), pass the prior set "
+                "(gap_x_box=/gap_norm_bound=)"
+            )
     state = None
     x_init = None
     losses = []
@@ -213,11 +226,9 @@ def run_until_converged(
             from .cp import CPPrecondState, CPState, pd_gap
             from .inverse import InverseState, pd_gap_inverse
 
-            if state.y_D is None:
-                raise ValueError(
-                    "criterion='gap' needs the dual in the state — do not "
-                    "pass return_dual=False"
-                )
+            # type dispatch FIRST: states without a y_D field (ADMM, TGV)
+            # must get the clear unsupported-solver error, not an
+            # AttributeError
             if isinstance(state, InverseState):
                 A = gap_operator
                 if A is None and gap_pos_args and callable(gap_pos_args[0]):
@@ -247,6 +258,11 @@ def run_until_converged(
                         "denoising objective (solvers.cp.pd_gap) — use "
                         "criterion='loss' for fidelity='l1'/'kl' denoising "
                         "(the inverse solvers' gap supports all three)"
+                    )
+                if state.y_D is None:
+                    raise ValueError(
+                        "criterion='gap' needs the dual in the state — do "
+                        "not pass return_dual=False"
                     )
                 gap = float(pd_gap(
                     state, x_noisy,
