@@ -28,7 +28,13 @@ from .inverse import (
     reg_discrepancy,
 )
 from .gd import GDResult, gd_step, subgradient_descent
-from .tgv import TGVInverseState, TGVResult, tgv_denoise, tgv_inverse
+from .tgv import (
+    TGVInverseState,
+    TGVResult,
+    tgv_denoise,
+    tgv_gap_inverse,
+    tgv_inverse,
+)
 from .state import (
     load_state,
     load_state_orbax,

@@ -124,6 +124,7 @@ def run_until_converged(
     criterion: str = "loss",
     gap_x_box=None,
     gap_norm_bound=None,
+    gap_w_box=None,
     gap_operator=None,
     **solver_kwargs,
 ):
@@ -150,7 +151,10 @@ def run_until_converged(
       ``functools.partial`` composition (``partial(cp_inverse, A,
       vol_shape=...)`` — the documented pattern) or passed explicitly as
       ``gap_operator=A`` (required for ``cp_reconstruct``, whose projector
-      is built internally: reuse ``models.ct.make_projector``).
+      is built internally: reuse ``models.ct.make_projector``).  TGV
+      inverse states use ``solvers.tgv.tgv_gap_inverse`` (pass alpha1/
+      alpha0 explicitly; ``gap_w_box`` bounds the auxiliary field,
+      defaulting to ``gap_x_box`` — the gradient bound of a [0, c] image).
 
     Works with any solver following the package convention: ``chambolle_pock``
     and ``admm`` resume via their ``state`` kwarg; ``subgradient_descent``
@@ -178,8 +182,17 @@ def run_until_converged(
         # partial(partial(f, *a1), *a2) calls f(*a1, *a2): inner args lead
         gap_pos_args = list(f.args) + gap_pos_args
         f = f.func
+    is_tgv = "alpha1" in inspect.signature(f).parameters
     if criterion == "gap":
-        if "reg" not in gap_kwargs:
+        if is_tgv and ("alpha1" not in gap_kwargs
+                       or "alpha0" not in gap_kwargs):
+            raise ValueError(
+                "criterion='gap' on a TGV solver computes the gap of "
+                "F + a1 N(Dx - w) + a0 N(Ew) and needs the SAME alphas the "
+                "solver uses — pass alpha1= and alpha0= explicitly; "
+                "refusing to silently default"
+            )
+        if not is_tgv and "reg" not in gap_kwargs:
             raise ValueError(
                 "criterion='gap' computes the duality gap of the objective "
                 "F(x) + reg*TV(x) and needs the SAME reg the solver uses — "
@@ -225,11 +238,9 @@ def run_until_converged(
         if criterion == "gap":
             from .cp import CPPrecondState, CPState, pd_gap
             from .inverse import InverseState, pd_gap_inverse
+            from .tgv import TGVInverseState, tgv_gap_inverse
 
-            # type dispatch FIRST: states without a y_D field (ADMM, TGV)
-            # must get the clear unsupported-solver error, not an
-            # AttributeError
-            if isinstance(state, InverseState):
+            def _operator():
                 A = gap_operator
                 if A is None and gap_pos_args and callable(gap_pos_args[0]):
                     A = gap_pos_args[0]  # partial(cp_inverse, A, ...)
@@ -238,9 +249,31 @@ def run_until_converged(
                         "criterion='gap' on an inverse-solver state needs "
                         "the forward operator: compose the solver as "
                         "functools.partial(cp_inverse, A, vol_shape=...) "
-                        "or pass gap_operator=A (for cp_reconstruct, "
-                        "build A via models.ct.make_projector)"
+                        "or pass gap_operator=A (for cp_reconstruct / "
+                        "tgv_reconstruct, build A via "
+                        "models.ct.make_projector)"
                     )
+                return A
+
+            # type dispatch FIRST: states without a y_D field (ADMM, TGV
+            # denoising) must get the clear unsupported-solver error, not
+            # an AttributeError
+            if isinstance(state, TGVInverseState):
+                gap = float(tgv_gap_inverse(
+                    state, _operator(), x_noisy,
+                    alpha1=gap_kwargs["alpha1"],
+                    alpha0=gap_kwargs["alpha0"],
+                    axes=gap_kwargs.get("axes", "2d"),
+                    norm=gap_kwargs.get("norm", "iso"),
+                    huber_delta=gap_kwargs.get("huber_delta", 1.0),
+                    fidelity=gap_kwargs.get("fidelity", "l2"),
+                    fidelity_weight=gap_kwargs.get("fidelity_weight", 1.0),
+                    x_box=gap_x_box,
+                    w_box=gap_w_box,
+                    A_T=gap_kwargs.get("A_T"),
+                ))
+            elif isinstance(state, InverseState):
+                A = _operator()
                 gap = float(pd_gap_inverse(
                     state, A, x_noisy,
                     reg=gap_kwargs["reg"],
@@ -274,8 +307,8 @@ def run_until_converged(
             else:
                 raise ValueError(
                     f"criterion='gap' supports the denoising CP solvers "
-                    f"and the inverse solvers (cp_inverse/cp_reconstruct) "
-                    f"— got {type(state).__name__}"
+                    f"and the inverse solvers (cp_inverse/cp_reconstruct/"
+                    f"tgv_inverse) — got {type(state).__name__}"
                 )
             if gap <= tol * abs(float(loss[-1])):
                 break

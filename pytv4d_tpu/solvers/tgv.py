@@ -629,6 +629,80 @@ def _chanmul(maps, arr):
     return maps * arr
 
 
+def tgv_gap_inverse(
+    state: TGVInverseState,
+    A,
+    b,
+    alpha1: float = 1.0,
+    alpha0: float = 2.0,
+    axes: str = "2d",
+    norm: str = "iso",
+    huber_delta: float = 1.0,
+    fidelity: str = "l2",
+    fidelity_weight=1.0,
+    x_box: float = None,
+    w_box: float = None,
+    A_T=None,
+):
+    """Certified duality gap for the TGV-2 inverse problem
+
+        min_{(x, w) in C} F(A x) + a1 N(D x - w) + a0 N(E w)
+
+    at ``(state.x, state.w, state.y_A, state.p, state.q)`` — the TGV
+    counterpart of :func:`..inverse.pd_gap_inverse` over the two primal
+    blocks of K = [[A, 0], [D, -I], [0, E]]:
+
+        gap = P(x, w) + F*(y_A) + N1*(p) + N0*(q)
+            + sup_{x in Cx} <-r_x, x> + sup_{w in Cw} <-r_w, w>,
+        r_x = A^T y_A + D^T p,   r_w = -p + E^T q,
+
+    with the duals projected feasible first (a1/a0 balls or boxes; Huber
+    conjugates gain the quadratic).  The prior sets: ``x_box = c`` is the
+    physical bound ``0 <= x <= c``; ``w_box`` bounds the auxiliary field
+    componentwise, ``|w| <= w_box`` (w tracks the gradient of x, so the
+    gradient bound of a ``[0, c]`` image — ``w_box = c``, the default — is
+    the natural prior; the certificate is a bound on
+    ``P - min_C P`` whenever the true minimizer satisfies both).  Both
+    support terms vanish as the dual residuals converge.  Composes with
+    ``run_until_converged(criterion='gap', gap_x_box=..., gap_w_box=...)``.
+    """
+    from .fidelity import fidelity_conjugate, fidelity_loss
+
+    if x_box is None:
+        raise ValueError(
+            "tgv_gap_inverse needs the compact prior set: pass x_box=c "
+            "(0 <= x <= c; w_box defaults to c — the gradient bound of a "
+            "[0, c] image)"
+        )
+    if w_box is None:
+        w_box = x_box
+    vol_shape = tuple(state.x.shape)
+    dtype = state.x.dtype
+    d_fwd, sym_grad, d_T, sym_T, n_w, n_q, _ = _tgv_ops(axes, vol_shape,
+                                                        dtype)
+    x, w, y_A, p, q = state.x, state.w, state.y_A, state.p, state.q
+    primal = fidelity_loss(A(x), b, fidelity, fidelity_weight) + (
+        alpha1 * _tgv_norm_val(d_fwd(x) - w, norm, huber_delta)
+        + alpha0 * _tgv_norm_val(sym_grad(w), norm, huber_delta)
+    )
+    y_A, f_star = fidelity_conjugate(y_A, b, fidelity, fidelity_weight)
+    p = _tgv_dual_prox(p, alpha1, norm, 0.0, huber_delta)
+    q = _tgv_dual_prox(q, alpha0, norm, 0.0, huber_delta)
+    tv_star = 0.0
+    if norm == "huber":
+        tv_star = (huber_delta / (2.0 * alpha1) * jnp.sum(jnp.square(p))
+                   + huber_delta / (2.0 * alpha0) * jnp.sum(jnp.square(q)))
+    if A_T is None:
+        from .inverse import cached_transpose
+
+        A_T = cached_transpose(A, vol_shape, jnp.dtype(dtype).name)
+    r_x = A_T(y_A) + d_T(p)
+    r_w = -p + sym_T(q)
+    sup_x = x_box * jnp.sum(jnp.maximum(-r_x, 0.0))
+    sup_w = w_box * jnp.sum(jnp.abs(r_w))   # sign-free box on w
+    return primal + f_star + tv_star + sup_x + sup_w
+
+
 def tgv_inverse(
     A,
     b,

@@ -1292,3 +1292,62 @@ def test_run_until_converged_gap_inverse_ct():
                                max_iter=200, criterion="gap", reg=1e-3,
                                gap_operator=A, gap_x_box=2.0)
     assert len(res2.loss) <= 200
+
+
+def test_tgv_gap_inverse_bounds_suboptimality():
+    """tgv_gap_inverse certifies TGV-CT iterates: the gap bounds the true
+    suboptimality (vs a 10x-iteration reference), tightens with
+    iterations, and run_until_converged(criterion='gap') drives it with
+    alphas from the functools.partial composition."""
+    import functools
+
+    from pytv4d_tpu.models.ct import make_projector
+    from pytv4d_tpu.solvers import (
+        run_until_converged,
+        tgv_gap_inverse,
+        tgv_inverse,
+    )
+
+    N = 24
+    c0 = (N - 1) / 2.0
+    rr, cc = np.meshgrid(np.arange(N) - c0, np.arange(N) - c0,
+                         indexing="ij")
+    # piecewise-linear truth (TGV's home turf), nonneg, max < 2
+    truth = np.clip(1.0 - np.abs(rr) / 16.0, 0.0, None) \
+        * (np.abs(cc) < 10)
+    shape = (1, 1, N, N)
+    angles = np.linspace(0, np.pi, 16, endpoint=False)
+    A, A_T = make_projector(shape, angles, dtype=jnp.float64,
+                            method="gather")
+    b = A(jnp.asarray(truth[None, None]))
+    kw = dict(alpha1=2e-3, alpha0=4e-3, op_norm=24.0, nonneg=True)
+
+    ref = tgv_inverse(A, b, shape, A_T=A_T, n_iter=4000, **kw)
+    p_star = float(ref.loss[-1])
+
+    gaps = []
+    for n in (150, 500):
+        res = tgv_inverse(A, b, shape, A_T=A_T, n_iter=n, **kw)
+        gap = float(tgv_gap_inverse(res.state, A, b, alpha1=kw["alpha1"],
+                                    alpha0=kw["alpha0"], x_box=2.0,
+                                    A_T=A_T))
+        assert gap >= float(res.loss[-1]) - p_star - 1e-9
+        assert gap >= 0.0
+        gaps.append(gap)
+    assert gaps[1] < gaps[0]
+
+    solver = functools.partial(tgv_inverse, A, vol_shape=shape, A_T=A_T,
+                               **kw)
+    res = run_until_converged(solver, b, tol=0.5, chunk=200, max_iter=2000,
+                              criterion="gap", gap_x_box=2.0)
+    assert len(res.loss) <= 2000
+    # alphas must be explicit: without them the eager guard fires
+    bare = functools.partial(tgv_inverse, A, vol_shape=shape, A_T=A_T,
+                             op_norm=24.0)
+    with pytest.raises(ValueError, match="alpha1"):
+        run_until_converged(bare, b, criterion="gap", gap_x_box=2.0,
+                            chunk=10, max_iter=20)
+    # ... and the prior set too
+    with pytest.raises(ValueError, match="x_box"):
+        tgv_gap_inverse(res.state, A, b, alpha1=kw["alpha1"],
+                        alpha0=kw["alpha0"])
