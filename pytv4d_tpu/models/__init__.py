@@ -15,5 +15,10 @@ from .ct import (
     sinogram_sharding,
     tgv_reconstruct,
 )
-from .ct_spectral import make_spectral_projector, radon_spectral
+from .ct_spectral import (
+    make_fan_spectral_projector,
+    make_spectral_projector,
+    radon_fan_spectral,
+    radon_spectral,
+)
 from .denoise import TVDenoiser, add_noise, denoise_tv_chambolle

@@ -292,12 +292,12 @@ def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto"):
     build the matching (A, A_T) projector pair."""
     dtype = sino.dtype
     n_angles = jnp.asarray(angles).shape[-1]
-    if geom is not None and _resolve_method(method) == "spectral" \
-            and method != "auto":
+    if isinstance(geom, ConeBeamGeometry) \
+            and _resolve_method(method) == "spectral" and method != "auto":
         raise ValueError(
-            "method='spectral' implements parallel-beam geometry only — "
-            "fan/cone reconstructions use the gather projectors (keep "
-            "their angle_batch/size envelope modest on TPU)"
+            "method='spectral' implements parallel- and fan-beam geometry "
+            "— cone-beam reconstructions use the gather projector (keep "
+            "its angle_batch/size envelope modest on TPU)"
         )
     if isinstance(geom, ConeBeamGeometry):
         want = (vol_shape[1], n_angles)
@@ -321,6 +321,11 @@ def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto"):
     if geom is None:
         return make_projector(vol_shape, angles, n_det=n_det, dtype=dtype,
                               method=method)
+    if _resolve_method(method) == "spectral":
+        from .ct_spectral import make_fan_spectral_projector
+
+        return make_fan_spectral_projector(vol_shape, angles, geom,
+                                           n_det=n_det, dtype=dtype)
     return make_fan_projector(vol_shape, angles, geom, n_det=n_det,
                               dtype=dtype)
 

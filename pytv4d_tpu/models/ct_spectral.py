@@ -82,7 +82,7 @@ def _concrete_angles(angles):
 
 
 def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
-                       angle_chunk: int):
+                       angle_chunk: int, det_spacing: float = 1.0):
     """Project one regime bucket.  ``vol`` is (B4.., N, N) real; ``ang_b``
     a 1-D CONCRETE angle array, all satisfying |sin| >= |cos| when
     ``vertical`` else |cos| > |sin|.  Returns (..., len(ang_b), n_det)."""
@@ -95,7 +95,8 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     # interior bins — both NUDFT matmuls and the phase tables halve.
     k = jnp.arange(Np // 2 + 1, dtype=real_dt)              # (Np/2+1,)
     wk = jnp.where((k == 0) | (k == Np // 2), 1.0, 2.0).astype(real_dt)
-    s_j = jnp.arange(n_det, dtype=real_dt) - (n_det - 1) / 2.0
+    s_j = (jnp.arange(n_det, dtype=real_dt) - (n_det - 1) / 2.0) \
+        * jnp.asarray(det_spacing, real_dt)
     x = jnp.arange(N, dtype=real_dt) - c0                   # x_r == y_c grid
 
     if vertical:
@@ -159,7 +160,8 @@ def _auto_chunk(N: int, Np: int, n_det: int, itemsize: int) -> int:
 
 
 def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
-                           angle_chunk: Optional[int]):
+                           angle_chunk: Optional[int],
+                           det_spacing: float = 1.0):
     """Shared-angle path: ``vol`` (..., N, N), ``ang`` concrete (A,)."""
     N = vol.shape[-1]
     Np = 2 * N
@@ -173,10 +175,10 @@ def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
     parts = []
     if idx_v.size:
         parts.append(_bucket_projection(vol, ang[idx_v], True, n_det, Np,
-                                        angle_chunk))
+                                        angle_chunk, det_spacing))
     if idx_h.size:
         parts.append(_bucket_projection(vol, ang[idx_h], False, n_det, Np,
-                                        angle_chunk))
+                                        angle_chunk, det_spacing))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
     order = np.concatenate([idx_v, idx_h])
     if not np.array_equal(order, np.arange(ang.shape[0])):
@@ -253,6 +255,109 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
 
     def A(x):
         return radon_spectral(x, ang, n_det=n_det, angle_chunk=angle_chunk)
+
+    def A_T(y):
+        _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
+        (x_bar,) = vjp(y)
+        return x_bar
+
+    return A, A_T
+
+
+def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
+                       angle_chunk: Optional[int] = None,
+                       oversample: float = 2.0):
+    """Fan-beam forward projection via fan-to-parallel REBINNING on the
+    spectral projector: a fan ray (source angle ``beta``, flat-detector
+    coordinate ``u``) IS the parallel ray at
+
+        theta = beta + gamma,   s = D_so sin(gamma),
+        gamma = atan(u / (D_so + D_od)),
+
+    so we evaluate a dense parallel sinogram spectrally (gather-free) and
+    bilinearly resample it at the fan coordinates — the only gather in
+    the program acts on the SINOGRAM (A x n_s elements, ~100x smaller
+    than the volume-sized bilinear gathers that crashed TPU workers; the
+    classical rebinning construction, e.g. Kak & Slaney 1988 ch. 3.4.2).
+
+    Drop-in for :func:`..ct.radon_fan` on the same ``FanBeamGeometry``
+    (values agree to the combined rebinning-interpolation + gather-path
+    O(h^2) error on smooth objects, ~1e-3 relative); exact adjoint via
+    ``jax.vjp`` as usual.  ``angles`` must be concrete; ``(n_angles,)``
+    shared or ``(M, n_angles)`` per-frame.  ``oversample`` controls the
+    dense grid density in BOTH theta (relative to the fan's angular step)
+    and s (relative to unit pitch).
+    """
+    vol = jnp.asarray(vol)
+    if vol.ndim != 4 or vol.shape[-2] != vol.shape[-1]:
+        raise ValueError(
+            f"radon_fan_spectral expects a square-plane rank-4 volume, got "
+            f"{tuple(vol.shape)}"
+        )
+    N = vol.shape[-1]
+    n_det = n_det or N
+    ang = _concrete_angles(angles)
+    if ang.ndim == 2:
+        if ang.shape[0] != vol.shape[1]:
+            raise ValueError(
+                f"per-frame angles must be (M={vol.shape[1]}, n_angles), "
+                f"got {ang.shape}"
+            )
+        frames = [
+            radon_fan_spectral(vol[:, m:m + 1], ang[m], geom, n_det=n_det,
+                               angle_chunk=angle_chunk,
+                               oversample=oversample)[:, 0]
+            for m in range(ang.shape[0])
+        ]
+        return jnp.stack(frames, axis=1)
+
+    D_so = float(geom.source_dist)
+    L = D_so + float(geom.det_dist)
+    pitch = float(geom.spacing())
+    u = (np.arange(n_det) - (n_det - 1) / 2.0) * pitch
+    gamma = np.arctan2(u, L)                      # (n_det,)
+    theta_q = ang[:, None] + gamma[None, :]       # (A, n_det)
+    s_q = D_so * np.sin(gamma)                    # (n_det,)
+    s_q = np.broadcast_to(s_q, theta_q.shape)
+
+    # dense parallel grid: theta covers the swept range at ~the fan's own
+    # angular resolution; s at 1/oversample-pixel pitch over the object
+    # support (|s| > 0.75 N projects to zero for in-disk objects)
+    d_beta = np.pi / ang.shape[0] if ang.shape[0] < 2 else float(
+        np.min(np.diff(np.sort(ang))) or np.pi / ang.shape[0])
+    d_theta = max(d_beta, 1e-3) / oversample
+    th0 = float(theta_q.min())
+    n_theta = int(np.ceil((theta_q.max() - th0) / d_theta)) + 2
+    thetas = th0 + np.arange(n_theta) * d_theta
+    ds = 1.0 / oversample
+    s_max = min(float(np.abs(s_q).max()) + 2.0, 0.75 * N)
+    n_s = 2 * int(np.ceil(s_max / ds)) + 1        # odd: s=0 on the grid
+    dense = _radon_spectral_shared(vol, thetas, n_s, angle_chunk,
+                                   det_spacing=ds)  # (Nz, M, n_theta, n_s)
+
+    ti = jnp.asarray((theta_q - th0) / d_theta, vol.dtype)
+    si = jnp.asarray((np.clip(s_q, -s_max, s_max) + (n_s - 1) / 2.0 * ds)
+                     / ds, vol.dtype)
+
+    def resample(p2d):                             # (n_theta, n_s)
+        return jax.scipy.ndimage.map_coordinates(
+            p2d, [ti, si], order=1, mode="constant", cval=0.0)
+
+    return jax.vmap(jax.vmap(resample))(dense)     # (Nz, M, A, n_det)
+
+
+def make_fan_spectral_projector(vol_shape, angles, geom,
+                                n_det: Optional[int] = None,
+                                dtype=jnp.float32,
+                                angle_chunk: Optional[int] = None):
+    """``(A, A_T)`` for a fixed fan-beam geometry on the rebinned spectral
+    path; ``A_T`` is the exact transpose (vjp of the linear map)."""
+    ang = _concrete_angles(angles)
+    n_det = n_det or vol_shape[-1]
+
+    def A(x):
+        return radon_fan_spectral(x, ang, geom, n_det=n_det,
+                                  angle_chunk=angle_chunk)
 
     def A_T(y):
         _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))

@@ -341,3 +341,73 @@ def test_sart_spectral_incompatibility_is_explained():
     with pytest.raises(ValueError, match="concrete"):
         sart(sino, angles, truth.shape, n_iter=2, n_subsets=4,
              project_fn=functools.partial(radon_spectral))
+
+
+def test_fan_spectral_rebinning():
+    """Fan-beam via fan-to-parallel rebinning on the spectral projector:
+    ~1e-3 parity with the gather fan projector on a smooth phantom, exact
+    adjointness, the parallel limit (source_dist -> inf) approaches the
+    parallel spectral projector, and the volume-sized program stays
+    gather-free (the only gather resamples the A x n_s sinogram)."""
+    from pytv4d_tpu.models.ct import FanBeamGeometry, radon_fan
+    from pytv4d_tpu.models.ct_spectral import (
+        make_fan_spectral_projector,
+        radon_fan_spectral,
+    )
+
+    N = 128
+    vol = jnp.asarray(_gaussians(N, BLOBS)[None, None])
+    geom = FanBeamGeometry(source_dist=256.0, det_dist=64.0)
+    angles = np.linspace(0, 2 * np.pi, 24, endpoint=False) + 0.02
+    pg = np.asarray(radon_fan(vol, jnp.asarray(angles), geom))
+    ps = np.asarray(radon_fan_spectral(vol, angles, geom))
+    assert _rel(ps, pg) < 3e-3
+
+    # adjointness (the whole rebinned chain is linear)
+    shape = (2, 1, 48, 48)
+    rng = np.random.default_rng(4)
+    A, A_T = make_fan_spectral_projector(
+        shape, angles[:9], FanBeamGeometry(source_dist=96.0),
+        dtype=jnp.float64)
+    x = jnp.asarray(rng.random(shape))
+    y = jnp.asarray(rng.random((2, 1, 9, 48)))
+    lhs = float(jnp.vdot(y, A(x)))
+    rhs = float(jnp.vdot(A_T(y), x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+
+    # parallel limit: a huge source distance closes the fan
+    far = FanBeamGeometry(source_dist=1e7, det_dist=0.0, det_spacing=1.0)
+    pfan = np.asarray(radon_fan_spectral(vol, angles[:6], far))
+    ppar = np.asarray(radon_spectral(vol, angles[:6]))
+    assert _rel(pfan, ppar) < 1e-3
+
+    # per-frame angles
+    vol2 = jnp.asarray(np.stack([np.asarray(vol[0, 0]),
+                                 np.asarray(vol[0, 0]).T])[None])
+    ang2 = np.stack([angles[:6], angles[:6] + 0.1])
+    pf = radon_fan_spectral(vol2, ang2, geom)
+    for m in range(2):
+        pm = radon_fan_spectral(vol2[:, m:m + 1], ang2[m], geom)
+        np.testing.assert_allclose(np.asarray(pf[:, m]),
+                                   np.asarray(pm[:, 0]), atol=1e-12)
+
+
+def test_fan_spectral_reconstruction():
+    """cp_reconstruct(geom=fan, method='spectral') end-to-end, and the
+    cone-beam + explicit-spectral rejection keeps its clear message."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, FanBeamGeometry
+
+    N = 32
+    truth = _gaussians(N, [(0.0, 0.0, 6.0, 1.0)])
+    geom = FanBeamGeometry(source_dist=96.0, det_dist=24.0)
+    angles = np.linspace(0, 2 * np.pi, 32, endpoint=False)
+    from pytv4d_tpu.models.ct_spectral import radon_fan_spectral
+
+    sino = radon_fan_spectral(jnp.asarray(truth[None, None]), angles, geom)
+    res = cp_reconstruct(sino, angles, (1, 1, N, N), n_iter=150, reg=1e-3,
+                         geom=geom, method="spectral")
+    assert _rel(np.asarray(res.x[0, 0]), truth) < 0.05
+    with pytest.raises(ValueError, match="cone-beam"):
+        cp_reconstruct(jnp.zeros((1, 4, 8, 8)), angles[:4], (4, 1, 8, 8),
+                       geom=ConeBeamGeometry(source_dist=50.0),
+                       method="spectral", n_iter=1, op_norm=1.0)
