@@ -178,10 +178,12 @@ def test_make_projector_method_selection():
     assert abs(lhs - rhs) / abs(lhs) < 1e-13
     with pytest.raises(ValueError, match="unknown projector method"):
         make_projector(shape, angles, method="fourier")
+    # fan + spectral is supported (rebinning) — one smoke iteration runs
     sino = jnp.zeros((1, 1, 4, 16))
-    with pytest.raises(ValueError, match="parallel-beam"):
-        cp_reconstruct(sino, angles, shape, n_iter=1, method="spectral",
-                       geom=FanBeamGeometry(source_dist=100.0), op_norm=1.0)
+    res = cp_reconstruct(sino, angles, shape, n_iter=1, method="spectral",
+                         geom=FanBeamGeometry(source_dist=100.0),
+                         op_norm=16.0)
+    assert np.all(np.isfinite(np.asarray(res.loss)))
 
 
 def test_cp_reconstruct_spectral_end_to_end():
