@@ -25,6 +25,7 @@ def test_solver_surface():
          "run_until_converged run_checkpointed save_state load_state "
          "save_state_orbax load_state_orbax exact_transpose power_iteration "
          "gaussian_blur_operator fidelity_dual_prox fidelity_loss "
+         "pd_gap_inverse tgv_gap_inverse fidelity_conjugate "
          "CPState CPPrecondState CPResult InverseState InverseResult "
          "TGVResult TGVInverseState ADMMState FISTAResult GDResult "
          "cp_step default_tau")
@@ -38,6 +39,11 @@ def test_models_surface():
              "make_cone_projector cp_reconstruct tgv_reconstruct fbp fdk "
              "sart estimate_op_norm sinogram_sharding "
              "cone_sinogram_sharding FanBeamGeometry ConeBeamGeometry")
+    _has(ptv.models, "radon_spectral make_spectral_projector "
+                     "radon_fan_spectral make_fan_spectral_projector")
+    from pytv4d_tpu import bench
+
+    _has(bench, "bench_ct bench_ct_production bench_solver weak_scaling")
 
 
 def test_parallel_surface():
