@@ -87,7 +87,14 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     a 1-D CONCRETE angle array, all satisfying |sin| >= |cos| when
     ``vertical`` else |cos| > |sin|.  Returns (..., len(ang_b), n_det)."""
     N = vol.shape[-1]
-    real_dt = vol.dtype
+    # compute in f32 minimum: phases reach ~1e3 radians at production N,
+    # where bf16's 8e-3 relative eps would be whole radians of error —
+    # low-precision STORAGE volumes still get full-precision projections
+    real_dt = (jnp.float64 if vol.dtype == jnp.float64
+               else jnp.float32)
+    out_dt = vol.dtype
+    if jnp.dtype(vol.dtype).itemsize < 4:
+        vol = vol.astype(real_dt)
     cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
     c0 = (N - 1) / 2.0
     # HALF spectrum: the volume is real, so G(-k) = conj(G(k)) and the
@@ -137,7 +144,7 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
         scale = (wk[None, :, None]
                  / (Np * jnp.abs(denom))[:, None, None]).astype(cplx_dt)
         E = E * scale
-        return jnp.real(jnp.einsum("...ak,aks->...as", G, E)).astype(real_dt)
+        return jnp.real(jnp.einsum("...ak,aks->...as", G, E)).astype(out_dt)
 
     A = ang_b.shape[0]
     B = min(angle_chunk, A)

@@ -413,3 +413,17 @@ def test_fan_spectral_reconstruction():
         cp_reconstruct(jnp.zeros((1, 4, 8, 8)), angles[:4], (4, 1, 8, 8),
                        geom=ConeBeamGeometry(source_dist=50.0),
                        method="spectral", n_iter=1, op_norm=1.0)
+
+
+def test_spectral_bf16_storage_volume():
+    """bf16 STORAGE volumes (the north-star format) must get
+    full-precision projections: the NUDFT phases reach ~1e3 radians,
+    where bf16 arithmetic would be whole radians of error — the kernel
+    computes in f32 and only the output returns in the storage dtype."""
+    vol64 = jnp.asarray(_gaussians(64, [(0.0, 0.0, 10.0, 1.0)])[None, None])
+    angles = np.linspace(0, np.pi, 8, endpoint=False) + 0.04
+    ref = np.asarray(radon_spectral(vol64.astype(jnp.float32), angles))
+    p16 = radon_spectral(vol64.astype(jnp.bfloat16), angles)
+    assert p16.dtype == jnp.bfloat16
+    rel = _rel(np.asarray(p16, np.float32), ref)
+    assert rel < 1e-2, rel  # input-quantization level, not phase garbage
