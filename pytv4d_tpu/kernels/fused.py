@@ -1229,6 +1229,11 @@ def cp_step_fused_internal(x, y_A, y_D_int, x_noisy, *, reg, sigma_D, sigma_A,
     dual_name = jnp.dtype(y_D_int.dtype).name
     t_plane = tmul is not None
     fid_kw = dict(fidelity=fidelity, fid_weight=float(fid_weight))
+    # Pass A stays on the shifted-BlockSpec kernel: the z-streaming
+    # experiment (kernels/zstream.py) wins its isolated pass-A microbench
+    # (+6.5-8 % f32) but the COMPOSED solver's marginal per-iteration cost
+    # is unchanged to <0.3 % (4x interleaved A/B, BENCH_LOCAL.jsonl
+    # zstream_passA_ab + docs/performance.md) — not promoted.
     dual = make_cp_dual_kernel(cfg, shape, dt_name, sigma_D, sigma_A, reg,
                                interpret, dual_dtype_name=dual_name,
                                t_plane=t_plane, **fid_kw)

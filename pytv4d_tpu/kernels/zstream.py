@@ -32,8 +32,17 @@ a double wait deadlocks):
 
 Scope (experiment, unsharded bench config): any scheme/norm via the
 channel table, l2/l1/kl scalar fidelity, f32/bf16 storage and dual,
-no static-mask/weight_time plane, Nz >= 3.  Promote into
-``cp_step_fused_internal`` only if the on-chip A/B wins.
+no static-mask/weight_time plane, Nz >= 3.
+
+ON-CHIP VERDICT (v5e, 2026-08-19, BENCH_LOCAL.jsonl): the isolated
+pass-A scan wins for f32 primaries (1.080x f32-dual, 1.065x bf16-dual;
+bf16 primary loses at 0.968x — halved x bytes no longer cover the manual
+choreography), but the COMPOSED CP step's marginal per-iteration cost is
+identical to <0.3 % (2.506 vs 2.503 ms/it, 4x interleaved A/B via
+t(150)-t(50)) — the isolated saving does not transfer, so this kernel is
+NOT dispatched by ``cp_step_fused_internal``.  Kept with its parity
+tests as the recorded closing result for ROADMAP item 2 and as the
+reference choreography for manual multi-operand DMA pipelines.
 """
 
 from __future__ import annotations
@@ -52,8 +61,9 @@ def _scratch_bytes(TR, Nc, M, Nd, bpe, dual_bpe):
     """Explicit scratch (4 x slots + 2x(x0, yA, dt) + 2 yD slots) plus the
     f32 compute stack (~2 Nd channel tiles live at the prox peak)."""
     buffers = M * TR * Nc * (10 * bpe + 2 * Nd * dual_bpe)
+    seams = 2 * 4 * M * 8 * Nc * bpe  # 8-row aligned seam granules
     stack = M * TR * Nc * 4 * (2 * Nd + 6)
-    return buffers + stack
+    return buffers + seams + stack
 
 
 @functools.lru_cache(maxsize=None)
@@ -77,6 +87,9 @@ def make_cp_dual_kernel_zstream(cfg: TVConfig, shape, dtype_name="float32",
     if not _needs_z(chans):
         raise ValueError("zstream pass A only pays off with z channels "
                          "(reg_z_over_reg > 0 and Nz > 1)")
+    if Nr < 8 or Nr % 8:
+        raise ValueError("zstream pass A requires Nr a multiple of 8 "
+                         "(seam DMAs read aligned 8-row granules)")
     # default to the PRODUCTION kernel's row tile: dt_local's in-tile /
     # cross-tile split is tiling-defined, and pass B
     # (fused.make_cp_primal_kernel) assumes pass A used _build's TR — a
@@ -92,8 +105,16 @@ def make_cp_dual_kernel_zstream(cfg: TVConfig, shape, dtype_name="float32",
                yAo_sem, yDo_sem, dto_sem):
         r = pl.program_id(0)
         r0 = r * TR
-        up_row_idx = jnp.maximum(r0 - 1, 0)
-        dn_row_idx = jnp.minimum(r0 + TR, Nr - 1)
+        # Mosaic rejects 1-row HBM slices on the sublane dim (size must be
+        # a multiple of the 8-row tiling granule) — DMA the aligned 8-row
+        # granule containing the seam row and select the row in VMEM.
+        # up seam row = max(r0-1, 0): granule r0-8 row 7, or granule 0
+        # row 0 for the first tile; down seam row = min(r0+TR, Nr-1):
+        # granule r0+TR row 0, or granule Nr-8 row 7 for the last tile.
+        # Offsets are written as 8 * granule_index so Mosaic can PROVE
+        # divisibility by the tiling (max(r0-8, 0) defeats its analysis).
+        up_gran = jnp.maximum(r0 // 8 - 1, 0) * 8
+        dn_gran = jnp.minimum(r0 // 8 + TR // 8, Nr // 8 - 1) * 8
 
         def x_in(z):
             s = jax.lax.rem(z, 4)
@@ -103,10 +124,10 @@ def make_cp_dual_kernel_zstream(cfg: TVConfig, shape, dtype_name="float32",
 
         def seam_in(z, which):
             s = jax.lax.rem(z, 4)
-            ref, sem, row = ((sup, sup_sem, up_row_idx) if which == 0
-                             else (sdn, sdn_sem, dn_row_idx))
+            ref, sem, gran = ((sup, sup_sem, up_gran) if which == 0
+                              else (sdn, sdn_sem, dn_gran))
             return pltpu.make_async_copy(
-                x_hbm.at[pl.ds(z, 1), :, pl.ds(row, 1), :],
+                x_hbm.at[pl.ds(z, 1), :, pl.ds(gran, 8), :],
                 ref.at[pl.ds(s, 1)], sem.at[s])
 
         def plane_in(z, hbm, buf, sem):
@@ -195,8 +216,15 @@ def make_cp_dual_kernel_zstream(cfg: TVConfig, shape, dtype_name="float32",
             x_zm = xbuf[jax.lax.rem(z + 3, 4)].astype(dtype)  # (z-1) % 4
             x_zp = xbuf[jax.lax.rem(z + 1, 4)].astype(dtype)
             if R > 1:
-                up_row = sup[s4].astype(dtype)   # (M, 1, Nc)
-                dn_row = sdn[s4].astype(dtype)
+                up8 = sup[s4].astype(dtype)      # (M, 8, Nc) granule
+                dn8 = sdn[s4].astype(dtype)
+                # first tile: clamped seam row 0 lives at granule row 0;
+                # otherwise row 7 of granule r0-8 (= row r0-1)
+                up_row = jnp.where(r0 == 0, up8[:, 0:1, :], up8[:, 7:8, :])
+                # last tile: clamped seam row Nr-1 = row 7 of granule
+                # Nr-8; otherwise row 0 of granule r0+TR
+                dn_row = jnp.where(r0 + TR > Nr - 1,
+                                   dn8[:, 7:8, :], dn8[:, 0:1, :])
             else:
                 up_row = dn_row = jnp.zeros((M, 1, Nc), dtype)
 
@@ -242,8 +270,8 @@ def make_cp_dual_kernel_zstream(cfg: TVConfig, shape, dtype_name="float32",
         input_output_aliases={2: 0, 3: 1},
         scratch_shapes=[
             pltpu.VMEM((4, M, TR, Nc), store),       # x window
-            pltpu.VMEM((4, M, 1, Nc), store),        # up seam rows
-            pltpu.VMEM((4, M, 1, Nc), store),        # down seam rows
+            pltpu.VMEM((4, M, 8, Nc), store),        # up seam granules
+            pltpu.VMEM((4, M, 8, Nc), store),        # down seam granules
             pltpu.VMEM((2, M, TR, Nc), store),       # x0
             pltpu.VMEM((2, M, TR, Nc), store),       # yA in/out
             pltpu.VMEM((2, M, Nd, TR, Nc), dual_dtype),  # yD in/out
