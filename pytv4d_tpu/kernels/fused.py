@@ -560,11 +560,16 @@ def _dual_core(cfg, sp, chans, weights, sigma_D, sigma_A, reg,
                fidelity="l2", fw=1.0):
     """Shared pass-A body: fidelity dual update, D stencil, TV dual prox,
     L21 partial, and the locally computable part of ``D^T y'`` — used by
-    the main/interior kernel and the boundary-fix kernel."""
-    x0 = x0_ref[0].astype(dtype)
-    yA = yA_ref[0].astype(dtype)
+    the main/interior kernel and the boundary-fix kernel.
 
-    yA_out[0] = _fid_dual(yA, x, x0, sigma_A, fidelity, fw).astype(store)
+    ``yA_out=None`` (with ``x0_ref``/``yA_ref`` None too) skips the
+    denoising fidelity dual entirely — the inverse-problem mode, where the
+    fidelity dual lives in the measurement space and is handled outside
+    the kernel (``make_tv_dual_kernel``)."""
+    if yA_out is not None:
+        x0 = x0_ref[0].astype(dtype)
+        yA = yA_ref[0].astype(dtype)
+        yA_out[0] = _fid_dual(yA, x, x0, sigma_A, fidelity, fw).astype(store)
 
     ds = _d_channels(chans, weights, x, up_row, dn_row, x_zm, x_zp,
                      xt, z, r, sp, gate_z=gate_z, tmul=tmul, e=e)
@@ -746,6 +751,84 @@ def make_cp_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
         if t_plane:
             args.append(tmul)
         return fn(*args)
+
+    return call
+
+
+@functools.lru_cache(maxsize=None)
+def make_tv_dual_kernel(cfg: TVConfig, shape, dtype_name="float32",
+                        sigma_D=0.5, reg=1.0, interpret=False,
+                        dual_dtype_name=None):
+    """Pass A for INVERSE problems (``K = [A; D]`` solvers):
+    ``(x_bar, y_D) -> (y_D', dt_local, l21_parts)``.
+
+    The TV dual prox ``y_D' = proj(y_D + sigma_D * D x_bar)`` fused with
+    the D stencil and the locally computable part of ``D^T y_D'`` —
+    identical math to :func:`make_cp_dual_kernel` minus the denoising
+    fidelity dual, which lives in the MEASUREMENT space for inverse
+    problems and is applied outside the kernel (``solvers/inverse.py``).
+    Pass B (:func:`make_cp_primal_kernel`) then completes the adjoint and
+    applies the primal update with ``A^T y_A`` riding its ``y_A`` slot.
+    Unsharded mode only (the sharded inverse paths stay on the GSPMD jnp
+    step)."""
+    sp, chans, weights, _, dtype, store = _build(cfg, shape, dtype_name,
+                                                 dual_dtype_name)
+    dual_dtype = jnp.dtype(dual_dtype_name or dtype_name)
+    Nd = len(chans)
+    need_z = _needs_z(chans)
+
+    def kernel(*refs):
+        it = iter(refs)
+        x_ref = next(it)
+        x_zm = next(it) if need_z else None
+        x_zp = next(it) if need_z else None
+        if sp.R > 1:
+            x_up, x_dn = next(it), next(it)
+        else:
+            x_up = x_dn = None
+        yD_ref = next(it)
+        yD_out, dt_out, l21_out = it
+        z, r = pl.program_id(0), pl.program_id(1)
+
+        xt = x_ref[0].astype(dtype)
+        up_row, dn_row = _seam_rows(sp, x_up, x_dn, dtype, 0)
+        _dual_core(cfg, sp, chans, weights, sigma_D, 1.0, reg,
+                   dtype, store, dual_dtype, True, True, None,
+                   xt, up_row, dn_row,
+                   x_zm[0].astype(dtype) if need_z else None,
+                   x_zp[0].astype(dtype) if need_z else None,
+                   xt, 0, z, r, None, None, yD_ref,
+                   None, yD_out, dt_out, l21_out)
+
+    in_specs = [sp.vol()]
+    if need_z:
+        in_specs += [sp.vol(-1), sp.vol(1)]
+    if sp.R > 1:
+        in_specs += [sp.vol_rows(-1), sp.vol_rows(1)]
+    in_specs += [sp.dvol()]
+    n_x = 1 + 2 * need_z + (2 if sp.R > 1 else 0)
+
+    cp_kw = dict(dimension_semantics=("parallel", "parallel"))
+    limit = _vmem_limit(sp, Nd, store.itemsize, dual_dtype.itemsize)
+    if limit:
+        cp_kw["vmem_limit_bytes"] = limit
+    fn = pl.pallas_call(
+        kernel,
+        grid=sp.grid,
+        compiler_params=pltpu.CompilerParams(**cp_kw),
+        input_output_aliases={n_x: 0},  # y_D updates in place
+        in_specs=in_specs,
+        out_specs=(sp.dvol(), sp.vol(), sp.part()),
+        out_shape=(
+            jax.ShapeDtypeStruct((sp.Nz, sp.M, Nd, sp.Nr, sp.Nc), dual_dtype),
+            jax.ShapeDtypeStruct(shape, store),
+            sp.part_shape(dtype),
+        ),
+        interpret=interpret,
+    )
+
+    def call(x_bar, y_D):
+        return fn(*([x_bar] * n_x + [y_D]))
 
     return call
 

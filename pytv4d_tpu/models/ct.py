@@ -139,6 +139,9 @@ def _resolve_method(method: str) -> str:
     return "gather" if jax.default_backend() == "cpu" else "spectral"
 
 
+_PROJECTOR_CACHE: dict = {}
+
+
 def make_projector(vol_shape, angles, n_det: Optional[int] = None,
                    dtype=jnp.float32, angle_batch: Optional[int] = None,
                    method: str = "auto"):
@@ -155,7 +158,32 @@ def make_projector(vol_shape, angles, n_det: Optional[int] = None,
     ``'spectral'`` = the gather-free FFT+matmul Fourier-slice projector
     (``models/ct_spectral.py`` — the TPU production path, spectrally
     accurate, no gather in forward or adjoint), ``'auto'`` (default) =
-    spectral on accelerators, gather on CPU."""
+    spectral on accelerators, gather on CPU.
+
+    Memoized on the full geometry: repeated calls return the SAME
+    ``(A, A_T)`` function objects, so the solvers' operator-keyed runner
+    caches (``solvers.inverse._make_inverse_run*``) HIT instead of
+    re-tracing per call — a fresh closure per ``cp_reconstruct`` call was
+    measured to cost ~8 s of retrace + compile-cache fetch per solve at
+    production scale, swamping the actual iteration cost."""
+    ang_np = np.asarray(angles)
+    key = (tuple(vol_shape), ang_np.tobytes(), ang_np.shape, n_det,
+           jnp.dtype(dtype).name, angle_batch, _resolve_method(method))
+    hit = _PROJECTOR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    pair = _make_projector_uncached(vol_shape, angles, n_det, dtype,
+                                    angle_batch, method)
+    if len(_PROJECTOR_CACHE) >= 8:   # geometries are few; bound the cache
+        # (each cached spectral projector may pin its prepared NUDFT
+        # tables in HBM — ~400 MB at production scale)
+        _PROJECTOR_CACHE.pop(next(iter(_PROJECTOR_CACHE)))
+    _PROJECTOR_CACHE[key] = pair
+    return pair
+
+
+def _make_projector_uncached(vol_shape, angles, n_det, dtype, angle_batch,
+                             method):
     if _resolve_method(method) == "spectral":
         from .ct_spectral import make_spectral_projector
 
@@ -258,6 +286,9 @@ def cp_reconstruct(
     nonneg: bool = False,
     state=None,
     method: str = "auto",
+    fused: bool = None,
+    dual_dtype: str = None,
+    loss_every: int = 1,
 ):
     """TV-regularized reconstruction ``min_x F(A x) + reg TV(x)``
     with the Chambolle-Pock algorithm over the joint operator ``K = [A; D]``
@@ -273,7 +304,10 @@ def cp_reconstruct(
     accelerators, bilinear gather on CPU.  ``precond=True`` works on both
     (for the spectral path the nonnegative-row gate passes when
     ``n_det ~ N``; a much wider detector can expose the spectral splat's
-    ringing and trip it — use ``op_norm`` there)."""
+    ringing and trip it — use ``op_norm`` there).  ``fused``/``dual_dtype``
+    as in :func:`cp_inverse`: the TV half of each iteration rides the
+    fused Pallas kernels by default (f32/bf16, scalar steps), and
+    ``dual_dtype='bfloat16'`` halves the Nd-channel dual's HBM traffic."""
     sino = jnp.asarray(sino)
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
                                method=method)
@@ -283,6 +317,7 @@ def cp_reconstruct(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
         op_norm=op_norm, x_init=x_init, precond=precond, fidelity=fidelity,
         fidelity_weight=fidelity_weight, nonneg=nonneg, state=state,
+        fused=fused, dual_dtype=dual_dtype, loss_every=loss_every,
     )
     return CPReconResult(x=res.x, loss=res.loss, state=res.state)
 
@@ -350,6 +385,9 @@ def tgv_reconstruct(
     nonneg: bool = False,
     state=None,
     method: str = "auto",
+    fused: bool = None,
+    dual_dtype: str = None,
+    loss_every: int = 1,
 ):
     """TGV-2-regularized reconstruction — ``cp_reconstruct`` with the
     second-order regularizer ``a1 ||D x - w|| + a0 ||E w||`` instead of TV

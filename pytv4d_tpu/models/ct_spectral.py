@@ -67,6 +67,13 @@ import jax.numpy as jnp
 import numpy as np
 
 _SPECTRAL_TABLE_BUDGET = 256 * 1024 * 1024  # bytes of in-flight phase table
+# make_spectral_projector precomputes the full NUDFT tables once (device-
+# resident constants) when they fit this budget: rebuilding them costs
+# ~60 M complex exps PER APPLICATION at production scale, and XLA does not
+# reliably hoist the rebuild out of a solver's lax.scan once the program
+# is under memory pressure (measured: the (16,4,512,512)x96 cp_reconstruct
+# iteration spent ~85 % of its time in table transcendentals)
+_SPECTRAL_EAGER_TABLE_BUDGET = 512 * 1024 * 1024
 
 
 def _concrete_angles(angles):
@@ -81,11 +88,53 @@ def _concrete_angles(angles):
         ) from e
 
 
+def _chunk_tables(ang, vertical: bool, N: int, Np: int, n_det: int,
+                  real_dt, det_spacing: float = 1.0):
+    """NUDFT phase tables for one angle set: ``P[a, r, k]`` (slice NUDFT)
+    and ``E[a, k, s]`` (detector synthesis, regime scale folded in).
+    Pure functions of the geometry — input-independent, so they can be
+    built once per projector (``make_spectral_projector``) instead of per
+    application."""
+    cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
+    c0 = (N - 1) / 2.0
+    k = jnp.arange(Np // 2 + 1, dtype=real_dt)
+    wk = jnp.where((k == 0) | (k == Np // 2), 1.0, 2.0).astype(real_dt)
+    s_j = (jnp.arange(n_det, dtype=real_dt) - (n_det - 1) / 2.0) \
+        * jnp.asarray(det_spacing, real_dt)
+    x = jnp.arange(N, dtype=real_dt) - c0
+    th = jnp.asarray(ang).astype(real_dt)
+    sin, cos = jnp.sin(th), jnp.cos(th)
+    if vertical:
+        # slice frequency v_k = 2 pi k / Np on the grid,
+        # u_k = -2 pi k cot(t) / Np via the row NUDFT;
+        # w_k = -2 pi k / (Np sin t)
+        slope, denom, det_sign = cos / sin, sin, -1.0
+    else:
+        # u_k on the grid, v_k = -2 pi k tan(t)/Np via the col NUDFT
+        # (e^{-i v_k y_c} = e^{+2i pi k tan(t) y_c / Np});
+        # w_k = +2 pi k / (Np cos t)
+        slope, denom, det_sign = sin / cos, cos, 1.0
+    # P[a, r, k] = e^{-i u_k x_r} (vertical) / e^{-i v_k y_c} (horiz.)
+    phase = (2.0 * jnp.pi / Np) * slope[:, None, None] \
+        * x[None, :, None] * k[None, None, :]
+    P = jnp.exp(1j * phase.astype(real_dt)).astype(cplx_dt)
+    # detector synthesis: p[s_j] = 1/(Np |denom|) sum_k G e^{i w_k s_j}
+    dphase = (det_sign * 2.0 * jnp.pi / Np) \
+        * (k[None, :, None] / denom[:, None, None]) * s_j[None, None, :]
+    E = jnp.exp(1j * dphase.astype(real_dt)).astype(cplx_dt)
+    scale = (wk[None, :, None]
+             / (Np * jnp.abs(denom))[:, None, None]).astype(cplx_dt)
+    return P, E * scale
+
+
 def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
-                       angle_chunk: int, det_spacing: float = 1.0):
+                       angle_chunk: int, det_spacing: float = 1.0,
+                       tables=None):
     """Project one regime bucket.  ``vol`` is (B4.., N, N) real; ``ang_b``
     a 1-D CONCRETE angle array, all satisfying |sin| >= |cos| when
-    ``vertical`` else |cos| > |sin|.  Returns (..., len(ang_b), n_det)."""
+    ``vertical`` else |cos| > |sin|.  Returns (..., len(ang_b), n_det).
+    ``tables``: optional precomputed ``(P, E)`` for the WHOLE bucket
+    (skips the per-chunk table rebuild and the chunk loop)."""
     N = vol.shape[-1]
     # compute in f32 minimum: phases reach ~1e3 radians at production N,
     # where bf16's 8e-3 relative eps would be whole radians of error —
@@ -101,10 +150,6 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     # (real) detector synthesis folds to k = 0..Np/2 with weight 2 on the
     # interior bins — both NUDFT matmuls and the phase tables halve.
     k = jnp.arange(Np // 2 + 1, dtype=real_dt)              # (Np/2+1,)
-    wk = jnp.where((k == 0) | (k == Np // 2), 1.0, 2.0).astype(real_dt)
-    s_j = (jnp.arange(n_det, dtype=real_dt) - (n_det - 1) / 2.0) \
-        * jnp.asarray(det_spacing, real_dt)
-    x = jnp.arange(N, dtype=real_dt) - c0                   # x_r == y_c grid
 
     if vertical:
         # column FFT once: F[..., r, k] = sum_c img[..,r,c] e^{-2i pi kc/Np}
@@ -115,36 +160,22 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     # centering phase e^{+2i pi k c0 / Np} (x_r = r - c0 / y_c = c - c0)
     F = F * jnp.exp(2j * jnp.pi * k * c0 / Np).astype(cplx_dt)
 
-    def chunk_fn(ang):
-        th = ang.astype(real_dt)
-        sin, cos = jnp.sin(th), jnp.cos(th)
-        if vertical:
-            # slice frequency v_k = 2 pi k / Np on the grid,
-            # u_k = -2 pi k cot(t) / Np via the row NUDFT;
-            # w_k = -2 pi k / (Np sin t)
-            slope = cos / sin                       # cot
-            denom = sin
-            det_sign = -1.0
-        else:
-            # u_k on the grid, v_k = -2 pi k tan(t)/Np via the col NUDFT
-            # (e^{-i v_k y_c} = e^{+2i pi k tan(t) y_c / Np});
-            # w_k = +2 pi k / (Np cos t)
-            slope = sin / cos                       # tan
-            denom = cos
-            det_sign = 1.0
-        # P[a, r, k] = e^{-i u_k x_r} (vertical) / e^{-i v_k y_c} (horiz.)
-        phase = (2.0 * jnp.pi / Np) * slope[:, None, None] \
-            * x[None, :, None] * k[None, None, :]
-        P = jnp.exp(1j * phase.astype(real_dt)).astype(cplx_dt)
+    def apply(P, E):
         G = jnp.einsum("...rk,ark->...ak", F, P)
-        # detector synthesis: p[s_j] = 1/(Np |denom|) sum_k G e^{i w_k s_j}
-        dphase = (det_sign * 2.0 * jnp.pi / Np) \
-            * (k[None, :, None] / denom[:, None, None]) * s_j[None, None, :]
-        E = jnp.exp(1j * dphase.astype(real_dt)).astype(cplx_dt)
-        scale = (wk[None, :, None]
-                 / (Np * jnp.abs(denom))[:, None, None]).astype(cplx_dt)
-        E = E * scale
         return jnp.real(jnp.einsum("...ak,aks->...as", G, E)).astype(out_dt)
+
+    if tables is not None:
+        # stored as f32/f64 (real, imag) pairs — complex arrays cannot
+        # cross the host<->device boundary on some tunneled TPU backends,
+        # so the combine happens in-trace (two cheap elementwise ops)
+        Pr, Pi, Er, Ei = tables
+        return apply((Pr + 1j * Pi).astype(cplx_dt),
+                     (Er + 1j * Ei).astype(cplx_dt))
+
+    def chunk_fn(ang):
+        P, E = _chunk_tables(ang, vertical, N, Np, n_det, real_dt,
+                             det_spacing)
+        return apply(P, E)
 
     A = ang_b.shape[0]
     B = min(angle_chunk, A)
@@ -166,26 +197,54 @@ def _auto_chunk(N: int, Np: int, n_det: int, itemsize: int) -> int:
     return max(1, _SPECTRAL_TABLE_BUDGET // max(per_angle, 1))
 
 
+def _regime_split(ang: np.ndarray):
+    """Static vertical/horizontal regime split of a concrete angle set."""
+    vert = np.abs(np.sin(ang)) >= np.abs(np.cos(ang))
+    return np.nonzero(vert)[0], np.nonzero(~vert)[0]
+
+
+def _spectral_tables_shared(ang: np.ndarray, N: int, n_det: int, real_dt,
+                            det_spacing: float = 1.0):
+    """Precomputed per-regime NUDFT tables for one concrete angle set:
+    ``{True: (Pr, Pi, Er, Ei) | None, False: ...}`` keyed by the regime,
+    aligned with :func:`_regime_split` exactly as
+    ``_radon_spectral_shared`` consumes them.  Stored as real/imag float
+    pairs (see ``_bucket_projection``); call under jit — eager complex
+    exp is unimplemented on some TPU backends."""
+    Np = 2 * N
+    idx_v, idx_h = _regime_split(ang)
+
+    def split(vertical, idx):
+        if not idx.size:
+            return None
+        P, E = _chunk_tables(ang[idx], vertical, N, Np, n_det, real_dt,
+                             det_spacing)
+        return (jnp.real(P), jnp.imag(P), jnp.real(E), jnp.imag(E))
+
+    return {True: split(True, idx_v), False: split(False, idx_h)}
+
+
 def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
                            angle_chunk: Optional[int],
-                           det_spacing: float = 1.0):
-    """Shared-angle path: ``vol`` (..., N, N), ``ang`` concrete (A,)."""
+                           det_spacing: float = 1.0, tables=None):
+    """Shared-angle path: ``vol`` (..., N, N), ``ang`` concrete (A,).
+    ``tables``: optional precomputed per-regime tables
+    (:func:`_spectral_tables_shared`)."""
     N = vol.shape[-1]
     Np = 2 * N
     if angle_chunk is None:
         angle_chunk = _auto_chunk(N, Np, n_det,
                                   jnp.dtype(vol.dtype).itemsize * 2)
-    sin, cos = np.sin(ang), np.cos(ang)
-    vert = np.abs(sin) >= np.abs(cos)
-    idx_v = np.nonzero(vert)[0]
-    idx_h = np.nonzero(~vert)[0]
+    idx_v, idx_h = _regime_split(ang)
     parts = []
     if idx_v.size:
-        parts.append(_bucket_projection(vol, ang[idx_v], True, n_det, Np,
-                                        angle_chunk, det_spacing))
+        parts.append(_bucket_projection(
+            vol, ang[idx_v], True, n_det, Np, angle_chunk, det_spacing,
+            tables=tables[True] if tables else None))
     if idx_h.size:
-        parts.append(_bucket_projection(vol, ang[idx_h], False, n_det, Np,
-                                        angle_chunk, det_spacing))
+        parts.append(_bucket_projection(
+            vol, ang[idx_h], False, n_det, Np, angle_chunk, det_spacing,
+            tables=tables[False] if tables else None))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
     order = np.concatenate([idx_v, idx_h])
     if not np.array_equal(order, np.arange(ang.shape[0])):
@@ -198,7 +257,7 @@ def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
 
 
 def radon_spectral(vol, angles, n_det: Optional[int] = None,
-                   angle_chunk: Optional[int] = None):
+                   angle_chunk: Optional[int] = None, _tables=None):
     """Gather-free forward projection of a ``(Nz, M, N, N)`` volume.
 
     Drop-in for :func:`..models.ct.radon` (same layouts: ``angles`` is
@@ -236,7 +295,8 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
     n_det = n_det or N
     ang = _concrete_angles(angles)
     if ang.ndim == 1:
-        return _radon_spectral_shared(vol, ang, n_det, angle_chunk)
+        return _radon_spectral_shared(vol, ang, n_det, angle_chunk,
+                                      tables=_tables)
     if ang.ndim != 2 or ang.shape[0] != vol.shape[1]:
         raise ValueError(
             f"angles must be (n_angles,) shared or (M={vol.shape[1]}, "
@@ -244,7 +304,9 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
         )
     # per-frame angle sets: each frame has its own (static) regime split
     frames = [
-        _radon_spectral_shared(vol[:, m], ang[m], n_det, angle_chunk)
+        _radon_spectral_shared(
+            vol[:, m], ang[m], n_det, angle_chunk,
+            tables=_tables[m] if _tables else None)
         for m in range(ang.shape[0])
     ]
     return jnp.stack(frames, axis=1)
@@ -252,21 +314,76 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
 
 def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
                             dtype=jnp.float32,
-                            angle_chunk: Optional[int] = None):
+                            angle_chunk: Optional[int] = None,
+                            precompute_tables: Optional[bool] = None):
     """``(A, A_T)`` for a fixed parallel-beam geometry on the spectral
     path; ``A_T`` is the exact transpose (vjp of the linear map — FFTs and
     matmuls only, no scatter), same adjointness contract as
-    :func:`..models.ct.make_projector`."""
+    :func:`..models.ct.make_projector`.
+
+    ``precompute_tables`` (default: auto when they fit
+    ``_SPECTRAL_EAGER_TABLE_BUDGET``): attach a ``prepare()/apply(consts,
+    x)`` protocol to ``A`` that lets solvers build the NUDFT phase tables
+    ONCE per solve and thread them through the iteration as traced,
+    loop-invariant arguments — inside a solver's ``lax.scan`` the lazy
+    rebuild (~60 M complex exps per application at production scale)
+    otherwise dominates the iteration, because XLA declines to hoist it
+    under memory pressure.  The plain ``A(x)`` call always stays lazy
+    (safe to jit: embedded tables blow the remote-compile payload limit).
+    Set ``False`` to disable the protocol entirely."""
     ang = _concrete_angles(angles)
     n_det = n_det or vol_shape[-1]
-
+    N = vol_shape[-1]
+    real_dt = (jnp.float64 if jnp.dtype(dtype) == jnp.float64
+               else jnp.float32)
+    K = N + 1  # Np // 2 + 1 with Np = 2N
+    table_bytes = ang.size * (N * K + K * n_det) * (
+        16 if real_dt == jnp.float64 else 8)
+    if precompute_tables is None:
+        precompute_tables = table_bytes <= _SPECTRAL_EAGER_TABLE_BUDGET
     def A(x):
+        # the PLAIN closure stays lazy (tables rebuilt in-trace): safe to
+        # jit anywhere — embedding precomputed tables as HLO constants
+        # blows the remote-compile payload limit at production scale
+        # (measured: HTTP 413 at ~400 MB of tables)
         return radon_spectral(x, ang, n_det=n_det, angle_chunk=angle_chunk)
 
     def A_T(y):
         _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
         (x_bar,) = vjp(y)
         return x_bar
+
+    if precompute_tables:
+        # prepare()/apply(consts, x) protocol: solvers thread the tables
+        # as TRACED runtime arguments — built once per solve, hoisted out
+        # of the iteration scan by construction (XLA's own loop-invariant
+        # motion declines under memory pressure: measured 1.9 it/s with
+        # the per-application rebuild vs the projector's isolated 46 ms).
+        # prepare() runs under jit (eager complex exp is UNIMPLEMENTED on
+        # some TPU backends) and returns real/imag f32 pairs (complex
+        # cannot cross the tunnel's host<->device boundary).
+        if ang.ndim == 1:
+            build = jax.jit(lambda: _spectral_tables_shared(
+                ang, N, n_det, real_dt))
+        else:
+            build = jax.jit(lambda: [
+                _spectral_tables_shared(ang[m], N, n_det, real_dt)
+                for m in range(ang.shape[0])])
+
+        cache = []
+
+        def prepare():
+            # memoized: repeated solves with the same projector reuse the
+            # device-resident tables (they live as long as this A does)
+            if not cache:
+                cache.append(build())
+            return cache[0]
+
+        def apply(consts, x):
+            return radon_spectral(x, ang, n_det=n_det,
+                                  angle_chunk=angle_chunk, _tables=consts)
+
+        A.prepare, A.apply = prepare, apply
 
     return A, A_T
 

@@ -26,11 +26,23 @@ from ..ops.operators import D, D_T, tv_norm
 class InverseState(NamedTuple):
     """Full CP carry of :func:`cp_inverse` for resume/checkpointing
     (``solvers.state.save_state`` / ``run_until_converged``): primal,
-    over-relaxed primal, fidelity dual, TV dual."""
+    over-relaxed primal, fidelity dual, TV dual.
+
+    ``s_x``/``s_x_bar`` carry the forward projections ``A(x)``/``A(x_bar)``
+    of the iterates: the solver derives the over-relaxed projection by
+    linearity (``A(2 x_new - x) = 2 A(x_new) - A(x)``), saving one
+    projector application per iteration, and carrying these images is what
+    keeps RESUME bit-exact (recomputing ``A(x_bar)`` on resume would
+    differ from the derived value in the last ulps).  ``None`` (e.g. an
+    old checkpoint or a hand-built state) is accepted — the solver then
+    recomputes them once, which is exact in math but may differ from an
+    uninterrupted run at fp round-off."""
     x: jax.Array
     x_bar: jax.Array
     y_A: jax.Array
     y_D: jax.Array
+    s_x: Optional[jax.Array] = None
+    s_x_bar: Optional[jax.Array] = None
 
 
 class InverseResult(NamedTuple):
@@ -69,6 +81,42 @@ def fidelity_row_precond(A: Callable, b_shape, vol_shape, dtype):
     row = A(jnp.ones(tuple(vol_shape), dtype))
     floor = 1e-6 * jnp.maximum(jnp.max(row), jnp.asarray(1e-30, dtype))
     return 1.0 / jnp.maximum(row, floor)
+
+
+def _operator_proto(A: Callable):
+    """The optional heavy-operator protocol: ``A.prepare() -> consts``
+    (a pytree of device arrays built once per solve) and
+    ``A.apply(consts, x)`` (the same linear map with the consts threaded
+    as TRACED arguments).  Solvers that scan over A use it to hoist
+    expensive input-independent precomputation — e.g. the spectral CT
+    projector's NUDFT phase tables (~60 M complex exps per application,
+    ``models/ct_spectral.py``) — out of the iteration loop, which XLA's
+    own loop-invariant code motion declines to do under memory pressure.
+    Returns ``A.apply`` or None."""
+    prepare = getattr(A, "prepare", None)
+    apply_fn = getattr(A, "apply", None)
+    return apply_fn if (prepare is not None and apply_fn is not None) \
+        else None
+
+
+def _bind_operator(A, A_T, proto_apply, op_consts, vol_shape, dtype):
+    """Inside a jitted solver run: the (A, A_T) pair actually scanned.
+    With the protocol, A binds the traced consts and A_T becomes the vjp
+    of the BOUND map (built once, before the scan), so the hoisted consts
+    serve both directions."""
+    if proto_apply is None:
+        return A, A_T
+
+    def A_(x):
+        return proto_apply(op_consts, x)
+
+    _, vjp = jax.vjp(A_, jnp.zeros(tuple(vol_shape), dtype))
+
+    def A_T_(y):
+        (x_bar,) = vjp(y)
+        return x_bar
+
+    return A_, A_T_
 
 
 def exact_transpose(A: Callable, vol_shape, dtype=jnp.float32) -> Callable:
@@ -204,6 +252,9 @@ def cp_inverse(
     fidelity_weight=1.0,
     nonneg: bool = False,
     state: Optional[InverseState] = None,
+    fused: bool = None,
+    dual_dtype: str = None,
+    loss_every: int = 1,
 ) -> InverseResult:
     """Solve ``min_x F(A x) + reg TV(x)`` with Chambolle-Pock.
 
@@ -232,12 +283,35 @@ def cp_inverse(
     ``run_until_converged`` (pass the solver as
     ``functools.partial(cp_inverse, A, vol_shape=shape, ...)`` so the
     data ``b`` is the leading argument).
+
+    ``fused=None`` auto-selects the fused Pallas TV kernels for the D-half
+    of the iteration (``_make_inverse_run_fused``) when the problem
+    supports it: f32/bf16 volumes, scalar steps (``precond=False``),
+    concrete ``reg``.  ``fused=False`` forces the jnp path (required when
+    differentiating through the solve w.r.t. ``reg``).
+    ``dual_dtype='bfloat16'`` (fused path only) stores the Nd-channel TV
+    dual in bf16 — at CT production scale the dual is by far the largest
+    state (e.g. 2.1 GB at (16,4,512,512)×8 channels), so this roughly
+    halves the TV-side HBM traffic per iteration.
+
+    ``loss_every=k`` (a positive divisor of ``n_iter``) samples the loss
+    once per k iterations (TGV convention: ``result.loss`` has length
+    ``n_iter // k``, each entry the loss at its chunk's last iteration).
+    The loss line pays one EXTRA forward application ``A(x_new)`` plus a
+    TV evaluation per iteration — one third of the projector cost at
+    production CT scale — so ``loss_every=10`` keeps a usable loss series
+    at ~2/3 the iteration cost.
     """
     from .fidelity import validate_fidelity
 
     b = jnp.asarray(b)
     dtype = b.dtype
     validate_fidelity(fidelity, b, fidelity_weight)
+    if loss_every < 1 or n_iter % loss_every:
+        raise ValueError(
+            f"loss_every must be a positive divisor of n_iter, got "
+            f"loss_every={loss_every} with n_iter={n_iter}"
+        )
     if A_T is None:
         A_T = cached_transpose(A, tuple(vol_shape), jnp.dtype(dtype).name)
     if precond:
@@ -263,25 +337,174 @@ def cp_inverse(
     x0 = jnp.zeros(vol_shape, dtype) if x_init is None else jnp.asarray(
         x_init, dtype)
 
+    reg_traced = isinstance(reg, jax.core.Tracer)
+    if fused is None:
+        from ..kernels.dispatch import can_fuse
+
+        fused = (not precond and not reg_traced
+                 and can_fuse(tuple(vol_shape), cfg,
+                              dtype=jnp.dtype(dtype).name))
+    if fused and (precond or reg_traced):
+        raise ValueError(
+            "fused=True is incompatible with precond=True (per-pixel step "
+            "maps) and with a traced reg (the fused kernels bake reg and "
+            "the steps as compile-time constants) — use fused=False"
+        )
+    if dual_dtype is not None and not fused:
+        raise ValueError(
+            "dual_dtype requires the fused kernel path (fused=True), which "
+            "this problem instance does not support (see kernels.dispatch."
+            "can_fuse: f32/bf16 volumes, scalar steps, concrete reg)"
+        )
+
+    init = x0 if state is None else InverseState(*state)
+    fw = jnp.asarray(fidelity_weight, dtype)
+    # heavy-operator protocol (_operator_proto): precompute the operator's
+    # input-independent constants ONCE per solve and thread them through
+    # the jitted run as traced, loop-invariant arguments
+    op_consts = A.prepare() if _operator_proto(A) else ()
+
+    if fused:
+        from ..kernels.fused import from_internal_layout
+
+        out_dual_dtype = dtype if state is None else state.y_D.dtype
+        run = _make_inverse_run_fused(
+            A, A_T, tuple(vol_shape), cfg, fidelity, bool(nonneg),
+            int(n_iter), jnp.dtype(dtype).name, dual_dtype, Nd,
+            state is None, float(reg), float(sigma), float(tau),
+            float(sigma_A), int(loss_every),
+        )
+        (x, x_bar, y_A, y_D_int, s_x, s_xb), losses = run(b, init, fw,
+                                                          op_consts)
+        final = InverseState(
+            x, x_bar, y_A,
+            from_internal_layout(y_D_int).astype(out_dual_dtype),
+            s_x, s_xb)
+        return InverseResult(x=final.x, loss=losses, state=final)
+
     run = _make_inverse_run(
         A, A_T, tuple(vol_shape), cfg, bool(precond), fidelity,
         bool(nonneg), int(n_iter), jnp.dtype(dtype).name, Nd,
-        fresh=state is None,
+        fresh=state is None, loss_every=int(loss_every),
     )
     steps = ((0.0, 0.0, 0.0) if precond else (sigma, tau, sigma_A))
-    init = x0 if state is None else InverseState(*state)
     # reg stays traced when the caller differentiates through the solve
     # (unrolled hyperparameter gradients, cf. Bertrand et al. 2020)
-    reg_t = reg if isinstance(reg, jax.core.Tracer) else float(reg)
-    final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
-                        reg_t, *steps)
+    reg_t = reg if reg_traced else float(reg)
+    final, losses = run(b, init, fw, reg_t, *steps, op_consts)
     final = InverseState(*final)
     return InverseResult(x=final.x, loss=losses, state=final)
 
 
 @functools.lru_cache(maxsize=32)
+def _make_inverse_run_fused(A, A_T, vol_shape, cfg, fidelity, nonneg,
+                            n_iter, dtype_name, dual_dtype_name, Nd, fresh,
+                            reg, sigma, tau, sigma_A, loss_every=1):
+    """Fused-kernel inverse CP executable: the TV half of the ``K=[A; D]``
+    iteration rides the Pallas pass pair — ``make_tv_dual_kernel`` (TV
+    dual prox + local adjoint part) and ``make_cp_primal_kernel`` with the
+    backprojected volume ``A^T y_A`` riding its y_A slot — while the
+    measurement-space fidelity dual and the projector stay jnp/XLA.  The
+    loss's TV value comes from ``make_tv_norms_kernel`` partials.
+
+    ``reg`` and the step scalars are BAKED into the kernels (compile-time
+    constants): traced-reg use cases (``reg_discrepancy`` warm-started
+    bisections, hyperparameter gradients) take the jnp run, where they
+    stay traced arguments.  Unsharded volumes only."""
+    from ..kernels.dispatch import default_interpret
+    from ..kernels.fused import (
+        _sum_parts,
+        make_cp_primal_kernel,
+        make_tv_dual_kernel,
+        make_tv_norms_kernel,
+        to_internal_layout,
+    )
+    from .fidelity import fidelity_dual_prox, fidelity_loss
+
+    interpret = default_interpret()
+    shape = tuple(vol_shape)
+    dual_name = dual_dtype_name or dtype_name
+    tv_dual = make_tv_dual_kernel(cfg, shape, dtype_name, sigma, reg,
+                                  interpret, dual_dtype_name=dual_name)
+    primal = make_cp_primal_kernel(cfg, shape, dtype_name, tau, interpret,
+                                   dual_dtype_name=dual_name, nonneg=nonneg)
+    tv_norms = make_tv_norms_kernel(cfg, shape, dtype_name, interpret)
+    proto = _operator_proto(A)
+
+    @jax.jit
+    def run(b, init, fw, op_consts):
+        A_, A_T_ = _bind_operator(A, A_T, proto, op_consts, shape,
+                                  jnp.dtype(dtype_name))
+        # A is LINEAR (a CP requirement), so the over-relaxed projection
+        # A(x_bar) = A(2 x_new - x) = 2 A(x_new) - A(x) comes from carried
+        # sinogram images of the iterates — ONE forward + one adjoint per
+        # iteration instead of three applications (the loss reuses the
+        # same A(x_new)); fresh one-step f32 combination, no accumulation
+        if fresh:
+            x0 = init
+            s0 = A_(x0)
+            st = (x0, s0, s0, jnp.zeros_like(b),
+                  jnp.zeros((shape[0], shape[1], Nd) + shape[2:],
+                            jnp.dtype(dual_name)))
+            x_bar0 = x0
+        else:
+            x, x_bar, y_A, y_D_pub = init[:4]
+            s_x = init.s_x if init.s_x is not None else A_(x)
+            s_xb = init.s_x_bar if init.s_x_bar is not None else A_(x_bar)
+            st = (x, s_x, s_xb, y_A,
+                  to_internal_layout(y_D_pub).astype(jnp.dtype(dual_name)))
+            x_bar0 = x_bar
+
+        def step(carry, x_bar, with_loss):
+            x, sAx, sAx_bar, y_A, y_D_int = carry
+            y_A = fidelity_dual_prox(y_A, sAx_bar, b, sigma_A, fidelity,
+                                     fw)
+            y_D_int, dt_local, _l21 = tv_dual(x_bar, y_D_int)
+            at = A_T_(y_A)
+            # pass B: x_new = max(x - tau*(at + D^T y_D'), 0 if nonneg);
+            # the x0 slot only feeds the (discarded) denoising fid partial
+            x_new, _fid = primal(x, x, at, y_D_int, dt_local)
+            x_bar = 2.0 * x_new - x
+            s_new = A_(x_new)
+            carry = (x_new, s_new, 2.0 * s_new - sAx, y_A, y_D_int)
+            if not with_loss:
+                return carry, x_bar, None
+            _norms, tv_parts = tv_norms(x_new)
+            loss = (fidelity_loss(s_new, b, fidelity, fw)
+                    + reg * _sum_parts(tv_parts))
+            return carry, x_bar, loss
+
+        if loss_every == 1:
+            def body(cb, _):
+                c, xb = cb
+                c, xb, loss = step(c, xb, True)
+                return (c, xb), loss
+
+            (final, x_bar_f), losses = jax.lax.scan(
+                body, (st, x_bar0), length=n_iter)
+        else:
+            # loss sampled once per chunk (TGV convention): skips the
+            # (cheap, since the linearity rewrite) TV value + fidelity sum
+            def chunk(cb, _):
+                def inner(i, cb):
+                    c, xb, _ = step(cb[0], cb[1], False)
+                    return (c, xb)
+
+                c, xb = jax.lax.fori_loop(0, loss_every - 1, inner, cb)
+                c, xb, loss = step(c, xb, True)
+                return (c, xb), loss
+
+            (final, x_bar_f), losses = jax.lax.scan(
+                chunk, (st, x_bar0), length=n_iter // loss_every)
+        x, sAx, sAxb, y_A, y_D_int = final
+        return (x, x_bar_f, y_A, y_D_int, sAx, sAxb), losses
+
+    return run
+
+
+@functools.lru_cache(maxsize=32)
 def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
-                      n_iter, dtype_name, Nd, fresh):
+                      n_iter, dtype_name, Nd, fresh, loss_every=1):
     """One jitted CP executable per (operator, config) — ``reg``, the step
     scalars and the fidelity weight are TRACED arguments, so a reg sweep
     (``reg_discrepancy``) or changed step sizes reuse the same compiled
@@ -293,9 +516,12 @@ def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
 
     dtype = jnp.dtype(dtype_name)
     kw = cfg.kwargs()
+    proto = _operator_proto(A)
 
     @jax.jit
-    def run(b, init, fw, reg, sigma, tau, sigma_A):
+    def run(b, init, fw, reg, sigma, tau, sigma_A, op_consts):
+        A_, A_T_ = _bind_operator(A, A_T, proto, op_consts, vol_shape,
+                                  dtype)
         if precond:
             # maps built inside jit from tiny boundary masks + one |A|^T 1
             # volume — nothing volume-sized is baked into the executable
@@ -303,40 +529,74 @@ def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
 
             sig, tau_m = precond_maps(
                 vol_shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
-                fidelity_colsum=A_T(jnp.ones(tuple(b.shape), dtype)),
+                fidelity_colsum=A_T_(jnp.ones(tuple(b.shape), dtype)),
                 grouped=(cfg.norm != "aniso"),
             )
             sig = sig.astype(dtype)
             tau_m = tau_m.astype(dtype)
-            sig_A = fidelity_row_precond(A, tuple(b.shape), vol_shape, dtype)
+            sig_A = fidelity_row_precond(A_, tuple(b.shape), vol_shape,
+                                         dtype)
         else:
             sig, tau_m, sig_A = sigma, tau, sigma_A
 
+        # linearity rewrite (see the fused run): A(x_bar) = 2 A(x_new) -
+        # A(x) from carried sinogram images — one forward + one adjoint
+        # per iteration, the loss reuses the same A(x_new)
         if fresh:
             x0 = init
-            st = (x0, x0, jnp.zeros_like(b),
+            s0 = A_(x0)
+            st = (x0, s0, s0, jnp.zeros_like(b),
                   jnp.zeros((vol_shape[0], Nd, vol_shape[1])
                             + tuple(vol_shape[2:]), dtype))
+            x_bar0 = x0
         else:
-            st = tuple(init)
+            x, x_bar, y_A, y_D = tuple(init)[:4]
+            s_x = init.s_x if init.s_x is not None else A_(x)
+            s_xb = init.s_x_bar if init.s_x_bar is not None else A_(x_bar)
+            st = (x, s_x, s_xb, y_A, y_D)
+            x_bar0 = x_bar
 
-        def step(carry, _):
-            x, x_bar, y_A, y_D = carry
-            y_A = fidelity_dual_prox(y_A, A(x_bar), b, sig_A, fidelity, fw)
+        def step(carry, x_bar, with_loss):
+            x, sAx, sAx_bar, y_A, y_D = carry
+            y_A = fidelity_dual_prox(y_A, sAx_bar, b, sig_A, fidelity, fw)
             p = y_D + sig * D(x_bar, cfg.scheme, **kw)
             y_D = dual_prox(p, reg, cfg.norm, sig, cfg.huber_delta)
-            x_new = x - tau_m * (A_T(y_A) + D_T(y_D, cfg.scheme, **kw))
+            x_new = x - tau_m * (A_T_(y_A) + D_T(y_D, cfg.scheme, **kw))
             if nonneg:
                 x_new = jnp.maximum(x_new, 0.0)
             x_bar = 2.0 * x_new - x
-            loss = fidelity_loss(A(x_new), b, fidelity, fw) + reg * tv_norm(
+            s_new = A_(x_new)
+            carry = (x_new, s_new, 2.0 * s_new - sAx, y_A, y_D)
+            if not with_loss:
+                return carry, x_bar, None
+            loss = fidelity_loss(s_new, b, fidelity, fw) + reg * tv_norm(
                 D(x_new, cfg.scheme, **kw), cfg.norm,
                 huber_delta=cfg.huber_delta
             )
-            return (x_new, x_bar, y_A, y_D), loss
+            return carry, x_bar, loss
 
-        final, losses = jax.lax.scan(step, st, length=n_iter)
-        return final, losses
+        if loss_every == 1:
+            def body(cb, _):
+                c, xb = cb
+                c, xb, loss = step(c, xb, True)
+                return (c, xb), loss
+
+            (final, x_bar_f), losses = jax.lax.scan(
+                body, (st, x_bar0), length=n_iter)
+        else:
+            def chunk(cb, _):
+                def inner(i, cb):
+                    c, xb, _ = step(cb[0], cb[1], False)
+                    return (c, xb)
+
+                c, xb = jax.lax.fori_loop(0, loss_every - 1, inner, cb)
+                c, xb, loss = step(c, xb, True)
+                return (c, xb), loss
+
+            (final, x_bar_f), losses = jax.lax.scan(
+                chunk, (st, x_bar0), length=n_iter // loss_every)
+        x, sAx, sAxb, y_A, y_D = final
+        return (x, x_bar_f, y_A, y_D, sAx, sAxb), losses
 
     return run
 
@@ -374,6 +634,9 @@ def reg_discrepancy(
         kw = dict(kw, A_T=A_T,
                   op_norm=float(power_iteration(A, A_T, vol_shape,
                                                 dtype=b.dtype)))
+    # the jnp run keeps reg a TRACED argument — one executable for the
+    # whole sweep; the fused kernels would recompile per bisection value
+    kw.setdefault("fused", False)
     state = None
 
     def solve(reg):

@@ -427,3 +427,56 @@ def test_spectral_bf16_storage_volume():
     assert p16.dtype == jnp.bfloat16
     rel = _rel(np.asarray(p16, np.float32), ref)
     assert rel < 1e-2, rel  # input-quantization level, not phase garbage
+
+
+def test_precomputed_tables_match_lazy_build():
+    """make_spectral_projector's eager NUDFT tables (device-resident
+    constants, the solver-scan fast path) must reproduce the lazy
+    per-chunk build bit-for-bit up to summation order — forward AND
+    adjoint, shared and per-frame angles."""
+    rng = np.random.default_rng(7)
+    shape = (2, 2, 32, 32)
+    x = jnp.asarray(rng.random(shape))
+    y = jnp.asarray(rng.random((2, 2, 9, 32)))
+    shared = np.linspace(0, np.pi, 9, endpoint=False) + 0.03
+    per_frame = np.stack([shared, shared + 0.11])
+    for angles in (shared, per_frame):
+        A_e, AT_e = make_spectral_projector(shape, angles,
+                                            dtype=jnp.float64,
+                                            precompute_tables=True)
+        A_l, AT_l = make_spectral_projector(shape, angles,
+                                            dtype=jnp.float64,
+                                            precompute_tables=False,
+                                            angle_chunk=3)
+        np.testing.assert_allclose(np.asarray(A_e(x)), np.asarray(A_l(x)),
+                                   rtol=1e-12, atol=1e-12)
+        np.testing.assert_allclose(np.asarray(AT_e(y)),
+                                   np.asarray(AT_l(y)),
+                                   rtol=1e-12, atol=1e-12)
+
+
+def test_operator_protocol_reconstruction_matches_lazy():
+    """cp_reconstruct through the prepare()/apply() protocol (tables
+    hoisted out of the scan as traced consts) must match the lazy
+    per-application build — same solver trajectory."""
+    from pytv4d_tpu.models.ct import cp_reconstruct
+
+    rng = np.random.default_rng(11)
+    shape = (2, 2, 32, 32)
+    vol = jnp.asarray(rng.random(shape), jnp.float32)
+    angles = np.linspace(0, np.pi, 12, endpoint=False) + 0.02
+    A_e, _ = make_spectral_projector(shape, angles, precompute_tables=True)
+    A_l, _ = make_spectral_projector(shape, angles, precompute_tables=False)
+    assert hasattr(A_e, "prepare") and not hasattr(A_l, "prepare")
+    sino = A_l(vol)
+
+    def recon(A):
+        from pytv4d_tpu.solvers.inverse import cp_inverse
+
+        return cp_inverse(A, sino, shape, n_iter=6, reg=0.1, op_norm=30.0)
+
+    res_e, res_l = recon(A_e), recon(A_l)
+    np.testing.assert_allclose(np.asarray(res_e.x), np.asarray(res_l.x),
+                               rtol=1e-5, atol=1e-6)
+    np.testing.assert_allclose(np.asarray(res_e.loss),
+                               np.asarray(res_l.loss), rtol=1e-5)

@@ -288,7 +288,11 @@ def test_inverse_runner_cache_shared_across_regs():
     A = lambda v: v
     A_T = lambda v: v
     for reg in (0.1, 0.237, 1.7):
-        cp_inverse(A, b, b.shape, A_T=A_T, n_iter=2, reg=reg, op_norm=1.0)
+        # fused=False: the fused kernels bake reg (one executable per
+        # value, by design) — the traced-reg contract is the jnp run's,
+        # and reg_discrepancy pins fused=False for exactly this reason
+        cp_inverse(A, b, b.shape, A_T=A_T, n_iter=2, reg=reg, op_norm=1.0,
+                   fused=False)
     info = _make_inverse_run.cache_info()
     assert info.misses == 1 and info.hits == 2
 
