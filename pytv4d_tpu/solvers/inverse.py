@@ -144,19 +144,30 @@ def cached_transpose(A, vol_shape, dtype_name):
 
 def power_iteration(A: Callable, A_T: Callable, vol_shape, n_iter: int = 12,
                     seed: int = 0, dtype=jnp.float32):
-    """Power-method estimate of ||A||_2 for step sizing."""
+    """Power-method estimate of ||A||_2 for step sizing.  Honors the
+    heavy-operator protocol (:func:`_operator_proto`) so a spectral CT
+    projector's tables are built once, not per scan iteration."""
     x = jnp.asarray(
         np.random.default_rng(seed).standard_normal(vol_shape), dtype
     )
+    proto = _operator_proto(A)
+    consts = A.prepare() if proto else ()
 
-    def body(x, _):
-        y = A_T(A(x))
-        n = jnp.sqrt(jnp.sum(jnp.square(y)))
-        return y / jnp.maximum(n, 1e-30), n
+    @jax.jit
+    def run(x, consts):
+        A_, A_T_ = _bind_operator(A, A_T, proto, consts, vol_shape,
+                                  jnp.dtype(dtype))
 
-    _, norms = jax.lax.scan(body, x / jnp.sqrt(jnp.sum(jnp.square(x))),
-                            length=n_iter)
-    return jnp.sqrt(norms[-1])
+        def body(x, _):
+            y = A_T_(A_(x))
+            n = jnp.sqrt(jnp.sum(jnp.square(y)))
+            return y / jnp.maximum(n, 1e-30), n
+
+        _, norms = jax.lax.scan(body, x / jnp.sqrt(jnp.sum(jnp.square(x))),
+                                length=n_iter)
+        return jnp.sqrt(norms[-1])
+
+    return run(x, consts)
 
 
 def pd_gap_inverse(

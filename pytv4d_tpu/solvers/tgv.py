@@ -26,7 +26,7 @@ from __future__ import annotations
 
 import functools
 import math
-from typing import NamedTuple
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -47,7 +47,10 @@ class TGVState(NamedTuple):
 class TGVInverseState(NamedTuple):
     """Full CP carry of :func:`tgv_inverse` for resume/checkpointing:
     primal x/w with their over-relaxed copies, the fidelity dual y_A, and
-    the TGV duals p/q."""
+    the TGV duals p/q.  ``s_x``/``s_xb`` carry the forward projections
+    ``A(x)``/``A(xb)`` so the linearity-derived over-relaxed projection
+    (one forward per iteration, see ``solvers.inverse.InverseState``)
+    resumes bit-exactly; ``None`` (old checkpoints) is recomputed once."""
     x: jax.Array
     xb: jax.Array
     w: jax.Array
@@ -55,6 +58,8 @@ class TGVInverseState(NamedTuple):
     y_A: jax.Array
     p: jax.Array
     q: jax.Array
+    s_x: Optional[jax.Array] = None
+    s_xb: Optional[jax.Array] = None
 
 
 class TGVResult(NamedTuple):
@@ -801,8 +806,12 @@ def tgv_inverse(
     def _scalar(a):  # stays traced under the caller's jax.grad/jit
         return a if isinstance(a, jax.core.Tracer) else float(a)
 
+    from .inverse import _operator_proto
+
+    op_consts = A.prepare() if _operator_proto(A) else ()
     final, losses = run(b, init, jnp.asarray(fidelity_weight, dtype),
-                        _scalar(alpha1), _scalar(alpha0), *steps)
+                        _scalar(alpha1), _scalar(alpha0), *steps,
+                        op_consts)
     final = TGVInverseState(*final)
     return TGVResult(x=final.x, w=final.w, loss=losses, state=final)
 
@@ -817,19 +826,23 @@ def _make_tgv_inverse_run(A, A_T, vol_shape, axes, precond, norm,
     reuse the same compiled program.  ``fresh=True`` takes just the
     initial volume and allocates the zero state INSIDE jit."""
     from .fidelity import fidelity_dual_prox, fidelity_loss
+    from .inverse import _bind_operator, _operator_proto
 
     dtype = jnp.dtype(dtype_name)
     d_fwd, sym_grad, d_T, sym_T, n_w, n_q, _ = _tgv_ops(
         axes, vol_shape, dtype)
     Nz, M, Nr, Nc = vol_shape
+    proto = _operator_proto(A)
 
     @jax.jit
-    def run(b, init, fw, a1, a0, sigma, tau):
+    def run(b, init, fw, a1, a0, sigma, tau, op_consts):
+        A_, A_T_ = _bind_operator(A, A_T, proto, op_consts, vol_shape,
+                                  dtype)
         # preconditioner masks are built INSIDE jit so they broadcast
         # lazily — nothing volume-sized is baked into the executable
         if precond:
             sig_A, sig_p, sig_q, T_x, T_w = _tgv_precond_maps(
-                vol_shape, axes, dtype, norm=norm, A=A, A_T=A_T,
+                vol_shape, axes, dtype, norm=norm, A=A_, A_T=A_T_,
                 b_shape=tuple(b.shape))
         else:
             sig_A = sig_p = sig_q = jnp.asarray(sigma, dtype)
@@ -838,34 +851,43 @@ def _make_tgv_inverse_run(A, A_T, vol_shape, axes, precond, norm,
             # zero duals/fields allocated INSIDE jit: no transient second
             # state-sized buffer in HBM for large fresh runs
             x0 = init
+            s0 = A_(x0)
             w0 = jnp.zeros((Nz, n_w, M, Nr, Nc), dtype)
-            st0 = TGVInverseState(x0, x0, w0, w0, jnp.zeros_like(b),
-                                  jnp.zeros_like(w0),
-                                  jnp.zeros((Nz, n_q, M, Nr, Nc), dtype))
+            st0 = (x0, x0, w0, w0, jnp.zeros_like(b),
+                   jnp.zeros_like(w0),
+                   jnp.zeros((Nz, n_q, M, Nr, Nc), dtype), s0, s0)
         else:
-            st0 = init
+            x, xb, w, wb, y_A, p, q = tuple(init)[:7]
+            s_x = init.s_x if init.s_x is not None else A_(x)
+            s_xb = init.s_xb if init.s_xb is not None else A_(xb)
+            st0 = (x, xb, w, wb, y_A, p, q, s_x, s_xb)
 
         def step(carry, _):
-            x, xb, w, wb, y_A, p, q = carry
-            y_A = fidelity_dual_prox(y_A, A(xb), b, sig_A, fidelity, fw)
+            # linearity rewrite (solvers.inverse): A(xb) = 2 A(x_new) -
+            # A(x) from carried sinogram images — one forward + one
+            # adjoint per iteration, the loss reuses the same A(x_new)
+            x, xb, w, wb, y_A, p, q, sAx, sAxb = carry
+            y_A = fidelity_dual_prox(y_A, sAxb, b, sig_A, fidelity, fw)
             p = _tgv_dual_prox(p + _chanmul(sig_p, d_fwd(xb) - wb), a1,
                                norm, sig_p, huber_delta)
             q = _tgv_dual_prox(q + _chanmul(sig_q, sym_grad(wb)), a0,
                                norm, sig_q, huber_delta)
-            x_new = x - T_x * (A_T(y_A) + d_T(p))
+            x_new = x - T_x * (A_T_(y_A) + d_T(p))
             if nonneg:
                 x_new = jnp.maximum(x_new, 0.0)
             w_new = w - _chanmul(T_w, -p + sym_T(q))
             xb = 2.0 * x_new - x
             wb = 2.0 * w_new - w
-            loss = (fidelity_loss(A(x_new), b, fidelity, fw)
+            s_new = A_(x_new)
+            loss = (fidelity_loss(s_new, b, fidelity, fw)
                     + a1 * _tgv_norm_val(d_fwd(x_new) - w_new, norm,
                                          huber_delta)
                     + a0 * _tgv_norm_val(sym_grad(w_new), norm,
                                          huber_delta))
-            return (x_new, xb, w_new, wb, y_A, p, q), loss
+            return (x_new, xb, w_new, wb, y_A, p, q, s_new,
+                    2.0 * s_new - sAx), loss
 
-        final, losses = jax.lax.scan(step, tuple(st0), length=n_iter)
+        final, losses = jax.lax.scan(step, st0, length=n_iter)
         return final, losses
 
     return run
