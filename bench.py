@@ -143,6 +143,48 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
     return it_s
 
 
+def bench_ct_production_recon(n_iter=100, repeats=3):
+    """Flagship CT claim, driver-audited (VERDICT r3 item 6): the
+    TV-regularized ``cp_reconstruct`` at the production dynamic-CT scale
+    (16, 4, 512, 512) x 96 angles on the gather-free spectral projector —
+    reconstruction iterations/s only (the forward/adjoint breakdown lives
+    in ``pytv4d_tpu.bench.harness.bench_ct_production``)."""
+    import jax
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct import cp_reconstruct, make_projector
+    from pytv4d_tpu.solvers.inverse import power_iteration
+
+    vol_shape = (16, 4, 512, 512)
+    n_angles = 96
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random(vol_shape), jnp.float32)
+    angles = np.linspace(0.0, np.pi, n_angles, endpoint=False)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+
+    A, A_T = make_projector(vol_shape, angles, method="spectral")
+    sino = jax.jit(A)(vol)
+    float(jnp.sum(sino))
+    op_norm = float(power_iteration(A, A_T, vol_shape))
+
+    def run():
+        res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter,
+                             reg=0.5, cfg=cfg, op_norm=op_norm,
+                             method="spectral", loss_every=n_iter)
+        return float(jnp.sum(res.x))
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    it_s = n_iter / best
+    log(f"ct production recon (16,4,512,512)x96 spectral: {it_s:.1f} it/s")
+    return it_s
+
+
 def _probe_devices(timeout_s: float = 180.0, retries: int = 3,
                    backoff_s: float = 120.0):
     """Bounded platform probe with retry: ``jax.devices()`` hangs
@@ -270,12 +312,21 @@ def main():
         it4pd, _ = bench_cp_4d(dual_dtype="bfloat16",
                                primary_dtype="bfloat16", repeats=3)
         extras["fused_4d_bf16pd_it_s"] = round(it4pd, 1)
-        extras["tgv_4d_it_s"] = round(bench_tgv_4d(), 1)
+        # NOTE the key names (VERDICT r3 item 6): the default bench_tgv_4d
+        # runs the axes='2d' slice-resident kernel on a 4D volume — name it
+        # tgv_2d; the genuinely coupled space-time kernel is the _coupled key
+        extras["tgv_2d_it_s"] = round(bench_tgv_4d(), 1)
         extras["tgv_4d_coupled_bf16_it_s"] = round(
             bench_tgv_4d(axes="4d", dtype="bfloat16", compute_loss=False,
                          repeats=3), 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
+
+    try:
+        extras["ct_production_recon_it_s"] = round(
+            bench_ct_production_recon(), 1)
+    except Exception as e:
+        log(f"CT production bench skipped: {e!r}")
 
     record = {
         "metric": "cp_denoise_cameraman_300it",

@@ -2,6 +2,7 @@ from . import ct, ct_spectral, denoise
 from .ct import (
     ConeBeamGeometry,
     FanBeamGeometry,
+    clear_projector_cache,
     cp_reconstruct,
     fbp,
     fdk,

@@ -139,7 +139,18 @@ def _resolve_method(method: str) -> str:
     return "gather" if jax.default_backend() == "cpu" else "spectral"
 
 
-_PROJECTOR_CACHE: dict = {}
+import collections
+
+_PROJECTOR_CACHE: "collections.OrderedDict" = collections.OrderedDict()
+_PROJECTOR_CACHE_MAX = 8
+
+
+def clear_projector_cache() -> None:
+    """Drop all memoized ``(A, A_T)`` projector pairs.  Each cached
+    SPECTRAL projector can pin its prepared NUDFT tables in HBM (~400 MB
+    at production scale) for as long as the pair is referenced — call this
+    between unrelated geometry campaigns to release them."""
+    _PROJECTOR_CACHE.clear()
 
 
 def make_projector(vol_shape, angles, n_det: Optional[int] = None,
@@ -171,13 +182,15 @@ def make_projector(vol_shape, angles, n_det: Optional[int] = None,
            jnp.dtype(dtype).name, angle_batch, _resolve_method(method))
     hit = _PROJECTOR_CACHE.get(key)
     if hit is not None:
+        _PROJECTOR_CACHE.move_to_end(key)   # LRU: hits refresh position
         return hit
     pair = _make_projector_uncached(vol_shape, angles, n_det, dtype,
                                     angle_batch, method)
-    if len(_PROJECTOR_CACHE) >= 8:   # geometries are few; bound the cache
-        # (each cached spectral projector may pin its prepared NUDFT
-        # tables in HBM — ~400 MB at production scale)
-        _PROJECTOR_CACHE.pop(next(iter(_PROJECTOR_CACHE)))
+    if len(_PROJECTOR_CACHE) >= _PROJECTOR_CACHE_MAX:
+        # evict least-recently-used (each cached spectral projector may
+        # pin its prepared NUDFT tables in HBM — ~400 MB at production
+        # scale; clear_projector_cache() releases everything)
+        _PROJECTOR_CACHE.popitem(last=False)
     _PROJECTOR_CACHE[key] = pair
     return pair
 
@@ -396,7 +409,20 @@ def tgv_reconstruct(
     ``geom`` selection as :func:`cp_reconstruct`; ``axes`` picks in-plane
     ('2d', per (z, t) slice), volumetric ('3d') or space-time ('4d') TGV
     coupling; ``fidelity``/``fidelity_weight``/``nonneg`` as in
-    :func:`cp_reconstruct`; ``method`` as in :func:`cp_reconstruct`."""
+    :func:`cp_reconstruct`; ``method`` as in :func:`cp_reconstruct`.
+
+    ``fused``/``dual_dtype``/``loss_every`` are accepted for signature
+    symmetry with :func:`cp_reconstruct` but NOT implemented by the
+    underlying ``tgv_inverse`` (the fused Pallas TGV kernels serve
+    denoising only, ``solvers.tgv.tgv_denoise``) — setting them raises
+    rather than being silently ignored."""
+    if fused is not None or dual_dtype is not None or loss_every != 1:
+        raise NotImplementedError(
+            "tgv_reconstruct does not support fused/dual_dtype/loss_every "
+            "— tgv_inverse runs the jnp path with a full loss series; "
+            "leave these at their defaults (fused=None, dual_dtype=None, "
+            "loss_every=1)"
+        )
     sino = jnp.asarray(sino)
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
                                method=method)

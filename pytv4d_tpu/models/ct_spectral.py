@@ -90,12 +90,17 @@ def _concrete_angles(angles):
 
 def _chunk_tables(ang, vertical: bool, N: int, Np: int, n_det: int,
                   real_dt, det_spacing: float = 1.0):
-    """NUDFT phase tables for one angle set: ``P[a, r, k]`` (slice NUDFT)
-    and ``E[a, k, s]`` (detector synthesis, regime scale folded in).
-    Pure functions of the geometry — input-independent, so they can be
-    built once per projector (``make_spectral_projector``) instead of per
-    application."""
-    cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
+    """NUDFT phase tables for one angle set, stored PLANAR as real/imag
+    pairs ``(Pr, Pi, Er, Ei)``: ``P[a, r, k]`` is the slice NUDFT,
+    ``E[a, k, s]`` the detector synthesis with the regime scale AND the
+    FFT centering phase ``e^{+2i pi k c0 / Np}`` folded in (both are
+    k-separable, so folding them here removes a full-F-sized complex
+    elementwise pass per application).  Pure functions of the geometry —
+    input-independent, so they can be built once per projector
+    (``make_spectral_projector``) instead of per application.  Planar
+    storage is what the MXU wants (real f32 matmuls, see
+    ``_planar_apply``) and is also what the tunneled host<->device
+    boundary requires (complex arrays cannot cross it)."""
     c0 = (N - 1) / 2.0
     k = jnp.arange(Np // 2 + 1, dtype=real_dt)
     wk = jnp.where((k == 0) | (k == Np // 2), 1.0, 2.0).astype(real_dt)
@@ -115,26 +120,55 @@ def _chunk_tables(ang, vertical: bool, N: int, Np: int, n_det: int,
         # w_k = +2 pi k / (Np cos t)
         slope, denom, det_sign = sin / cos, cos, 1.0
     # P[a, r, k] = e^{-i u_k x_r} (vertical) / e^{-i v_k y_c} (horiz.)
-    phase = (2.0 * jnp.pi / Np) * slope[:, None, None] \
-        * x[None, :, None] * k[None, None, :]
-    P = jnp.exp(1j * phase.astype(real_dt)).astype(cplx_dt)
-    # detector synthesis: p[s_j] = 1/(Np |denom|) sum_k G e^{i w_k s_j}
-    dphase = (det_sign * 2.0 * jnp.pi / Np) \
-        * (k[None, :, None] / denom[:, None, None]) * s_j[None, None, :]
-    E = jnp.exp(1j * dphase.astype(real_dt)).astype(cplx_dt)
-    scale = (wk[None, :, None]
-             / (Np * jnp.abs(denom))[:, None, None]).astype(cplx_dt)
-    return P, E * scale
+    phase = ((2.0 * jnp.pi / Np) * slope[:, None, None]
+             * x[None, :, None] * k[None, None, :]).astype(real_dt)
+    Pr, Pi = jnp.cos(phase), jnp.sin(phase)
+    # detector synthesis p[s_j] = 1/(Np |denom|) sum_k G e^{i w_k s_j},
+    # plus the centering phase e^{+2i pi k c0 / Np} of the padded FFT
+    dphase = ((det_sign * 2.0 * jnp.pi / Np)
+              * (k[None, :, None] / denom[:, None, None])
+              * s_j[None, None, :]
+              + (2.0 * jnp.pi * c0 / Np) * k[None, :, None]).astype(real_dt)
+    scale = (wk[None, :, None] / (Np * jnp.abs(denom))[:, None, None]
+             ).astype(real_dt)
+    return Pr, Pi, jnp.cos(dphase) * scale, jnp.sin(dphase) * scale
+
+
+def _planar_apply(F, tables, out_dt, precision):
+    """Apply one regime bucket's NUDFT pair to the (complex) padded FFT
+    ``F[..., r, k]`` as REAL f32/f64 matmuls only — the MXU-native layout
+    (a complex64 einsum lowers to four float32 dot_generals with
+    interleaved-layout transposes; planar tables skip that and let the
+    second stage exploit that only the REAL part of the synthesis is
+    needed).
+
+    Stage 1 computes all four cross products ``{Fr,Fi} x {Pr,Pi}`` in ONE
+    k-batched dot_general by stacking the re/im planes into the matmul's M
+    and N dimensions (M doubles to 2*B4 — a full 128-row MXU tile at
+    production batch 64): ``prod[i,j,...,a,k] = sum_r Fs[i,...,r,k]
+    Ps[j,a,r,k]``.  Stage 2 takes the real part of the detector synthesis
+    as a single matmul contracting over the stacked (re/im, k) axis:
+    ``Re(G E) = Gr Er - Gi Ei = [Gr, Gi] . [Er; -Ei]``."""
+    Fs = jnp.stack([jnp.real(F), jnp.imag(F)])        # (2, ..., r, k)
+    Pr, Pi, Er, Ei = tables
+    Ps = jnp.stack([Pr, Pi])                          # (2, a, r, k)
+    prod = jnp.einsum("i...rk,jark->ij...ak", Fs, Ps,
+                      precision=precision)
+    Gs = jnp.stack([prod[0, 0] - prod[1, 1],          # Gr
+                    prod[0, 1] + prod[1, 0]], axis=-2)  # Gi -> (...,a,2,k)
+    Es = jnp.stack([Er, -Ei], axis=1)                 # (a, 2, k, s)
+    out = jnp.einsum("...ajk,ajks->...as", Gs, Es, precision=precision)
+    return out.astype(out_dt)
 
 
 def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
                        angle_chunk: int, det_spacing: float = 1.0,
-                       tables=None):
+                       tables=None, precision=None):
     """Project one regime bucket.  ``vol`` is (B4.., N, N) real; ``ang_b``
     a 1-D CONCRETE angle array, all satisfying |sin| >= |cos| when
     ``vertical`` else |cos| > |sin|.  Returns (..., len(ang_b), n_det).
-    ``tables``: optional precomputed ``(P, E)`` for the WHOLE bucket
-    (skips the per-chunk table rebuild and the chunk loop)."""
+    ``tables``: optional precomputed planar ``(Pr, Pi, Er, Ei)`` for the
+    WHOLE bucket (skips the per-chunk table rebuild and the chunk loop)."""
     N = vol.shape[-1]
     # compute in f32 minimum: phases reach ~1e3 radians at production N,
     # where bf16's 8e-3 relative eps would be whole radians of error —
@@ -144,38 +178,25 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     out_dt = vol.dtype
     if jnp.dtype(vol.dtype).itemsize < 4:
         vol = vol.astype(real_dt)
-    cplx_dt = jnp.complex128 if real_dt == jnp.float64 else jnp.complex64
-    c0 = (N - 1) / 2.0
     # HALF spectrum: the volume is real, so G(-k) = conj(G(k)) and the
     # (real) detector synthesis folds to k = 0..Np/2 with weight 2 on the
     # interior bins — both NUDFT matmuls and the phase tables halve.
-    k = jnp.arange(Np // 2 + 1, dtype=real_dt)              # (Np/2+1,)
-
     if vertical:
         # column FFT once: F[..., r, k] = sum_c img[..,r,c] e^{-2i pi kc/Np}
         F = jnp.fft.rfft(vol, n=Np, axis=-1)
     else:
         # row FFT once; move the k axis last: F[..., c, k]
         F = jnp.moveaxis(jnp.fft.rfft(vol, n=Np, axis=-2), -2, -1)
-    # centering phase e^{+2i pi k c0 / Np} (x_r = r - c0 / y_c = c - c0)
-    F = F * jnp.exp(2j * jnp.pi * k * c0 / Np).astype(cplx_dt)
-
-    def apply(P, E):
-        G = jnp.einsum("...rk,ark->...ak", F, P)
-        return jnp.real(jnp.einsum("...ak,aks->...as", G, E)).astype(out_dt)
+    # (the centering phase e^{+2i pi k c0 / Np} is folded into the E
+    # tables — k-separable, so it commutes with the r-contraction)
 
     if tables is not None:
-        # stored as f32/f64 (real, imag) pairs — complex arrays cannot
-        # cross the host<->device boundary on some tunneled TPU backends,
-        # so the combine happens in-trace (two cheap elementwise ops)
-        Pr, Pi, Er, Ei = tables
-        return apply((Pr + 1j * Pi).astype(cplx_dt),
-                     (Er + 1j * Ei).astype(cplx_dt))
+        return _planar_apply(F, tables, out_dt, precision)
 
     def chunk_fn(ang):
-        P, E = _chunk_tables(ang, vertical, N, Np, n_det, real_dt,
-                             det_spacing)
-        return apply(P, E)
+        t = _chunk_tables(ang, vertical, N, Np, n_det, real_dt,
+                          det_spacing)
+        return _planar_apply(F, t, out_dt, precision)
 
     A = ang_b.shape[0]
     B = min(angle_chunk, A)
@@ -209,29 +230,30 @@ def _spectral_tables_shared(ang: np.ndarray, N: int, n_det: int, real_dt,
     ``{True: (Pr, Pi, Er, Ei) | None, False: ...}`` keyed by the regime,
     aligned with :func:`_regime_split` exactly as
     ``_radon_spectral_shared`` consumes them.  Stored as real/imag float
-    pairs (see ``_bucket_projection``); call under jit — eager complex
-    exp is unimplemented on some TPU backends."""
+    pairs (see ``_chunk_tables``); call under jit — eager transcendental
+    table builds are slow on some TPU backends."""
     Np = 2 * N
     idx_v, idx_h = _regime_split(ang)
 
     def split(vertical, idx):
         if not idx.size:
             return None
-        P, E = _chunk_tables(ang[idx], vertical, N, Np, n_det, real_dt,
+        return _chunk_tables(ang[idx], vertical, N, Np, n_det, real_dt,
                              det_spacing)
-        return (jnp.real(P), jnp.imag(P), jnp.real(E), jnp.imag(E))
 
     return {True: split(True, idx_v), False: split(False, idx_h)}
 
 
 def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
                            angle_chunk: Optional[int],
-                           det_spacing: float = 1.0, tables=None):
+                           det_spacing: float = 1.0, tables=None,
+                           precision=None):
     """Shared-angle path: ``vol`` (..., N, N), ``ang`` concrete (A,).
     ``tables``: optional precomputed per-regime tables
     (:func:`_spectral_tables_shared`)."""
     N = vol.shape[-1]
     Np = 2 * N
+    precision = precision or _DEFAULT_PRECISION
     if angle_chunk is None:
         angle_chunk = _auto_chunk(N, Np, n_det,
                                   jnp.dtype(vol.dtype).itemsize * 2)
@@ -240,11 +262,11 @@ def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
     if idx_v.size:
         parts.append(_bucket_projection(
             vol, ang[idx_v], True, n_det, Np, angle_chunk, det_spacing,
-            tables=tables[True] if tables else None))
+            tables=tables[True] if tables else None, precision=precision))
     if idx_h.size:
         parts.append(_bucket_projection(
             vol, ang[idx_h], False, n_det, Np, angle_chunk, det_spacing,
-            tables=tables[False] if tables else None))
+            tables=tables[False] if tables else None, precision=precision))
     out = parts[0] if len(parts) == 1 else jnp.concatenate(parts, axis=-2)
     order = np.concatenate([idx_v, idx_h])
     if not np.array_equal(order, np.arange(ang.shape[0])):
@@ -256,8 +278,19 @@ def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
     return out
 
 
+_DEFAULT_PRECISION = "highest"
+# matmul precision of the NUDFT contractions. On TPU, f32 dot_generals at
+# the DEFAULT precision run as single-pass bf16 on the MXU (~8e-3 relative
+# — whole projection-value digits at K=513 accumulation length); "highest"
+# runs the 6-pass f32 emulation, which measured ~1.4x the pair cost at
+# production scale for ~1e-7 relative accuracy (docs/performance.md).
+# Pass precision="default" to radon_spectral/make_spectral_projector when
+# reconstruction-grade (not parity-grade) accuracy is enough.
+
+
 def radon_spectral(vol, angles, n_det: Optional[int] = None,
-                   angle_chunk: Optional[int] = None, _tables=None):
+                   angle_chunk: Optional[int] = None, _tables=None,
+                   precision: Optional[str] = None):
     """Gather-free forward projection of a ``(Nz, M, N, N)`` volume.
 
     Drop-in for :func:`..models.ct.radon` (same layouts: ``angles`` is
@@ -294,9 +327,10 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
         )
     n_det = n_det or N
     ang = _concrete_angles(angles)
+    precision = precision or _DEFAULT_PRECISION
     if ang.ndim == 1:
         return _radon_spectral_shared(vol, ang, n_det, angle_chunk,
-                                      tables=_tables)
+                                      tables=_tables, precision=precision)
     if ang.ndim != 2 or ang.shape[0] != vol.shape[1]:
         raise ValueError(
             f"angles must be (n_angles,) shared or (M={vol.shape[1]}, "
@@ -306,7 +340,7 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
     frames = [
         _radon_spectral_shared(
             vol[:, m], ang[m], n_det, angle_chunk,
-            tables=_tables[m] if _tables else None)
+            tables=_tables[m] if _tables else None, precision=precision)
         for m in range(ang.shape[0])
     ]
     return jnp.stack(frames, axis=1)
@@ -315,7 +349,8 @@ def radon_spectral(vol, angles, n_det: Optional[int] = None,
 def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
                             dtype=jnp.float32,
                             angle_chunk: Optional[int] = None,
-                            precompute_tables: Optional[bool] = None):
+                            precompute_tables: Optional[bool] = None,
+                            precision: Optional[str] = None):
     """``(A, A_T)`` for a fixed parallel-beam geometry on the spectral
     path; ``A_T`` is the exact transpose (vjp of the linear map — FFTs and
     matmuls only, no scatter), same adjointness contract as
@@ -346,7 +381,8 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
         # jit anywhere — embedding precomputed tables as HLO constants
         # blows the remote-compile payload limit at production scale
         # (measured: HTTP 413 at ~400 MB of tables)
-        return radon_spectral(x, ang, n_det=n_det, angle_chunk=angle_chunk)
+        return radon_spectral(x, ang, n_det=n_det, angle_chunk=angle_chunk,
+                              precision=precision)
 
     def A_T(y):
         _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
@@ -381,7 +417,8 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
 
         def apply(consts, x):
             return radon_spectral(x, ang, n_det=n_det,
-                                  angle_chunk=angle_chunk, _tables=consts)
+                                  angle_chunk=angle_chunk, _tables=consts,
+                                  precision=precision)
 
         A.prepare, A.apply = prepare, apply
 

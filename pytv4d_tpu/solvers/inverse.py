@@ -308,10 +308,11 @@ def cp_inverse(
     ``loss_every=k`` (a positive divisor of ``n_iter``) samples the loss
     once per k iterations (TGV convention: ``result.loss`` has length
     ``n_iter // k``, each entry the loss at its chunk's last iteration).
-    The loss line pays one EXTRA forward application ``A(x_new)`` plus a
-    TV evaluation per iteration — one third of the projector cost at
-    production CT scale — so ``loss_every=10`` keeps a usable loss series
-    at ~2/3 the iteration cost.
+    The forward projection ``A(x_new)`` is always paid — the carry needs
+    it for the linearity rewrite ``A(x_bar) = 2 A(x_new) - A(x)`` — so
+    skipping the loss only skips the (cheap) TV-norm evaluation and
+    fidelity sum; at production CT scale ``loss_every=10`` saves ~10-15 %
+    of the iteration cost.
     """
     from .fidelity import validate_fidelity
 
@@ -349,9 +350,9 @@ def cp_inverse(
         x_init, dtype)
 
     reg_traced = isinstance(reg, jax.core.Tracer)
-    if fused is None:
-        from ..kernels.dispatch import can_fuse
+    from ..kernels.dispatch import can_fuse
 
+    if fused is None:
         fused = (not precond and not reg_traced
                  and can_fuse(tuple(vol_shape), cfg,
                               dtype=jnp.dtype(dtype).name))
@@ -360,6 +361,18 @@ def cp_inverse(
             "fused=True is incompatible with precond=True (per-pixel step "
             "maps) and with a traced reg (the fused kernels bake reg and "
             "the steps as compile-time constants) — use fused=False"
+        )
+    if fused and not can_fuse(tuple(vol_shape), cfg,
+                              dtype=jnp.dtype(dtype).name):
+        # validate explicit fused=True too, so unsupported dtypes/ranks/
+        # VMEM-overflowing tiles fail here instead of deep inside the
+        # Pallas kernel builders with an opaque Mosaic error
+        raise ValueError(
+            f"fused=True cannot serve this problem (see kernels.dispatch."
+            f"can_fuse): volume shape {tuple(vol_shape)}, dtype "
+            f"{jnp.dtype(dtype).name}, cfg={cfg} — the fused kernels need "
+            f"rank-4 f32/bf16 volumes whose row tiles fit VMEM; use "
+            f"fused=False (or None for auto-selection)"
         )
     if dual_dtype is not None and not fused:
         raise ValueError(

@@ -32,10 +32,30 @@ def save_state(path: str, pytree: Any) -> None:
 
 def load_state(path: str, like: Any) -> Any:
     """Restore a pytree saved by :func:`save_state`; ``like`` supplies the
-    tree structure (e.g. a freshly-initialized solver state)."""
+    tree structure (e.g. a freshly-initialized solver state).
+
+    Forward-compatible with states that GREW trailing optional leaves
+    (e.g. ``InverseState.s_x``/``s_x_bar``, added for the linearity
+    rewrite): a checkpoint with fewer arrays than the template loads with
+    the template's trailing NamedTuple fields set to ``None`` — the
+    solvers accept that and recompute the derived quantities once on
+    resume (exact in math, may differ from an uninterrupted run in the
+    last ulps)."""
     with np.load(path) as data:
         leaves = [data[f"leaf_{i}"] for i in range(len(data.files) - 1)]
     want, treedef = jax.tree_util.tree_flatten(like)
+    if (len(leaves) < len(want) and hasattr(like, "_fields")
+            and hasattr(like, "_replace")):
+        # pre-format-change checkpoint: None out trailing fields (None is
+        # not a pytree leaf) until the leaf counts match, if they can
+        reduced = like
+        for name in reversed(like._fields):
+            if len(jax.tree_util.tree_flatten(reduced)[0]) <= len(leaves):
+                break
+            reduced = reduced._replace(**{name: None})
+        want2, treedef2 = jax.tree_util.tree_flatten(reduced)
+        if len(want2) == len(leaves):
+            want, treedef = want2, treedef2
     if len(leaves) != len(want):
         raise ValueError(
             f"checkpoint {path!r} holds {len(leaves)} arrays but the "

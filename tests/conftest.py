@@ -72,6 +72,11 @@ def pytest_configure(config):
         "full: deferred to the full battery (pytest --full); assigned "
         "automatically from tests/durations.json or explicitly",
     )
+    config.addinivalue_line(
+        "markers",
+        "slow: expensive test (multi-process bootstrap etc.); "
+        "informational — tiering itself is handled by the full marker",
+    )
 
 
 def _recorded_durations():

@@ -523,3 +523,42 @@ def test_cp_reconstruct_precond_converges_faster():
                           precond=True)
     assert float(fast.loss[-1]) < float(plain.loss[-1])
     assert np.all(np.isfinite(np.asarray(fast.x)))
+
+
+def test_tgv_reconstruct_rejects_unimplemented_options():
+    """fused/dual_dtype/loss_every are in the signature for symmetry with
+    cp_reconstruct but tgv_inverse does not implement them — explicit
+    arguments must raise, never be silently ignored (ADVICE r3)."""
+    from pytv4d_tpu.models.ct import radon, tgv_reconstruct
+
+    truth = jnp.zeros((1, 1, 16, 16))
+    angles = jnp.linspace(0, np.pi, 8, endpoint=False)
+    sino = radon(truth, angles)
+    for kw in ({"dual_dtype": "bfloat16"}, {"fused": True},
+               {"loss_every": 5}):
+        with pytest.raises(NotImplementedError, match="tgv_reconstruct"):
+            tgv_reconstruct(sino, angles, truth.shape, n_iter=5, **kw)
+
+
+def test_projector_cache_lru_and_clear():
+    """make_projector memoization: hits refresh recency (LRU, not FIFO —
+    a hot geometry must survive a sweep of one-off ones, ADVICE r3), and
+    clear_projector_cache releases everything."""
+    from pytv4d_tpu.models import ct as ct_mod
+    from pytv4d_tpu.models.ct import clear_projector_cache, make_projector
+
+    clear_projector_cache()
+    assert len(ct_mod._PROJECTOR_CACHE) == 0
+    hot_angles = np.linspace(0, np.pi, 4, endpoint=False)
+    hot = make_projector((1, 1, 8, 8), hot_angles)
+    # fill the cache with one-off geometries, touching the hot one between
+    for n in range(3, 3 + ct_mod._PROJECTOR_CACHE_MAX - 1):
+        make_projector((1, 1, 8, 8), np.linspace(0, np.pi, n))
+        assert make_projector((1, 1, 8, 8), hot_angles) is hot  # refresh
+    # one more insertion evicts the LRU entry — which must NOT be hot
+    make_projector((1, 1, 8, 8), np.linspace(0, np.pi, 99))
+    assert make_projector((1, 1, 8, 8), hot_angles) is hot
+    clear_projector_cache()
+    assert len(ct_mod._PROJECTOR_CACHE) == 0
+    assert make_projector((1, 1, 8, 8), hot_angles) is not hot
+    clear_projector_cache()

@@ -119,6 +119,18 @@ def test_fused_guards():
     with pytest.raises(ValueError, match="dual_dtype"):
         cp_inverse(_blur, b, SHAPE, n_iter=1, op_norm=1.0,
                    fused=False, dual_dtype="bfloat16")
+    # explicit fused=True on an unfusable problem must fail with the
+    # descriptive ValueError, not an opaque Pallas/Mosaic error (ADVICE r3)
+    b64 = jnp.zeros(SHAPE, jnp.float64)
+    with pytest.raises(ValueError, match="can_fuse"):
+        cp_inverse(_blur, b64, SHAPE, n_iter=1, op_norm=1.0, fused=True)
+    b3 = jnp.zeros(SHAPE[1:], jnp.float32)
+
+    def blur3(x):
+        return x
+
+    with pytest.raises(ValueError, match="can_fuse"):
+        cp_inverse(blur3, b3, SHAPE[1:], n_iter=1, op_norm=1.0, fused=True)
 
 
 def test_f64_stays_on_jnp_path(data):

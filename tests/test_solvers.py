@@ -441,6 +441,19 @@ def test_inverse_solvers_state_resume(tmp_path):
     np.testing.assert_array_equal(
         np.concatenate([half.loss, resumed.loss]), np.asarray(cont.loss))
 
+    # PRE-format-change checkpoint compat (ADVICE r3): a state saved
+    # without the trailing s_x/s_x_bar leaves must still load against the
+    # 6-leaf template — padded with None, which the solver accepts
+    from pytv4d_tpu.solvers.inverse import InverseState
+
+    old = InverseState(*half.state[:4])  # 4-leaf pre-linearity state
+    save_state(str(tmp_path / "inv_old.npz"), old)
+    loaded_old = load_state(str(tmp_path / "inv_old.npz"), half.state)
+    assert loaded_old.s_x is None and loaded_old.s_x_bar is None
+    resumed_old = cp_inverse(A, b, shape, n_iter=15, state=loaded_old, **kw)
+    np.testing.assert_allclose(np.asarray(resumed_old.x),
+                               np.asarray(cont.x), rtol=1e-6, atol=1e-9)
+
     cont_t = tgv_inverse(A, b, shape, n_iter=30, alpha1=0.1, alpha0=0.2,
                          op_norm=1.0)
     half_t = tgv_inverse(A, b, shape, n_iter=15, alpha1=0.1, alpha0=0.2,
