@@ -143,12 +143,15 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
     return it_s
 
 
-def bench_ct_production_recon(n_iter=100, repeats=3):
+def bench_ct_production_recon(n_iter=100, repeats=3, precision=None):
     """Flagship CT claim, driver-audited (VERDICT r3 item 6): the
     TV-regularized ``cp_reconstruct`` at the production dynamic-CT scale
     (16, 4, 512, 512) x 96 angles on the gather-free spectral projector —
     reconstruction iterations/s only (the forward/adjoint breakdown lives
-    in ``pytv4d_tpu.bench.harness.bench_ct_production``)."""
+    in ``pytv4d_tpu.bench.harness.bench_ct_production``).  ``precision``:
+    None = the library default ('high', ~5e-6 operator accuracy);
+    'default' = single-pass bf16 matmuls (~1e-3, the gather projector's
+    own error order) for the fast variant."""
     import jax
     import jax.numpy as jnp
 
@@ -163,7 +166,8 @@ def bench_ct_production_recon(n_iter=100, repeats=3):
     angles = np.linspace(0.0, np.pi, n_angles, endpoint=False)
     cfg = TVConfig(scheme="hybrid", reg_time=0.5)
 
-    A, A_T = make_projector(vol_shape, angles, method="spectral")
+    A, A_T = make_projector(vol_shape, angles, method="spectral",
+                            precision=precision)
     sino = jax.jit(A)(vol)
     float(jnp.sum(sino))
     op_norm = float(power_iteration(A, A_T, vol_shape))
@@ -171,7 +175,8 @@ def bench_ct_production_recon(n_iter=100, repeats=3):
     def run():
         res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter,
                              reg=0.5, cfg=cfg, op_norm=op_norm,
-                             method="spectral", loss_every=n_iter)
+                             method="spectral", loss_every=n_iter,
+                             precision=precision)
         return float(jnp.sum(res.x))
 
     run()  # compile + warm
@@ -181,7 +186,8 @@ def bench_ct_production_recon(n_iter=100, repeats=3):
         run()
         best = min(best, time.perf_counter() - t0)
     it_s = n_iter / best
-    log(f"ct production recon (16,4,512,512)x96 spectral: {it_s:.1f} it/s")
+    log(f"ct production recon (16,4,512,512)x96 spectral"
+        f"[{precision or 'high'}]: {it_s:.1f} it/s")
     return it_s
 
 
@@ -325,6 +331,8 @@ def main():
     try:
         extras["ct_production_recon_it_s"] = round(
             bench_ct_production_recon(), 1)
+        extras["ct_production_recon_fast_it_s"] = round(
+            bench_ct_production_recon(precision="default"), 1)
     except Exception as e:
         log(f"CT production bench skipped: {e!r}")
 

@@ -88,6 +88,59 @@ def _concrete_angles(angles):
         ) from e
 
 
+_DFT_MODE = "auto"
+# how _bucket_projection computes the padded half-spectrum F:
+#   "fft"    — jnp.fft.rfft.  Exact, but XLA's TPU FFT is SLOW: measured
+#              ~4 ms marginal per (64, 512)-batch 1024-point rfft on one
+#              v5e — 4 rffts per A/A^T pair made the FFT ~16 ms of the
+#              ~24 ms production pair (the matmul stages are <1 ms each).
+#   "matmul" — one planar dot with an exact-phase DFT table
+#              (phase = -2*pi*((c*k) mod Np)/Np computed in INTEGER
+#              arithmetic, so table entries are exact to one rounding of
+#              cos/sin) — the MXU-native form; agrees with the rfft to
+#              f32 round-off (measured 5.7e-8 rel at precision='highest').
+#   "auto"   — "matmul" on accelerator backends, "fft" on CPU (where the
+#              FFT is asymptotically faster and the f64 golden paths live).
+
+
+def _dft_mode() -> str:
+    if _DFT_MODE != "auto":
+        return _DFT_MODE
+    return "fft" if jax.default_backend() == "cpu" else "matmul"
+
+
+def _dft_tables(N: int, Np: int, real_dt):
+    """Planar rfft-equivalent DFT tables ``(Wr, Wi)`` of shape ``(N, K)``,
+    ``K = Np//2 + 1``: ``F[..., x, k] = sum_c img[..., x, c] W[c, k]``
+    with ``W = exp(-2i pi c k / Np)``.  The phase is reduced mod ``Np`` in
+    integer arithmetic first, so the table is exact to one cos/sin
+    rounding even where ``c*k`` reaches ~2.6e5 (f32 of the raw product
+    would carry ~1e-2 rad of error there)."""
+    c = jnp.arange(N, dtype=jnp.int32)
+    k = jnp.arange(Np // 2 + 1, dtype=jnp.int32)
+    m = (c[:, None] * k[None, :]) % Np
+    ph = (-2.0 * jnp.pi / Np) * m.astype(real_dt)
+    return jnp.cos(ph), jnp.sin(ph)
+
+
+def _planar_dft(vol, vertical: bool, Np: int, precision):
+    """Half-spectrum of the zero-padded DFT along the contraction axis
+    (columns when ``vertical`` else rows) as a STACKED planar pair
+    ``Fs[(re, im), ..., x, k]`` — a single MXU dot per component instead
+    of XLA's slow TPU FFT (see ``_DFT_MODE``)."""
+    real_dt = vol.dtype
+    Wr, Wi = _dft_tables(vol.shape[-1], Np, real_dt)
+    if vertical:
+        # F[..., r, k] = sum_c img[..., r, c] W[c, k]
+        Fr = jnp.einsum("...rc,ck->...rk", vol, Wr, precision=precision)
+        Fi = jnp.einsum("...rc,ck->...rk", vol, Wi, precision=precision)
+    else:
+        # F[..., c, k] = sum_r img[..., r, c] W[r, k]
+        Fr = jnp.einsum("...rc,rk->...ck", vol, Wr, precision=precision)
+        Fi = jnp.einsum("...rc,rk->...ck", vol, Wi, precision=precision)
+    return jnp.stack([Fr, Fi])
+
+
 def _chunk_tables(ang, vertical: bool, N: int, Np: int, n_det: int,
                   real_dt, det_spacing: float = 1.0):
     """NUDFT phase tables for one angle set, stored PLANAR as real/imag
@@ -134,13 +187,13 @@ def _chunk_tables(ang, vertical: bool, N: int, Np: int, n_det: int,
     return Pr, Pi, jnp.cos(dphase) * scale, jnp.sin(dphase) * scale
 
 
-def _planar_apply(F, tables, out_dt, precision):
-    """Apply one regime bucket's NUDFT pair to the (complex) padded FFT
-    ``F[..., r, k]`` as REAL f32/f64 matmuls only — the MXU-native layout
-    (a complex64 einsum lowers to four float32 dot_generals with
-    interleaved-layout transposes; planar tables skip that and let the
-    second stage exploit that only the REAL part of the synthesis is
-    needed).
+def _planar_apply(Fs, tables, out_dt, precision):
+    """Apply one regime bucket's NUDFT pair to the STACKED planar padded
+    spectrum ``Fs[(re, im), ..., r, k]`` as REAL f32/f64 matmuls only —
+    the MXU-native layout (a complex64 einsum lowers to four float32
+    dot_generals with interleaved-layout transposes; planar data skips
+    that and lets the second stage exploit that only the REAL part of the
+    synthesis is needed).
 
     Stage 1 computes all four cross products ``{Fr,Fi} x {Pr,Pi}`` in ONE
     k-batched dot_general by stacking the re/im planes into the matmul's M
@@ -149,7 +202,6 @@ def _planar_apply(F, tables, out_dt, precision):
     Ps[j,a,r,k]``.  Stage 2 takes the real part of the detector synthesis
     as a single matmul contracting over the stacked (re/im, k) axis:
     ``Re(G E) = Gr Er - Gi Ei = [Gr, Gi] . [Er; -Ei]``."""
-    Fs = jnp.stack([jnp.real(F), jnp.imag(F)])        # (2, ..., r, k)
     Pr, Pi, Er, Ei = tables
     Ps = jnp.stack([Pr, Pi])                          # (2, a, r, k)
     prod = jnp.einsum("i...rk,jark->ij...ak", Fs, Ps,
@@ -181,22 +233,28 @@ def _bucket_projection(vol, ang_b, vertical: bool, n_det: int, Np: int,
     # HALF spectrum: the volume is real, so G(-k) = conj(G(k)) and the
     # (real) detector synthesis folds to k = 0..Np/2 with weight 2 on the
     # interior bins — both NUDFT matmuls and the phase tables halve.
-    if vertical:
+    if _dft_mode() == "matmul":
+        # planar DFT matmul (MXU): XLA's TPU FFT measured ~4 ms marginal
+        # per production-batch rfft vs <0.5 ms for this dot (_DFT_MODE)
+        Fs = _planar_dft(vol, vertical, Np, precision)
+    elif vertical:
         # column FFT once: F[..., r, k] = sum_c img[..,r,c] e^{-2i pi kc/Np}
         F = jnp.fft.rfft(vol, n=Np, axis=-1)
+        Fs = jnp.stack([jnp.real(F), jnp.imag(F)])
     else:
         # row FFT once; move the k axis last: F[..., c, k]
         F = jnp.moveaxis(jnp.fft.rfft(vol, n=Np, axis=-2), -2, -1)
+        Fs = jnp.stack([jnp.real(F), jnp.imag(F)])
     # (the centering phase e^{+2i pi k c0 / Np} is folded into the E
     # tables — k-separable, so it commutes with the r-contraction)
 
     if tables is not None:
-        return _planar_apply(F, tables, out_dt, precision)
+        return _planar_apply(Fs, tables, out_dt, precision)
 
     def chunk_fn(ang):
         t = _chunk_tables(ang, vertical, N, Np, n_det, real_dt,
                           det_spacing)
-        return _planar_apply(F, t, out_dt, precision)
+        return _planar_apply(Fs, t, out_dt, precision)
 
     A = ang_b.shape[0]
     B = min(angle_chunk, A)
@@ -278,14 +336,17 @@ def _radon_spectral_shared(vol, ang: np.ndarray, n_det: int,
     return out
 
 
-_DEFAULT_PRECISION = "highest"
-# matmul precision of the NUDFT contractions. On TPU, f32 dot_generals at
-# the DEFAULT precision run as single-pass bf16 on the MXU (~8e-3 relative
-# — whole projection-value digits at K=513 accumulation length); "highest"
-# runs the 6-pass f32 emulation, which measured ~1.4x the pair cost at
-# production scale for ~1e-7 relative accuracy (docs/performance.md).
-# Pass precision="default" to radon_spectral/make_spectral_projector when
-# reconstruction-grade (not parity-grade) accuracy is enough.
+_DEFAULT_PRECISION = "high"
+# matmul precision of the DFT + NUDFT contractions, measured on one v5e at
+# production scale (16,4,512,512) x 96 with the matmul DFT:
+#   "default"  A+A^T pair  5.0 ms — single-pass bf16 MXU, ~1e-3 relative
+#              (the same error ORDER as the gather path's bilinear
+#              interpolation; fine for reconstruction)
+#   "high"     pair  9.9 ms — 3-pass bf16 emulation, ~5e-6 relative:
+#              keeps the spectral path's ~100x accuracy edge over the
+#              gather projector at 2/3 the "highest" cost — the default
+#   "highest"  pair 13.7 ms — 6-pass, ~1e-7 relative (parity-grade)
+# Pass precision= to radon_spectral/make_spectral_projector to override.
 
 
 def radon_spectral(vol, angles, n_det: Optional[int] = None,
@@ -427,7 +488,8 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
 
 def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
                        angle_chunk: Optional[int] = None,
-                       oversample: float = 2.0):
+                       oversample: float = 2.0,
+                       precision: Optional[str] = None):
     """Fan-beam forward projection via fan-to-parallel REBINNING on the
     spectral projector: a fan ray (source angle ``beta``, flat-detector
     coordinate ``u``) IS the parallel ray at
@@ -467,7 +529,8 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
         frames = [
             radon_fan_spectral(vol[:, m:m + 1], ang[m], geom, n_det=n_det,
                                angle_chunk=angle_chunk,
-                               oversample=oversample)[:, 0]
+                               oversample=oversample,
+                               precision=precision)[:, 0]
             for m in range(ang.shape[0])
         ]
         return jnp.stack(frames, axis=1)
@@ -494,7 +557,9 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
     s_max = min(float(np.abs(s_q).max()) + 2.0, 0.75 * N)
     n_s = 2 * int(np.ceil(s_max / ds)) + 1        # odd: s=0 on the grid
     dense = _radon_spectral_shared(vol, thetas, n_s, angle_chunk,
-                                   det_spacing=ds)  # (Nz, M, n_theta, n_s)
+                                   det_spacing=ds,
+                                   precision=precision)
+    # dense: (Nz, M, n_theta, n_s)
 
     ti = jnp.asarray((theta_q - th0) / d_theta, vol.dtype)
     si = jnp.asarray((np.clip(s_q, -s_max, s_max) + (n_s - 1) / 2.0 * ds)
@@ -510,7 +575,8 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
 def make_fan_spectral_projector(vol_shape, angles, geom,
                                 n_det: Optional[int] = None,
                                 dtype=jnp.float32,
-                                angle_chunk: Optional[int] = None):
+                                angle_chunk: Optional[int] = None,
+                                precision: Optional[str] = None):
     """``(A, A_T)`` for a fixed fan-beam geometry on the rebinned spectral
     path; ``A_T`` is the exact transpose (vjp of the linear map)."""
     ang = _concrete_angles(angles)
@@ -518,7 +584,8 @@ def make_fan_spectral_projector(vol_shape, angles, geom,
 
     def A(x):
         return radon_fan_spectral(x, ang, geom, n_det=n_det,
-                                  angle_chunk=angle_chunk)
+                                  angle_chunk=angle_chunk,
+                                  precision=precision)
 
     def A_T(y):
         _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))

@@ -480,3 +480,90 @@ def test_operator_protocol_reconstruction_matches_lazy():
                                rtol=1e-5, atol=1e-6)
     np.testing.assert_allclose(np.asarray(res_e.loss),
                                np.asarray(res_l.loss), rtol=1e-5)
+
+
+def test_matmul_dft_matches_fft_path(monkeypatch):
+    """The MXU matmul DFT (the accelerator default, ``_DFT_MODE``) agrees
+    with the rfft path to f32 round-off, and exactly (1e-14) in f64 — the
+    exact-phase table (integer mod-Np reduction) is what makes the f64
+    agreement possible at all."""
+    from pytv4d_tpu.models import ct_spectral as cs
+
+    rng = np.random.default_rng(0)
+    angles = np.linspace(0.0, np.pi, 24, endpoint=False)
+    vol = jnp.asarray(rng.random((2, 2, 64, 64)), jnp.float32)
+    monkeypatch.setattr(cs, "_DFT_MODE", "fft")
+    p_fft = np.asarray(radon_spectral(vol, angles))
+    monkeypatch.setattr(cs, "_DFT_MODE", "matmul")
+    p_mm = np.asarray(radon_spectral(vol, angles))
+    assert np.linalg.norm(p_mm - p_fft) / np.linalg.norm(p_fft) < 5e-6
+
+    vol64 = jnp.asarray(rng.random((1, 1, 32, 32)), jnp.float64)
+    monkeypatch.setattr(cs, "_DFT_MODE", "fft")
+    p_fft = np.asarray(radon_spectral(vol64, angles))
+    monkeypatch.setattr(cs, "_DFT_MODE", "matmul")
+    p_mm = np.asarray(radon_spectral(vol64, angles))
+    assert np.linalg.norm(p_mm - p_fft) / np.linalg.norm(p_fft) < 1e-13
+
+
+def test_dft_tables_match_rfft_matrix():
+    """``_dft_tables`` reproduce the exact rfft: X @ (Wr + i Wi) ==
+    np.fft.rfft(X, n=Np) in f64, including the large-c*k corner where a
+    naive f32 phase product would be ~1e-2 rad wrong."""
+    from pytv4d_tpu.models.ct_spectral import _dft_tables
+
+    N, Np = 64, 128
+    Wr, Wi = _dft_tables(N, Np, jnp.float64)
+    rng = np.random.default_rng(1)
+    X = rng.standard_normal((5, N))
+    F_ref = np.fft.rfft(X, n=Np, axis=-1)
+    F_mm = X @ np.asarray(Wr) + 1j * (X @ np.asarray(Wi))
+    assert np.max(np.abs(F_mm - F_ref)) < 1e-12
+
+
+def test_matmul_dft_adjointness_and_no_gather(monkeypatch):
+    """Adjointness and the gather-free HLO guarantee hold on the matmul
+    DFT path too (its vjp is just the transposed table matmul)."""
+    from pytv4d_tpu.models import ct_spectral as cs
+
+    monkeypatch.setattr(cs, "_DFT_MODE", "matmul")
+    vshape = (2, 2, 32, 32)
+    angles = np.linspace(0.0, np.pi, 12, endpoint=False)
+    A, A_T = make_spectral_projector(vshape, angles)
+    rng = np.random.default_rng(2)
+    x = jnp.asarray(rng.random(vshape), jnp.float32)
+    y = jnp.asarray(rng.random((2, 2, 12, 32)), jnp.float32)
+    lhs = float(jnp.vdot(A(x), y))
+    rhs = float(jnp.vdot(x, A_T(y)))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-5
+    for what, fn, arg in (("fwd", A, x), ("adj", A_T, y)):
+        txt = jax.jit(fn).lower(arg).compile().as_text()
+        assert " gather(" not in txt, f"gather op in {what} HLO"
+        assert " scatter(" not in txt, f"scatter op in {what} HLO"
+
+
+def test_projector_precision_kwarg():
+    """``precision`` plumbs through make_projector/cp_reconstruct: each
+    precision gets its own cached pair, and the reconstruction still
+    converges (values differ only at the matmul-precision level — on CPU
+    all tiers are true f32, so the results agree to round-off)."""
+    from pytv4d_tpu.models.ct import clear_projector_cache
+
+    clear_projector_cache()
+    vshape = (1, 1, 32, 32)
+    angles = np.linspace(0.0, np.pi, 16, endpoint=False)
+    A_hi, _ = make_projector(vshape, angles, method="spectral",
+                             precision="highest")
+    A_df, _ = make_projector(vshape, angles, method="spectral",
+                             precision="default")
+    assert A_hi is not A_df
+    assert make_projector(vshape, angles, method="spectral",
+                          precision="highest")[0] is A_hi
+
+    rng = np.random.default_rng(3)
+    vol = jnp.asarray(rng.random(vshape), jnp.float32)
+    sino = A_hi(vol)
+    res = cp_reconstruct(sino, angles, vshape, n_iter=20, reg=0.05,
+                         method="spectral", precision="default")
+    assert np.all(np.isfinite(np.asarray(res.x)))
+    clear_projector_cache()
