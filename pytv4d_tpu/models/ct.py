@@ -142,7 +142,14 @@ def _resolve_method(method: str) -> str:
 import collections
 
 _PROJECTOR_CACHE: "collections.OrderedDict" = collections.OrderedDict()
-_PROJECTOR_CACHE_MAX = 8
+_PROJECTOR_CACHE_MAX = 24
+# >= n_subsets + 2 so one spectral SART campaign (8 subset pairs + the
+# full-angle pair) plus a reconstruction geometry all stay resident —
+# with max=8 the LRU evicted SART's first subset pair on every call,
+# which cascaded into a full runner retrace + compile-cache fetch
+# (~29 s/call measured at production scale).  Eviction only drops pairs
+# (and their pinned prepared tables) once a 25th distinct geometry shows
+# up; clear_projector_cache() releases everything eagerly.
 
 
 def clear_projector_cache() -> None:
@@ -836,6 +843,8 @@ def sart(
     project_fn=None,
     n_det: Optional[int] = None,
     angle_axis: int = 2,
+    method: str = "auto",
+    precision: Optional[str] = None,
 ):
     """Ordered-subsets SART reconstruction (Andersen & Kak 1984; OS splitting
     a la OSEM): each sub-iteration corrects x with one angle subset,
@@ -854,14 +863,22 @@ def sart(
     ``angles`` is ``(n_angles,)`` shared or ``(M, n_angles)`` per-frame;
     ``n_angles`` must be divisible by ``n_subsets`` (pick a divisor or pad
     the scan).  ``project_fn(vol, angles_subset) -> sino`` defaults to the
-    parallel-beam :func:`radon`; pass
+    parallel-beam projector picked by ``method`` (as in
+    :func:`make_projector`: 'auto' = the gather-free spectral path on
+    accelerators, bilinear gather on CPU); pass
     ``functools.partial(radon_fan, geom=geom)`` for fan-beam, or
     ``functools.partial(radon_cone, geom=geom)`` with ``angle_axis=1`` for
     cone-beam (whose sinogram is ``(M, n_angles, n_det_v, n_det_u)``).
-    The SPECTRAL projector cannot ride here: subsets scan as traced
-    angles, but its NUDFT tables need concrete ones — warm-start with the
-    gather projector (modest sizes) or skip straight to
-    ``cp_reconstruct(method='spectral')``.
+
+    The spectral path needs concrete per-subset angles, so instead of
+    scanning subsets as traced values it builds ONE prepared projector
+    per subset (``angles[k::n_subsets]`` is concrete at trace time,
+    VERDICT r3 item 4), unrolls the ``n_subsets`` sub-steps inside the
+    epoch and threads every subset's NUDFT tables through the jitted
+    epoch scan as traced arguments — the same prepare()/apply protocol
+    ``cp_inverse`` uses (embedding tables as constants blows the
+    remote-compile payload limit).  ``precision`` as in
+    :func:`make_projector`.
     """
     sino = jnp.asarray(sino)
     dtype = sino.dtype
@@ -874,6 +891,10 @@ def sart(
         )
     n_det = n_det or vol_shape[-1]
     if project_fn is None:
+        if _resolve_method(method) == "spectral":
+            return _sart_spectral(
+                sino, np.asarray(angles, np.float64), vol_shape, n_iter,
+                n_subsets, relax, nonneg, x_init, n_det, dtype, precision)
         project_fn = functools.partial(radon, n_det=n_det)
 
     # stride-interleaved subsets along the angle axis
@@ -924,6 +945,89 @@ def sart(
     x0 = (jnp.zeros(tuple(vol_shape), dtype) if x_init is None
           else jnp.asarray(x_init, dtype))
     x, residuals = jax.lax.scan(jax.jit(epoch), x0, length=n_iter)
+    return SARTResult(x=x, residual=residuals)
+
+
+_SART_RUNNER_CACHE: dict = {}
+
+
+def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
+                   nonneg, x_init, n_det, dtype, precision):
+    """Ordered-subsets SART on the gather-free spectral projector
+    (VERDICT r3 item 4).  Subset angles ``ang[k::n_subsets]`` are CONCRETE
+    at trace time, so each subset gets its own prepared projector
+    (memoized through :func:`make_projector`, so repeated solves reuse
+    both the pairs and this runner); the sub-steps are unrolled inside the
+    scanned epoch with every subset's NUDFT tables threaded as traced
+    arguments.  Mathematically identical to the generic :func:`sart` loop
+    with ``project_fn = spectral`` — asserted against a plain-closure
+    reference in tests/test_ct_spectral.py."""
+    S = n_subsets
+    idx = np.arange(ang_np.shape[-1]).reshape(-1, S).T   # (S, A//S)
+    pairs = [make_projector(vol_shape, ang_np[..., k], n_det=n_det,
+                            dtype=dtype, method="spectral",
+                            precision=precision) for k in idx]
+    full_A, _ = make_projector(vol_shape, ang_np, n_det=n_det, dtype=dtype,
+                               method="spectral", precision=precision)
+
+    def proto(A):
+        # prepared tables when the eager-table budget allows; else the
+        # lazy closure (correct, but rebuilds tables inside the scan)
+        prep = getattr(A, "prepare", None)
+        return (A.apply, prep()) if prep is not None else \
+            ((lambda _c, x: A(x)), ())
+
+    applies, consts = zip(*(proto(p[0]) for p in pairs))
+    apply_full, consts_full = proto(full_A)
+
+    sino_sub = tuple(sino[..., jnp.asarray(k), :] for k in idx)
+
+    key = (tuple(id(p[0]) for p in pairs), id(full_A), int(n_iter),
+           bool(nonneg), tuple(vol_shape), tuple(sino.shape),
+           jnp.dtype(dtype).name)
+    hit = _SART_RUNNER_CACHE.get(key)
+    run = hit[0] if hit is not None else None
+    if run is None:
+        vol_shape_t = tuple(vol_shape)
+
+        @jax.jit
+        def run(x0, relax_t, sino_full, sino_sub, consts, consts_full):
+            ones_vol = jnp.ones(vol_shape_t, dtype)
+            eps = jnp.asarray(1e-6, dtype)
+            rows, cols, vjps = [], [], []
+            for k in range(S):
+                fwd = functools.partial(applies[k], consts[k])
+                row = fwd(ones_vol)
+                _, vjp = jax.vjp(fwd, jnp.zeros(vol_shape_t, dtype))
+                (col,) = vjp(jnp.ones_like(row))
+                rows.append(jnp.maximum(row, eps))
+                cols.append(jnp.maximum(col, eps))
+                vjps.append(vjp)
+
+            def epoch(x, _):
+                for k in range(S):
+                    r = (sino_sub[k] - applies[k](consts[k], x)) / rows[k]
+                    (upd,) = vjps[k](r)
+                    x = x + relax_t * (upd / cols[k])
+                    if nonneg:
+                        x = jnp.maximum(x, 0.0)
+                res = jnp.sqrt(jnp.sum(jnp.square(
+                    apply_full(consts_full, x) - sino_full)))
+                return x, res
+
+            return jax.lax.scan(epoch, x0, length=n_iter)
+
+        if len(_SART_RUNNER_CACHE) >= 8:
+            _SART_RUNNER_CACHE.pop(next(iter(_SART_RUNNER_CACHE)))
+        # hold strong refs to the projector pairs: the runner (and its
+        # prepared-table memoization) must not outlive them, and the
+        # id()-based key must not be reused by a different object
+        _SART_RUNNER_CACHE[key] = (run, pairs, full_A)
+
+    x0 = (jnp.zeros(tuple(vol_shape), dtype) if x_init is None
+          else jnp.asarray(x_init, dtype))
+    x, residuals = run(x0, jnp.asarray(relax, dtype), sino, sino_sub,
+                       tuple(consts), consts_full)
     return SARTResult(x=x, residual=residuals)
 
 
