@@ -97,12 +97,21 @@ def test_multihost_initialize_raises_on_misconfigured_cluster(monkeypatch):
 
 def test_example_scripts_run():
     """The scheme-math and sharded examples must execute end to end (the
-    getting-started one is exercised via the solver tests; it just takes
+    getting-started one has its own full-tier test below; it just takes
     longer)."""
     for script in ("examples/b_schemes_math.py", "examples/c_4d_sharded.py",
                    "examples/d_ct_reconstruction.py", "examples/e_tgv.py",
                    "examples/f_inverse_problems.py"):
         runpy.run_path(script, run_name="__main__")
+
+
+@pytest.mark.full
+def test_getting_started_script_runs():
+    """examples/a_getting_started.py (the README user journey: TV values,
+    GD/CP/ADMM cameraman denoising, operator forms, autodiff TV, TV-L1,
+    gap certificate, TGV) executes end to end — ~12 s on forced CPU, so
+    full tier (VERDICT r3 item 7)."""
+    runpy.run_path("examples/a_getting_started.py", run_name="__main__")
 
 
 def test_compile_cache_and_warm_compile(tmp_path):
