@@ -234,3 +234,84 @@ def bench_ct_production(n_iter=30, repeats=3) -> Dict[str, float]:
     exactly this configuration."""
     return bench_ct(vol_shape=(16, 4, 512, 512), n_angles=96,
                     n_iter=n_iter, repeats=repeats, method="spectral")
+
+
+def bench_ct_cone(vol_shape=(16, 4, 512, 512), n_angles=96, n_iter=30,
+                  repeats=3, reg=0.5,
+                  cfg: TVConfig = TVConfig(scheme="hybrid", reg_time=0.5),
+                  seed=0, source_dist_mult=2.0,
+                  precision=None) -> Dict[str, float]:
+    """Cone-beam CT throughput on the gather-free SSRB spectral projector
+    (VERDICT r3 item 2): forward, exact adjoint, scanned normal-operator
+    rate, and ``cp_reconstruct(geom=cone, method='spectral')``.  The
+    GATHER cone path is compile-OOM-bound far below this scale on TPU
+    (25 GB HBM at (8,2,128,128) x 32 — tools/bench_cone_rung.py), so the
+    spectral path is the only production-scale cone option."""
+    from ..models.ct import ConeBeamGeometry, cp_reconstruct, estimate_op_norm
+    from ..models.ct_spectral import make_cone_spectral_projector
+
+    rng = np.random.default_rng(seed)
+    Nz, M, N, _ = vol_shape
+    geom = ConeBeamGeometry(source_dist=source_dist_mult * N,
+                            det_dist=1.0 * N)
+    vol = jnp.asarray(rng.random(vol_shape), jnp.float32)
+    angles = np.linspace(0.0, 2 * np.pi, n_angles, endpoint=False)
+    n_proj = M * n_angles * Nz   # one projection = one (t, angle, v) row
+
+    A, A_T = make_cone_spectral_projector(vol_shape, angles, geom,
+                                          precision=precision)
+    A_j, AT_j = jax.jit(A), jax.jit(A_T)
+    sino = A_j(vol)
+    _force(sino)
+
+    def timed(fn, *args):
+        best = float("inf")
+        for _ in range(repeats):
+            t0 = time.perf_counter()
+            _force(fn(*args))
+            best = min(best, time.perf_counter() - t0)
+        return best
+
+    t_A = timed(A_j, vol)
+    t_AT = timed(AT_j, sino)
+
+    n_scan = 15
+    consts = A.prepare()
+    op_norm = float(estimate_op_norm(A, A_T, vol_shape))
+
+    @jax.jit
+    def normal_scan(x0, c):
+        def body(x, _):
+            y = A.apply(c, x)
+            _, vjp = jax.vjp(lambda v: A.apply(c, v), x)
+            (bp,) = vjp(y)
+            return x + 1e-6 * bp, None
+
+        out, _ = jax.lax.scan(body, x0, length=n_scan)
+        return out
+
+    _force(normal_scan(vol, consts))
+    t_pair = timed(normal_scan, vol, consts)
+
+    res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter, reg=reg,
+                         cfg=cfg, geom=geom, op_norm=op_norm,
+                         method="spectral", precision=precision)
+    _force(res.loss)
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        res = cp_reconstruct(sino, angles, vol_shape, n_iter=n_iter,
+                             reg=reg, cfg=cfg, geom=geom, op_norm=op_norm,
+                             method="spectral", precision=precision)
+        _force(res.loss)
+        best = min(best, time.perf_counter() - t0)
+
+    return {
+        "cone_fwd_proj_per_s": n_proj / t_A,
+        "cone_fwd_s": t_A,
+        "cone_adjoint_proj_per_s": n_proj / t_AT,
+        "cone_adjoint_s": t_AT,
+        "cone_normal_op_scan_it_per_s": n_scan / t_pair,
+        "cone_recon_it_per_s": n_iter / best,
+        "cone_recon_final_loss": float(res.loss[-1]),
+    }

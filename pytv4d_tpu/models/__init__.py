@@ -17,8 +17,10 @@ from .ct import (
     tgv_reconstruct,
 )
 from .ct_spectral import (
+    make_cone_spectral_projector,
     make_fan_spectral_projector,
     make_spectral_projector,
+    radon_cone_spectral,
     radon_fan_spectral,
     radon_spectral,
 )

@@ -236,13 +236,30 @@ def _make_projector_uncached(vol_shape, angles, n_det, dtype, angle_batch,
 
 def estimate_op_norm(A, A_T, vol_shape, n_iter: int = 12, seed: int = 0,
                      dtype=jnp.float32):
-    """Power-method estimate of ||A||_2 (for primal-dual step sizes)."""
+    """Power-method estimate of ||A||_2 (for primal-dual step sizes).
+    Rides the heavy-operator ``prepare()/apply`` protocol when ``A``
+    carries it (``solvers.inverse._operator_proto``), so the spectral
+    projectors' NUDFT tables are built once instead of on every scan
+    iteration (measured 26 s -> ~2 s for the production cone grid)."""
     x = jnp.asarray(
         np.random.default_rng(seed).standard_normal(vol_shape), dtype
     )
+    prepare = getattr(A, "prepare", None)
+    apply_fn = getattr(A, "apply", None)
+    if prepare is not None and apply_fn is not None:
+        consts = prepare()
+        fwd = functools.partial(apply_fn, consts)
+        _, vjp = jax.vjp(fwd, jnp.zeros(tuple(vol_shape), dtype))
+
+        def pair(v):
+            (bp,) = vjp(fwd(v))
+            return bp
+    else:
+        def pair(v):
+            return A_T(A(v))
 
     def body(x, _):
-        y = A_T(A(x))
+        y = pair(x)
         n = jnp.sqrt(jnp.sum(jnp.square(y)))
         return y / jnp.maximum(n, 1e-30), n
 
@@ -328,12 +345,16 @@ def cp_reconstruct(
     ignored — detector dims come from the sinogram).  ``fidelity``/
     ``fidelity_weight``/``nonneg`` as in :func:`solvers.inverse.cp_inverse`
     (``fidelity='kl'`` = Poisson counts, ``nonneg=True`` = nonnegative
-    attenuation).  ``method`` picks the parallel-beam projector
-    (:func:`make_projector`): 'auto' = the gather-free spectral path on
-    accelerators, bilinear gather on CPU.  ``precond=True`` works on both
-    (for the spectral path the nonnegative-row gate passes when
-    ``n_det ~ N``; a much wider detector can expose the spectral splat's
-    ringing and trip it — use ``op_norm`` there).  ``fused``/``dual_dtype``
+    attenuation).  ``method`` picks the projector implementation for ANY
+    geometry: 'auto' = the gather-free spectral path on accelerators
+    (parallel: Fourier-slice NUDFT; fan: rebinning; cone: SSRB + slope
+    correction, :func:`..ct_spectral.radon_cone_spectral` — approximate,
+    measured envelope in docs/performance.md), bilinear gather on CPU.
+    ``precond=True`` works on parallel/fan spectral (the nonnegative-row
+    gate passes when ``n_det ~ N``; a much wider detector can expose the
+    spectral splat's ringing and trip it — use ``op_norm`` there) but is
+    REJECTED on the spectral cone (signed slope-correction entries break
+    the diagonal preconditioner — pass ``op_norm``).  ``fused``/``dual_dtype``
     as in :func:`cp_inverse`: the TV half of each iteration rides the
     fused Pallas kernels by default (f32/bf16, scalar steps), and
     ``dual_dtype='bfloat16'`` halves the Nd-channel dual's HBM traffic.
@@ -343,6 +364,19 @@ def cp_reconstruct(
     order) at ~1.6x the reconstruction rate — measured 139.5 vs 88.0 it/s
     at (16,4,512,512) x 96 on one v5e."""
     sino = jnp.asarray(sino)
+    if precond and isinstance(geom, ConeBeamGeometry) \
+            and _resolve_method(method) == "spectral":
+        raise ValueError(
+            "precond=True is not supported on the spectral cone projector: "
+            "its first-order slope correction has SIGNED matrix entries, "
+            "and the Pock-Chambolle diagonal preconditioner needs |A| "
+            "row/column sums — the signed sums stay positive here but "
+            "underestimate them, and the solve was measured to diverge at "
+            "production scale.  Pass op_norm=estimate_op_norm(A, A_T, "
+            "vol_shape) instead (the projector's prepare()/apply protocol "
+            "makes the power method cheap), or method='gather' at small "
+            "sizes"
+        )
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
                                method=method, precision=precision)
     from ..solvers.inverse import cp_inverse
@@ -359,16 +393,30 @@ def cp_reconstruct(
 def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto",
                       precision=None):
     """Validate the sinogram layout for the requested beam geometry and
-    build the matching (A, A_T) projector pair."""
+    build the matching (A, A_T) projector pair.  All geometry families go
+    through the same ``_PROJECTOR_CACHE`` memoization as
+    :func:`make_projector` — repeated solves with the same geometry must
+    return the SAME function objects so the solvers' operator-keyed
+    runner caches hit (a fresh closure per call was measured at ~8 s of
+    retrace + compile-cache fetch per solve at production scale)."""
     dtype = sino.dtype
     n_angles = jnp.asarray(angles).shape[-1]
-    if isinstance(geom, ConeBeamGeometry) \
-            and _resolve_method(method) == "spectral" and method != "auto":
-        raise ValueError(
-            "method='spectral' implements parallel- and fan-beam geometry "
-            "— cone-beam reconstructions use the gather projector (keep "
-            "its angle_batch/size envelope modest on TPU)"
-        )
+    ang_np = np.asarray(angles)
+
+    def cached(kind, builder, *key_extra):
+        key = (kind, tuple(vol_shape), ang_np.tobytes(), ang_np.shape,
+               jnp.dtype(dtype).name, _resolve_method(method), precision,
+               tuple(geom) if geom is not None else None) + key_extra
+        hit = _PROJECTOR_CACHE.get(key)
+        if hit is not None:
+            _PROJECTOR_CACHE.move_to_end(key)
+            return hit
+        pair = builder()
+        if len(_PROJECTOR_CACHE) >= _PROJECTOR_CACHE_MAX:
+            _PROJECTOR_CACHE.popitem(last=False)
+        _PROJECTOR_CACHE[key] = pair
+        return pair
+
     if isinstance(geom, ConeBeamGeometry):
         want = (vol_shape[1], n_angles)
         if tuple(sino.shape[:2]) != want:
@@ -378,9 +426,19 @@ def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto",
                 f"— expected (M={vol_shape[1]}, {n_angles}, n_det_v, "
                 f"n_det_u)"
             )
-        return make_cone_projector(vol_shape, angles, geom,
-                                   n_det_v=sino.shape[2],
-                                   n_det_u=sino.shape[3], dtype=dtype)
+        n_det_v, n_det_u = sino.shape[2], sino.shape[3]
+        if _resolve_method(method) == "spectral":
+            from .ct_spectral import make_cone_spectral_projector
+
+            return cached("cone-spectral", lambda: (
+                make_cone_spectral_projector(
+                    vol_shape, angles, geom, n_det_v=n_det_v,
+                    n_det_u=n_det_u, dtype=dtype, precision=precision)),
+                n_det_v, n_det_u)
+        return cached("cone-gather", lambda: (
+            make_cone_projector(vol_shape, angles, geom, n_det_v=n_det_v,
+                                n_det_u=n_det_u, dtype=dtype)),
+            n_det_v, n_det_u)
     want = (vol_shape[0], vol_shape[1], n_angles, n_det or vol_shape[-1])
     if tuple(sino.shape) != want:
         raise ValueError(
@@ -394,11 +452,13 @@ def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto",
     if _resolve_method(method) == "spectral":
         from .ct_spectral import make_fan_spectral_projector
 
-        return make_fan_spectral_projector(vol_shape, angles, geom,
-                                           n_det=n_det, dtype=dtype,
-                                           precision=precision)
-    return make_fan_projector(vol_shape, angles, geom, n_det=n_det,
-                              dtype=dtype)
+        return cached("fan-spectral", lambda: (
+            make_fan_spectral_projector(vol_shape, angles, geom,
+                                        n_det=n_det, dtype=dtype,
+                                        precision=precision)), n_det)
+    return cached("fan-gather", lambda: (
+        make_fan_projector(vol_shape, angles, geom, n_det=n_det,
+                           dtype=dtype)), n_det)
 
 
 def tgv_reconstruct(

@@ -60,7 +60,7 @@ Notes:
 from __future__ import annotations
 
 import functools
-from typing import Optional
+from typing import NamedTuple, Optional
 
 import jax
 import jax.numpy as jnp
@@ -486,10 +486,83 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
     return A, A_T
 
 
+class _FanGrid(NamedTuple):
+    """Concrete geometry of the dense parallel grid a fan angle set rebins
+    from.  ``thetas`` spans HALF a turn, [0, pi): line integrals are
+    unoriented (``R(theta+pi, s) == R(theta, -s)``), so a full-circle fan
+    or cone scan folds onto it exactly — this HALVES the dense radon work
+    and its NUDFT tables for 2-pi scans.  ``ti``/``si`` are the (A, n_det)
+    bilinear resample coordinates into the grid PADDED with ``pad`` wrap
+    columns (column n_theta+k = column k with the s axis reversed; see
+    ``_fold_pad``)."""
+    thetas: np.ndarray
+    ds: float
+    n_s: int
+    ti: np.ndarray
+    si: np.ndarray
+    pad: int
+
+
+def _fan_dense_grid(ang: np.ndarray, geom, n_det: int, N: int,
+                    oversample: float) -> "_FanGrid":
+    D_so = float(geom.source_dist)
+    L = D_so + float(geom.det_dist)
+    pitch = float(geom.spacing())
+    u = (np.arange(n_det) - (n_det - 1) / 2.0) * pitch
+    gamma = np.arctan2(u, L)                      # (n_det,)
+    theta_q = ang[:, None] + gamma[None, :]       # (A, n_det)
+    s_q = D_so * np.sin(gamma)                    # (n_det,)
+    s_q = np.broadcast_to(s_q, theta_q.shape)
+
+    # dense parallel grid: theta at ~the fan's own angular resolution
+    # (folded mod pi), s at 1/oversample-pixel pitch over the object
+    # support (|s| > 0.75 N projects to zero for in-disk objects).  The
+    # fold needs n_half * d_theta == pi; when the angular step also
+    # divides pi (every equally-spaced full- or half-circle scan), keep
+    # d_theta an exact divisor of it and PHASE-align the grid with the
+    # source angles — the beta part of every query then lands exactly on
+    # a grid line, as the unfolded grid's th0 = min(theta_q) used to
+    # arrange, and the central detector column interpolates exactly.
+    d_beta = np.pi / ang.shape[0] if ang.shape[0] < 2 else float(
+        np.min(np.diff(np.sort(ang))) or np.pi / ang.shape[0])
+    d_nom = max(d_beta, 1e-3) / oversample
+    m = max(int(np.ceil(d_beta / d_nom)), 1)
+    cand = np.pi / (d_beta / m)
+    if abs(cand - round(cand)) < 1e-9 and round(cand) >= 4:
+        n_half = int(round(cand))
+        d_theta = np.pi / n_half
+        th_off = float(np.mod(float(ang.ravel()[0]), d_theta))
+    else:
+        n_half = max(int(np.ceil(np.pi / d_nom)), 4)
+        d_theta = np.pi / n_half
+        th_off = 0.0
+    thetas = th_off + np.arange(n_half) * d_theta
+    ds = 1.0 / oversample
+    s_max = min(float(np.abs(s_q).max()) + 2.0, 0.75 * N)
+    n_s = 2 * int(np.ceil(s_max / ds)) + 1        # odd: s=0 on the grid
+    th_f = np.mod(theta_q - th_off, np.pi)
+    parity = np.mod(np.floor_divide(theta_q - th_off, np.pi), 2)
+    ti = th_f / d_theta                           # in [0, n_half)
+    si0 = (np.clip(s_q, -s_max, s_max) + (n_s - 1) / 2.0 * ds) / ds
+    si = np.where(parity == 1, (n_s - 1) - si0, si0)
+    return _FanGrid(thetas, ds, n_s, ti, si, pad=1)
+
+
+def _fold_pad(dense, pad: int):
+    """Append ``pad`` wrap columns to a dense [0, pi) sinogram along the
+    theta axis: column ``n_theta + k`` is column ``k`` with the s axis
+    reversed (the unoriented-line identity), so bilinear queries that
+    straddle theta = pi interpolate exactly across the fold."""
+    if not pad:
+        return dense
+    wrap = jnp.flip(dense[..., :pad, :], axis=-1)
+    return jnp.concatenate([dense, wrap], axis=-2)
+
+
 def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
                        angle_chunk: Optional[int] = None,
                        oversample: float = 2.0,
-                       precision: Optional[str] = None):
+                       precision: Optional[str] = None, _tables=None):
     """Fan-beam forward projection via fan-to-parallel REBINNING on the
     spectral projector: a fan ray (source angle ``beta``, flat-detector
     coordinate ``u``) IS the parallel ray at
@@ -530,40 +603,21 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
             radon_fan_spectral(vol[:, m:m + 1], ang[m], geom, n_det=n_det,
                                angle_chunk=angle_chunk,
                                oversample=oversample,
-                               precision=precision)[:, 0]
+                               precision=precision,
+                               _tables=_tables[m] if _tables else None)[:, 0]
             for m in range(ang.shape[0])
         ]
         return jnp.stack(frames, axis=1)
 
-    D_so = float(geom.source_dist)
-    L = D_so + float(geom.det_dist)
-    pitch = float(geom.spacing())
-    u = (np.arange(n_det) - (n_det - 1) / 2.0) * pitch
-    gamma = np.arctan2(u, L)                      # (n_det,)
-    theta_q = ang[:, None] + gamma[None, :]       # (A, n_det)
-    s_q = D_so * np.sin(gamma)                    # (n_det,)
-    s_q = np.broadcast_to(s_q, theta_q.shape)
-
-    # dense parallel grid: theta covers the swept range at ~the fan's own
-    # angular resolution; s at 1/oversample-pixel pitch over the object
-    # support (|s| > 0.75 N projects to zero for in-disk objects)
-    d_beta = np.pi / ang.shape[0] if ang.shape[0] < 2 else float(
-        np.min(np.diff(np.sort(ang))) or np.pi / ang.shape[0])
-    d_theta = max(d_beta, 1e-3) / oversample
-    th0 = float(theta_q.min())
-    n_theta = int(np.ceil((theta_q.max() - th0) / d_theta)) + 2
-    thetas = th0 + np.arange(n_theta) * d_theta
-    ds = 1.0 / oversample
-    s_max = min(float(np.abs(s_q).max()) + 2.0, 0.75 * N)
-    n_s = 2 * int(np.ceil(s_max / ds)) + 1        # odd: s=0 on the grid
-    dense = _radon_spectral_shared(vol, thetas, n_s, angle_chunk,
-                                   det_spacing=ds,
+    grid = _fan_dense_grid(ang, geom, n_det, N, oversample)
+    dense = _radon_spectral_shared(vol, grid.thetas, grid.n_s, angle_chunk,
+                                   det_spacing=grid.ds, tables=_tables,
                                    precision=precision)
-    # dense: (Nz, M, n_theta, n_s)
+    dense = _fold_pad(dense, grid.pad)
+    # dense: (Nz, M, n_theta + pad, n_s)
 
-    ti = jnp.asarray((theta_q - th0) / d_theta, vol.dtype)
-    si = jnp.asarray((np.clip(s_q, -s_max, s_max) + (n_s - 1) / 2.0 * ds)
-                     / ds, vol.dtype)
+    ti = jnp.asarray(grid.ti, vol.dtype)
+    si = jnp.asarray(grid.si, vol.dtype)
 
     def resample(p2d):                             # (n_theta, n_s)
         return jax.scipy.ndimage.map_coordinates(
@@ -572,19 +626,56 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
     return jax.vmap(jax.vmap(resample))(dense)     # (Nz, M, A, n_det)
 
 
+def _attach_fan_tables(A_obj, apply_like, ang, geom, n_det, N, oversample,
+                       real_dt):
+    """Attach the ``prepare()/apply(consts, x)`` heavy-operator protocol
+    (see :func:`make_spectral_projector`) for a fan-grid angle set: the
+    consts are the NUDFT tables of the DENSE parallel grid the fan (or
+    SSRB cone) path rebins from, hoisted out of solver scans."""
+    if ang.ndim == 1:
+        grids = [_fan_dense_grid(ang, geom, n_det, N, oversample)]
+    else:
+        grids = [_fan_dense_grid(ang[m], geom, n_det, N, oversample)
+                 for m in range(ang.shape[0])]
+
+    def build_all():
+        tabs = [_spectral_tables_shared(g.thetas, N, g.n_s, real_dt,
+                                        det_spacing=g.ds) for g in grids]
+        return tabs[0] if ang.ndim == 1 else tabs
+
+    build = jax.jit(build_all)
+    cache = []
+
+    def prepare():
+        if not cache:
+            cache.append(build())
+        return cache[0]
+
+    A_obj.prepare, A_obj.apply = prepare, apply_like
+    return A_obj
+
+
 def make_fan_spectral_projector(vol_shape, angles, geom,
                                 n_det: Optional[int] = None,
                                 dtype=jnp.float32,
                                 angle_chunk: Optional[int] = None,
+                                oversample: float = 2.0,
                                 precision: Optional[str] = None):
     """``(A, A_T)`` for a fixed fan-beam geometry on the rebinned spectral
-    path; ``A_T`` is the exact transpose (vjp of the linear map)."""
+    path; ``A_T`` is the exact transpose (vjp of the linear map).  Carries
+    the same ``prepare()/apply`` table-hoisting protocol as
+    :func:`make_spectral_projector` (the consts are the dense parallel
+    grid's NUDFT tables)."""
     ang = _concrete_angles(angles)
     n_det = n_det or vol_shape[-1]
+    N = vol_shape[-1]
+    real_dt = (jnp.float64 if jnp.dtype(dtype) == jnp.float64
+               else jnp.float32)
 
     def A(x):
         return radon_fan_spectral(x, ang, geom, n_det=n_det,
                                   angle_chunk=angle_chunk,
+                                  oversample=oversample,
                                   precision=precision)
 
     def A_T(y):
@@ -592,4 +683,288 @@ def make_fan_spectral_projector(vol_shape, angles, geom,
         (x_bar,) = vjp(y)
         return x_bar
 
+    def apply(consts, x):
+        return radon_fan_spectral(x, ang, geom, n_det=n_det,
+                                  angle_chunk=angle_chunk,
+                                  oversample=oversample,
+                                  precision=precision, _tables=consts)
+
+    _attach_fan_tables(A, apply, ang, geom, n_det, N, oversample, real_dt)
+    return A, A_T
+
+
+def _ssrb_weights(geom, Nz: int, n_det_v: int, n_det_u: int, real_dt):
+    """Concrete SSRB constants for a cone geometry: the z-interpolation
+    matrix ``Wz`` (n_det_v, Nz) mapping volume slices to detector-row
+    slices (row v reads the slice at isocenter height
+    ``v_iso = v_centered * pv * D_so / (D_so + D_od)``), and the
+    obliquity weight ``w`` (n_det_v, n_det_u) = ds_3d/ds_inplane =
+    ``sqrt(1 + v^2 / (L^2 + u^2))`` matching the gather cone's 3D
+    arc-length integration (``ct._frame_radon_cone``)."""
+    D_so = float(geom.source_dist)
+    L = D_so + float(geom.det_dist)
+    pu, pv = float(geom.spacing_u()), float(geom.spacing_v())
+    cz = (Nz - 1) / 2.0
+    v_det = (np.arange(n_det_v) - (n_det_v - 1) / 2.0) * pv
+    u_det = (np.arange(n_det_u) - (n_det_u - 1) / 2.0) * pu
+    z_v = cz + v_det * (D_so / L)                  # (V,) slice coordinate
+    Wz = np.maximum(0.0, 1.0 - np.abs(z_v[:, None] - np.arange(Nz)[None]))
+    w = np.sqrt(1.0 + v_det[:, None] ** 2
+                / (L ** 2 + u_det[None, :] ** 2))  # (V, U)
+    np_dt = np.dtype(jnp.dtype(real_dt).name)
+    return Wz.astype(np_dt), w.astype(np_dt)
+
+
+def _cone_host_consts(geom, ang: np.ndarray, Nz: int, n_det_v: int,
+                      n_det_u: int, N: int, oversample: float):
+    """All concrete (host, numpy) constants of the spectral cone path for
+    one shared angle set: the dense parallel grid, the fan resample
+    coordinates, the z interpolation/derivative matrices, and the
+    per-cell ray coefficients.  Geometry: source at in-plane distance
+    ``D_so`` and height z=0; a cone ray to detector cell (v, u) has
+    in-plane track = the fan ray of column u and height
+    ``z(s) = sigma * s`` with ``s`` the in-plane distance from the source
+    and ``sigma = v_det*pv / sqrt(L^2 + u_det^2*pu^2)`` (matching
+    ``ct._frame_radon_cone``'s normalization exactly)."""
+    D_so = float(geom.source_dist)
+    L = D_so + float(geom.det_dist)
+    pu, pv = float(geom.spacing_u()), float(geom.spacing_v())
+    cz = (Nz - 1) / 2.0
+
+    from .ct import FanBeamGeometry
+
+    fan = FanBeamGeometry(source_dist=D_so, det_dist=float(geom.det_dist),
+                          det_spacing=pu)
+    grid = _fan_dense_grid(ang, fan, n_det_u, N, oversample)
+    thetas, ds, n_s, ti, si = (grid.thetas, grid.ds, grid.n_s, grid.ti,
+                               grid.si)
+
+    u_det = (np.arange(n_det_u) - (n_det_u - 1) / 2.0) * pu
+    v_det = (np.arange(n_det_v) - (n_det_v - 1) / 2.0) * pv
+    L_ip = np.sqrt(L ** 2 + u_det ** 2)              # (U,)
+    sigma = v_det[:, None] / L_ip[None, :]           # (V, U) dz/ds_ip
+    obliq = np.sqrt(1.0 + sigma ** 2)                # ds_3d/ds_ip
+
+    # expansion height: z on the ray at the in-plane isocenter distance
+    # (s = D_so); rows expand about their OWN u=0 height so the hat
+    # matmuls stay (V, Nz) and the u-dependence rides the 1st-order term
+    z0_vu = cz + sigma * D_so                        # (V, U) exact
+    z0_v = z0_vu[:, n_det_u // 2]                    # (V,) central column
+    zg = np.arange(Nz, dtype=np.float64)
+    Wz = np.maximum(0.0, 1.0 - np.abs(z0_v[:, None] - zg[None]))
+    # d/dz0 of the hat interp, with VIRTUAL ZERO slices beyond the slab
+    # (matching map_coordinates' cval=0 decay) and a centered stencil when
+    # the expansion point sits on a knot (the default pv puts every
+    # detector row exactly on a slice, and the ray wanders BOTH sides)
+    Wdz = np.zeros_like(Wz)
+    for v, z0 in enumerate(z0_v):
+        if z0 <= -1.0 or z0 >= Nz:
+            continue
+        k = int(np.floor(z0))
+        if abs(z0 - round(z0)) < 1e-9:      # on a knot: centered diff
+            k0 = int(round(z0))
+            if 0 <= k0 - 1 < Nz:
+                Wdz[v, k0 - 1] -= 0.5
+            if 0 <= k0 + 1 < Nz:
+                Wdz[v, k0 + 1] += 0.5
+        else:                                # in a segment: its slope
+            if 0 <= k < Nz:
+                Wdz[v, k] -= 1.0
+            if 0 <= k + 1 < Nz:
+                Wdz[v, k + 1] += 1.0
+
+    # fan-coordinate geometry for the moment transform: the (beta, u) ray
+    # IS the parallel line (theta, s_par); its unit direction (pointing
+    # away from the source) and the source's coordinate along it
+    gamma = np.arctan2(u_det, L)                     # (U,)
+    theta_q = ang[:, None] + gamma[None, :]          # (A, U)
+    # in-plane frame matches ct._slice_radon_fan: source at
+    # (r, c) = -D_so*(sin b, cos b); ray direction from source to cell
+    src_r = -D_so * np.sin(ang)[:, None]             # (A, 1)
+    src_c = -D_so * np.cos(ang)[:, None]
+    dir_r = (float(geom.det_dist) * np.sin(ang)[:, None]
+             + u_det[None, :] * np.cos(ang)[:, None]) - src_r
+    dir_c = (float(geom.det_dist) * np.cos(ang)[:, None]
+             - u_det[None, :] * np.sin(ang)[:, None]) - src_c
+    inv = 1.0 / np.sqrt(dir_r ** 2 + dir_c ** 2)
+    dir_r, dir_c = dir_r * inv, dir_c * inv          # (A, U) unit omega
+    s_src = src_r * dir_r + src_c * dir_c            # source coord on line
+
+    return {
+        "thetas": thetas, "ds": ds, "n_s": n_s, "ti": ti, "si": si,
+        "pad": grid.pad,
+        "Wz": Wz, "Wdz": Wdz, "sigma": sigma, "obliq": obliq,
+        "z0_v": z0_v, "z0_vu": cz + sigma * D_so, "D_so": D_so,
+        "dir_r": dir_r, "dir_c": dir_c, "s_src": s_src,
+        "theta_q": theta_q,
+    }
+
+
+def _cone_spectral_shared(vol, ang: np.ndarray, geom, n_det_v: int,
+                          n_det_u: int, angle_chunk, oversample: float,
+                          order: int, precision, tables):
+    """Shared-angle spectral cone forward: SSRB + optional first-order
+    in-slope correction.  ``vol`` (Nz, M, N, N) -> (M, A, V, U)."""
+    Nz, M, N = vol.shape[0], vol.shape[1], vol.shape[-1]
+    real_dt = (jnp.float64 if vol.dtype == jnp.float64 else jnp.float32)
+    vol = vol.astype(real_dt)
+    cc = _cone_host_consts(geom, ang, Nz, n_det_v, n_det_u, N, oversample)
+    hi = jax.lax.Precision.HIGHEST
+
+    ti = jnp.asarray(cc["ti"], real_dt)
+    si = jnp.asarray(cc["si"], real_dt)
+
+    def fan_resample(dense):                          # (Nz, M, nT, nS)
+        def one(p2d):
+            return jax.scipy.ndimage.map_coordinates(
+                p2d, [ti, si], order=1, mode="constant", cval=0.0)
+        return jax.vmap(jax.vmap(one))(dense)         # (Nz, M, A, U)
+
+    def dense_radon(v):
+        d = _radon_spectral_shared(v, cc["thetas"], cc["n_s"],
+                                   angle_chunk, det_spacing=cc["ds"],
+                                   tables=tables, precision=precision)
+        return _fold_pad(d, cc["pad"])
+
+    F0 = fan_resample(dense_radon(vol))               # (Nz, M, A, U)
+    Wz = jnp.asarray(cc["Wz"], real_dt)
+    out = jnp.einsum("vz,zmau->mavu", Wz, F0, precision=hi)
+
+    if order >= 1:
+        # first moment along the ray about the source:  Mom[g](beta,u) =
+        # integral s*g ds = R[<p,w>g] - (src.w)*R[g], with <p,w>g two
+        # coordinate-weighted spectral radons (p = centered (r, c))
+        rr = jnp.asarray(np.arange(N, dtype=np.float64) - (N - 1) / 2.0,
+                         real_dt)
+        Fr = fan_resample(dense_radon(vol * rr[:, None]))
+        Fc = fan_resample(dense_radon(vol * rr[None, :]))
+        dir_r = jnp.asarray(cc["dir_r"], real_dt)     # (A, U)
+        dir_c = jnp.asarray(cc["dir_c"], real_dt)
+        s_src = jnp.asarray(cc["s_src"], real_dt)
+        Mom = (dir_r * Fr + dir_c * Fc) - s_src * F0  # (Nz, M, A, U)
+
+        Wdz = jnp.asarray(cc["Wdz"], real_dt)
+        G0 = jnp.einsum("vz,zmau->mavu", Wdz, F0, precision=hi)
+        GM = jnp.einsum("vz,zmau->mavu", Wdz, Mom, precision=hi)
+        sigma = jnp.asarray(cc["sigma"], real_dt)     # (V, U)
+        # f(cz + sigma*s) ~ f(z0_v) + (cz + sigma*s - z0_v) f'(z0_v)
+        # with z0_v = cz + sigma(v, u_center)*D_so, so the coefficient is
+        # sigma(v,u)*s - sigma(v,u0)*D_so:
+        sig0 = jnp.asarray(
+            np.broadcast_to(cc["z0_v"][:, None] - (Nz - 1) / 2.0,
+                            cc["sigma"].shape), real_dt)  # sigma_v0 * D_so
+        out = out + sigma[None, None] * GM - sig0[None, None] * G0
+
+    obliq = jnp.asarray(cc["obliq"], real_dt)         # (V, U)
+    return out * obliq[None, None]
+
+
+def radon_cone_spectral(vol, angles, geom, n_det_v: Optional[int] = None,
+                        n_det_u: Optional[int] = None,
+                        angle_chunk: Optional[int] = None,
+                        oversample: float = 2.0, order: int = 1,
+                        precision: Optional[str] = None, _tables=None):
+    """Gather-free cone-beam forward projection: SINGLE-SLICE REBINNING
+    (SSRB — detector row ``v`` reads the volume slice at its
+    isocenter-plane height, a tiny ``(n_det_v, Nz)`` interpolation
+    MATMUL, then the rebinned spectral fan path of
+    :func:`radon_fan_spectral`) plus, at ``order=1`` (default), the
+    first-order term of the expansion in the ray's z-slope: the in-plane
+    FIRST-MOMENT fan transform, computed gather-free as two extra
+    spectral radons of coordinate-weighted volumes
+    (``R[r f], R[c f]`` — the moment of a line integral is a linear
+    combination of these, the ray being ``z(s) = sigma s``), times the
+    z-derivative interpolation stencil.  The exact per-cell obliquity
+    weight ``ds_3d/ds_inplane`` matches :func:`..ct.radon_cone`'s 3D
+    arc-length integration.  Same layouts as ``radon_cone``: volume
+    ``(Nz, M, N, N)``, ``angles`` ``(n_angles,)`` shared or
+    ``(M, n_angles)`` per-frame, sinogram ``(M, n_angles, n_det_v,
+    n_det_u)``.
+
+    Accuracy vs the gather cone: ``order=0`` is classic SSRB,
+    O(sigma) — measured 5.4%/2.7%/1.5% rel at D_so = 2N/4N/8N on a
+    smooth thin-slab phantom (Nz=8, N=64); ``order=1`` cancels the
+    linear term, leaving O(sigma^2 f'') (see
+    ``tests/test_ct_spectral.py`` for the recorded values).  Exact in
+    the parallel limit.  The operator is LINEAR with an exact vjp
+    adjoint at every order, so primal-dual solvers see a consistent
+    pair.  Cost: ``order=1`` runs 3 dense spectral radons instead of 1
+    (same NUDFT tables — hoistable via the ``prepare()/apply``
+    protocol of :func:`make_cone_spectral_projector`).
+    """
+    vol = jnp.asarray(vol)
+    if vol.ndim != 4 or vol.shape[-2] != vol.shape[-1]:
+        raise ValueError(
+            f"radon_cone_spectral expects a square-plane rank-4 "
+            f"(Nz, M, N, N) volume, got {tuple(vol.shape)}"
+        )
+    Nz, M, N = vol.shape[0], vol.shape[1], vol.shape[-1]
+    n_det_v = n_det_v or Nz
+    n_det_u = n_det_u or N
+    ang = _concrete_angles(angles)
+    if ang.ndim == 2:
+        if ang.shape[0] != M:
+            raise ValueError(
+                f"per-frame angles must be (M={M}, n_angles), got "
+                f"{ang.shape}"
+            )
+        frames = [
+            _cone_spectral_shared(
+                vol[:, m:m + 1], ang[m], geom, n_det_v, n_det_u,
+                angle_chunk, oversample, order, precision,
+                _tables[m] if _tables else None)[0]
+            for m in range(M)
+        ]
+        return jnp.stack(frames, axis=0).astype(vol.dtype)
+    out = _cone_spectral_shared(vol, ang, geom, n_det_v, n_det_u,
+                                angle_chunk, oversample, order, precision,
+                                _tables)
+    return out.astype(vol.dtype)
+
+
+def make_cone_spectral_projector(vol_shape, angles, geom,
+                                 n_det_v: Optional[int] = None,
+                                 n_det_u: Optional[int] = None,
+                                 dtype=jnp.float32,
+                                 angle_chunk: Optional[int] = None,
+                                 oversample: float = 2.0, order: int = 1,
+                                 precision: Optional[str] = None):
+    """``(A, A_T)`` for a fixed cone-beam geometry on the SSRB spectral
+    path (:func:`radon_cone_spectral`); ``A_T`` is the exact transpose of
+    the (approximate-but-linear) map, so the CP/SART solvers see a
+    consistent operator pair.  Same ``prepare()/apply`` table-hoisting
+    protocol as the parallel/fan spectral projectors."""
+    ang = _concrete_angles(angles)
+    Nz, N = vol_shape[0], vol_shape[-1]
+    n_det_v = n_det_v or Nz
+    n_det_u = n_det_u or N
+    real_dt = (jnp.float64 if jnp.dtype(dtype) == jnp.float64
+               else jnp.float32)
+
+    from .ct import FanBeamGeometry
+
+    fan = FanBeamGeometry(source_dist=geom.source_dist,
+                          det_dist=geom.det_dist,
+                          det_spacing=geom.spacing_u())
+
+    def A(x):
+        return radon_cone_spectral(x, ang, geom, n_det_v=n_det_v,
+                                   n_det_u=n_det_u,
+                                   angle_chunk=angle_chunk,
+                                   oversample=oversample, order=order,
+                                   precision=precision)
+
+    def A_T(y):
+        _, vjp = jax.vjp(A, jnp.zeros(tuple(vol_shape), dtype))
+        (x_bar,) = vjp(y)
+        return x_bar
+
+    def apply(consts, x):
+        return radon_cone_spectral(x, ang, geom, n_det_v=n_det_v,
+                                   n_det_u=n_det_u,
+                                   angle_chunk=angle_chunk,
+                                   oversample=oversample, order=order,
+                                   precision=precision, _tables=consts)
+
+    _attach_fan_tables(A, apply, ang, fan, n_det_u, N, oversample, real_dt)
     return A, A_T

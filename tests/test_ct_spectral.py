@@ -395,9 +395,10 @@ def test_fan_spectral_rebinning():
 
 
 def test_fan_spectral_reconstruction():
-    """cp_reconstruct(geom=fan, method='spectral') end-to-end, and the
-    cone-beam + explicit-spectral rejection keeps its clear message."""
-    from pytv4d_tpu.models.ct import ConeBeamGeometry, FanBeamGeometry
+    """cp_reconstruct(geom=fan, method='spectral') end-to-end (the cone +
+    spectral combination is covered by the SSRB tests below — it became
+    supported in round 4)."""
+    from pytv4d_tpu.models.ct import FanBeamGeometry
 
     N = 32
     truth = _gaussians(N, [(0.0, 0.0, 6.0, 1.0)])
@@ -409,10 +410,6 @@ def test_fan_spectral_reconstruction():
     res = cp_reconstruct(sino, angles, (1, 1, N, N), n_iter=150, reg=1e-3,
                          geom=geom, method="spectral")
     assert _rel(np.asarray(res.x[0, 0]), truth) < 0.05
-    with pytest.raises(ValueError, match="cone-beam"):
-        cp_reconstruct(jnp.zeros((1, 4, 8, 8)), angles[:4], (4, 1, 8, 8),
-                       geom=ConeBeamGeometry(source_dist=50.0),
-                       method="spectral", n_iter=1, op_norm=1.0)
 
 
 def test_spectral_bf16_storage_volume():
@@ -647,3 +644,185 @@ def test_sart_spectral_per_frame_angles():
     assert float(res.residual[-1]) < float(res.residual[0]) * 0.2
     err = float(jnp.linalg.norm(res.x - vol) / jnp.linalg.norm(vol))
     assert err < 0.15, err
+
+
+# ---------------------------------------------------------------------------
+# Gather-free cone beam: SSRB + first-order slope correction (round 4;
+# VERDICT r3 item 2).  Reference: the exact gather cone (models/ct.py
+# radon_cone — trilinear sampling, itself golden-tested vs CPU f64).
+
+
+def _thin_slab_phantom(Nz, M, N, seed=0, zs=6.0):
+    rng = np.random.default_rng(seed)
+    z, r, c = np.mgrid[:Nz, :N, :N]
+    vol = np.zeros((Nz, M, N, N))
+    for m in range(M):
+        for _ in range(4):
+            z0 = rng.uniform(2, Nz - 2)
+            r0, c0 = rng.uniform(16, N - 16), rng.uniform(16, N - 16)
+            vol[:, m] += np.exp(-((z - z0) ** 2 / zs + (r - r0) ** 2 / 50
+                                  + (c - c0) ** 2 / 50))
+    return vol
+
+
+def test_cone_spectral_adjointness_linearity_layout():
+    from pytv4d_tpu.models.ct import ConeBeamGeometry
+    from pytv4d_tpu.models.ct_spectral import make_cone_spectral_projector
+
+    rng = np.random.default_rng(5)
+    shape = (4, 2, 32, 32)
+    angles = np.linspace(0, 2 * np.pi, 7, endpoint=False) + 0.05
+    geom = ConeBeamGeometry(source_dist=64.0, det_dist=16.0)
+    A, A_T = make_cone_spectral_projector(shape, angles, geom,
+                                          dtype=jnp.float64)
+    x = jnp.asarray(rng.random(shape))
+    y0 = A(x)
+    assert y0.shape == (2, 7, 4, 32)      # (M, A, V, U) — cone layout
+    y = jnp.asarray(rng.random(y0.shape))
+    lhs = float(jnp.vdot(y, A(x)))
+    rhs = float(jnp.vdot(A_T(y), x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-12
+    x2 = jnp.asarray(rng.random(shape))
+    np.testing.assert_allclose(
+        np.asarray(A(2.0 * x + 0.5 * x2)),
+        np.asarray(2.0 * A(x) + 0.5 * A(x2)), rtol=1e-11, atol=1e-11)
+
+
+def test_cone_spectral_parallel_limit():
+    """source_dist -> inf closes the cone: detector row v reads slice v
+    and the SSRB path must agree with the gather cone AND the per-slice
+    parallel spectral projector (the correction term vanishes with
+    sigma)."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+    Nz, M, N = 6, 1, 64
+    vol = jnp.asarray(_thin_slab_phantom(Nz, M, N))
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False) + 0.02
+    far = ConeBeamGeometry(source_dist=1e7, det_dist=0.0,
+                           det_spacing_u=1.0, det_spacing_v=1.0)
+    ref = np.asarray(radon_cone(vol, jnp.asarray(angles), far))
+    for order in (0, 1):
+        ssrb = np.asarray(radon_cone_spectral(vol, angles, far,
+                                              order=order))
+        # residual = the rebinning-vs-bilinear difference (same order as
+        # the fan test's 3e-3 bar); the cone term itself vanishes
+        assert _rel(ssrb, ref) < 3e-3, (order, _rel(ssrb, ref))
+    # and against the parallel spectral projector slice by slice
+    par = np.asarray(radon_spectral(vol, angles))   # (Nz, M, A, U)
+    ssrb1 = np.asarray(radon_cone_spectral(vol, angles, far))
+    np.testing.assert_allclose(ssrb1, np.transpose(par, (1, 2, 0, 3)),
+                               rtol=0, atol=1e-3 * np.abs(par).max())
+
+
+def test_cone_spectral_gather_parity_and_order():
+    """Recorded accuracy envelope vs the exact gather cone on a smooth
+    thin-slab phantom (Nz=8, N=64): SSRB (order=0) error is O(sigma) —
+    halving with each doubling of source_dist — and the first-order
+    moment correction (order=1, default) roughly halves it again at
+    every geometry.  Values recorded 2026-08 (see docs/performance.md):
+    o0 5.4%/2.7%/1.4%, o1 2.9%/1.5%/0.9% at D_so = 2N/4N/8N."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+    Nz, M, N = 8, 2, 64
+    vol = jnp.asarray(_thin_slab_phantom(Nz, M, N))
+    angles = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    bars = {2.0: (0.08, 0.045), 4.0: (0.04, 0.025), 8.0: (0.025, 0.015)}
+    errs = {}
+    for mult, (bar0, bar1) in bars.items():
+        geom = ConeBeamGeometry(source_dist=mult * N, det_dist=1.0 * N)
+        ref = np.asarray(radon_cone(vol, jnp.asarray(angles), geom))
+        e0 = _rel(np.asarray(radon_cone_spectral(vol, angles, geom,
+                                                 order=0)), ref)
+        e1 = _rel(np.asarray(radon_cone_spectral(vol, angles, geom,
+                                                 order=1)), ref)
+        assert e0 < bar0 and e1 < bar1, (mult, e0, e1)
+        assert e1 < 0.7 * e0, (mult, e0, e1)  # the correction must help
+        errs[mult] = (e0, e1)
+    # O(sigma): error shrinks by ~2x per source-distance doubling
+    assert errs[4.0][0] < 0.65 * errs[2.0][0]
+    assert errs[8.0][0] < 0.65 * errs[4.0][0]
+
+
+def test_cone_spectral_per_frame_angles():
+    from pytv4d_tpu.models.ct import ConeBeamGeometry
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+    Nz, M, N = 4, 2, 32
+    vol = jnp.asarray(_thin_slab_phantom(Nz, M, N))
+    geom = ConeBeamGeometry(source_dist=64.0, det_dist=16.0)
+    base = np.linspace(0, 2 * np.pi, 6, endpoint=False)
+    ang2 = np.stack([base, base + 0.1])
+    pf = radon_cone_spectral(vol, ang2, geom)
+    assert pf.shape == (M, 6, Nz, N)
+    for m in range(M):
+        pm = radon_cone_spectral(vol[:, m:m + 1], ang2[m], geom)
+        np.testing.assert_allclose(np.asarray(pf[m]), np.asarray(pm[0]),
+                                   atol=1e-12)
+
+
+def test_cone_spectral_operator_protocol():
+    """prepare()/apply(consts, x) returns the lazy result exactly (the
+    consts are the dense parallel grid's NUDFT tables), and the solvers
+    pick the protocol up through cp_reconstruct(geom=cone,
+    method='spectral')."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, cp_reconstruct
+    from pytv4d_tpu.models.ct_spectral import make_cone_spectral_projector
+
+    rng = np.random.default_rng(7)
+    Nz, M, N = 4, 1, 32
+    shape = (Nz, M, N, N)
+    angles = np.linspace(0, 2 * np.pi, 8, endpoint=False) + 0.03
+    geom = ConeBeamGeometry(source_dist=64.0, det_dist=16.0)
+    A, A_T = make_cone_spectral_projector(shape, angles, geom,
+                                          dtype=jnp.float64)
+    assert hasattr(A, "prepare") and hasattr(A, "apply")
+    x = jnp.asarray(rng.random(shape))
+    consts = A.prepare()
+    np.testing.assert_allclose(np.asarray(A.apply(consts, x)),
+                               np.asarray(A(x)), rtol=1e-12, atol=1e-12)
+
+
+def test_cone_spectral_reconstruction_self_consistent():
+    """Inverse-crime check: reconstructing a thin-slab phantom from the
+    SSRB operator's own sinogram recovers it as well as the gather
+    pipeline recovers from gather data (measured 2.8% vs 4.1% at this
+    config) — the approximate operator is solver-consistent (exact
+    adjoint).  Cross-model recon (gather data, spectral operator) is
+    model-mismatch bound — same behavior and magnitude as the shipped
+    fan rebinning path (docs/performance.md records both)."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, cp_reconstruct
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+    from pytv4d_tpu.core.config import TVConfig
+
+    rng = np.random.default_rng(0)
+    Nz, M, N, A = 8, 1, 64, 48
+    z, r, c = np.mgrid[:Nz, :N, :N]
+    truth = np.zeros((Nz, M, N, N), np.float32)
+    for _ in range(4):
+        z0 = rng.uniform(2, Nz - 2)
+        r0, c0 = rng.uniform(16, N - 16), rng.uniform(16, N - 16)
+        truth[:, 0] += (((z - z0) ** 2 / 4 + (r - r0) ** 2 / 64
+                         + (c - c0) ** 2 / 64) < 1.0).astype(np.float32)
+    truth = jnp.asarray(truth)
+    angles = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=1.0 * N)
+    sino = radon_cone_spectral(truth, angles, geom)
+    from pytv4d_tpu.models.ct import estimate_op_norm
+    from pytv4d_tpu.models.ct_spectral import make_cone_spectral_projector
+    Ax, ATx = make_cone_spectral_projector((Nz, M, N, N), angles, geom)
+    on = float(estimate_op_norm(Ax, ATx, (Nz, M, N, N)))
+    res = cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=400, reg=0.3,
+                         cfg=TVConfig(scheme="hybrid"), geom=geom,
+                         op_norm=on, method="spectral")
+    err = _rel(np.asarray(res.x), np.asarray(truth))
+    assert err < 0.06, err
+    # precond=True must be REJECTED on the spectral cone: the slope
+    # correction has signed entries, and the diagonal preconditioner's
+    # signed sums were measured to diverge at production scale
+    with pytest.raises(ValueError, match="precond=True is not supported"):
+        cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=1, reg=0.3,
+                       geom=geom, precond=True, method="spectral")
+    assert np.all(np.isfinite(np.asarray(res.loss)))
+    assert res.loss[-1] < res.loss[0]
