@@ -344,6 +344,16 @@ def main():
     except Exception as e:
         log(f"CT production bench skipped: {e!r}")
 
+    try:
+        # cone-beam flagship (gather-free SSRB + order-1 slope correction;
+        # the gather cone kernel-faults the worker far below this scale)
+        from pytv4d_tpu.bench.harness import bench_ct_cone
+
+        cone = bench_ct_cone()
+        extras["ct_cone_recon_it_s"] = round(cone["cone_recon_it_per_s"], 1)
+    except Exception as e:
+        log(f"CT cone bench skipped: {e!r}")
+
     record = {
         "metric": "cp_denoise_cameraman_300it",
         "value": round(it_per_s, 1),

@@ -411,7 +411,8 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
                             dtype=jnp.float32,
                             angle_chunk: Optional[int] = None,
                             precompute_tables: Optional[bool] = None,
-                            precision: Optional[str] = None):
+                            precision: Optional[str] = None,
+                            z_chunk: Optional[int] = None):
     """``(A, A_T)`` for a fixed parallel-beam geometry on the spectral
     path; ``A_T`` is the exact transpose (vjp of the linear map — FFTs and
     matmuls only, no scatter), same adjointness contract as
@@ -426,7 +427,13 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
     otherwise dominates the iteration, because XLA declines to hoist it
     under memory pressure.  The plain ``A(x)`` call always stays lazy
     (safe to jit: embedded tables blow the remote-compile payload limit).
-    Set ``False`` to disable the protocol entirely."""
+    Set ``False`` to disable the protocol entirely.
+
+    ``z_chunk``: stream each application through ``lax.map`` in
+    ``z_chunk``-slice pieces (z is a pure batch axis, values identical) —
+    bounds the peak memory of the spectral intermediates so
+    north-star-scale volumes ((96,16,512,512): ``Fs`` alone would be
+    ~6.5 GB) fit next to the solver state; see :func:`_chunk_over_z`."""
     ang = _concrete_angles(angles)
     n_det = n_det or vol_shape[-1]
     N = vol_shape[-1]
@@ -483,7 +490,49 @@ def make_spectral_projector(vol_shape, angles, n_det: Optional[int] = None,
 
         A.prepare, A.apply = prepare, apply
 
+    if z_chunk is not None:
+        return _chunk_over_z(A, vol_shape, z_chunk, dtype)
     return A, A_T
+
+
+def _chunk_over_z(A, vol_shape, z_chunk: int, dtype):
+    """Wrap a projector pair so each application streams the volume
+    through ``lax.map`` in ``z_chunk``-slice pieces: z is a pure batch
+    axis of the parallel geometry, so values are IDENTICAL — only the
+    peak memory of the spectral intermediates drops (the padded spectrum
+    ``Fs`` alone is ~6.5 GB f32 at the (96,16,512,512) north star; at
+    ``z_chunk=16`` it is ~1.1 GB, which is what lets the full 403M-voxel
+    CT solve fit one v5e's HBM next to the solver state).  The
+    ``prepare()/apply`` protocol is preserved (tables are z-independent)."""
+    Nz = vol_shape[0]
+    if Nz % z_chunk:
+        raise ValueError(f"z_chunk={z_chunk} must divide Nz={Nz}")
+    C = Nz // z_chunk
+    chunk_shape = (z_chunk,) + tuple(vol_shape[1:])
+
+    def _over_chunks(fn, arr):
+        parts = arr.reshape((C, z_chunk) + arr.shape[1:])
+        out = jax.lax.map(fn, parts)
+        return out.reshape((Nz,) + out.shape[2:])
+
+    def A_c(x):
+        return _over_chunks(A, x)
+
+    def _adjoint_chunk(yc):
+        # vjp at CHUNK shape (the passed A_T closes over the full shape)
+        _, vjp = jax.vjp(A, jnp.zeros(chunk_shape, dtype))
+        (xc,) = vjp(yc)
+        return xc
+
+    def A_T_c(y):
+        return _over_chunks(_adjoint_chunk, y)
+
+    proto_apply = getattr(A, "apply", None)
+    if getattr(A, "prepare", None) is not None and proto_apply is not None:
+        A_c.prepare = A.prepare
+        A_c.apply = lambda consts, x: _over_chunks(
+            lambda xc: proto_apply(consts, xc), x)
+    return A_c, A_T_c
 
 
 class _FanGrid(NamedTuple):
@@ -501,6 +550,11 @@ class _FanGrid(NamedTuple):
     ti: np.ndarray
     si: np.ndarray
     pad: int
+    # parity factorization of the s coordinate (si is si0[u] or its s-flip
+    # by the theta fold): lets the bilinear resample run as two small
+    # MATMULS instead of a per-point gather (_rebin_mats/_rebin_apply)
+    si0: np.ndarray = None      # (n_det,) parity-0 s coordinate
+    parity: np.ndarray = None   # (A, n_det) 0/1 fold parity
 
 
 def _fan_dense_grid(ang: np.ndarray, geom, n_det: int, N: int,
@@ -545,7 +599,8 @@ def _fan_dense_grid(ang: np.ndarray, geom, n_det: int, N: int,
     ti = th_f / d_theta                           # in [0, n_half)
     si0 = (np.clip(s_q, -s_max, s_max) + (n_s - 1) / 2.0 * ds) / ds
     si = np.where(parity == 1, (n_s - 1) - si0, si0)
-    return _FanGrid(thetas, ds, n_s, ti, si, pad=1)
+    return _FanGrid(thetas, ds, n_s, ti, si, pad=1,
+                    si0=si0[0], parity=parity)
 
 
 def _fold_pad(dense, pad: int):
@@ -557,6 +612,53 @@ def _fold_pad(dense, pad: int):
         return dense
     wrap = jnp.flip(dense[..., :pad, :], axis=-1)
     return jnp.concatenate([dense, wrap], axis=-2)
+
+
+def _rebin_mats(grid: "_FanGrid", real_dt):
+    """Host-built weight matrices that express the bilinear fan rebinning
+    as two MATMULS (gather-free AND fast: ``map_coordinates`` over the
+    (A, n_det) query set measured ~50 ms at production cone scale — TPU
+    gathers run point-at-a-time — vs <1 ms for the einsums).
+
+    The s coordinate takes only TWO values per detector column (``si0[u]``
+    or its s-flip, by the theta-fold parity), so ``Ws`` (n_s, 2*n_det)
+    contracts the dense sinogram's s axis for both parities at once, and
+    ``Wt`` (A, n_det, T, 2) holds the theta interpolation weights routed
+    to the query's parity slot.  Exactly the 4-term bilinear sum of
+    ``map_coordinates(order=1, mode='constant')`` on in-range queries
+    (the grid construction clips s and keeps ti < n_theta)."""
+    A, U = grid.ti.shape
+    n_s = int(grid.n_s)
+    T = len(grid.thetas) + grid.pad
+    par = grid.parity.astype(np.int64)
+    Ws = np.zeros((n_s, U, 2))
+    cols = np.arange(U)
+    for p in range(2):
+        c = grid.si0 if p == 0 else (n_s - 1) - grid.si0
+        k = np.floor(c).astype(np.int64)
+        f = c - k
+        np.add.at(Ws, (k, cols, np.full(U, p)), 1.0 - f)
+        np.add.at(Ws, (np.minimum(k + 1, n_s - 1), cols, np.full(U, p)), f)
+    Wt = np.zeros((A, U, T, 2))
+    t0 = np.floor(grid.ti).astype(np.int64)
+    ft = grid.ti - t0
+    aa, uu = np.meshgrid(np.arange(A), cols, indexing="ij")
+    np.add.at(Wt, (aa, uu, t0, par), 1.0 - ft)
+    np.add.at(Wt, (aa, uu, np.minimum(t0 + 1, T - 1), par), ft)
+    np_dt = np.dtype(jnp.dtype(real_dt).name)
+    return Ws.reshape(n_s, 2 * U).astype(np_dt), Wt.astype(np_dt)
+
+
+def _rebin_apply(dense, Ws, Wt, precision):
+    """Resample a padded dense sinogram ``(..., T, n_s)`` at the fan
+    coordinates via the :func:`_rebin_mats` matmuls -> ``(..., A, n_det)``."""
+    precision = precision or _DEFAULT_PRECISION
+    U = Wt.shape[1]
+    d2 = jnp.einsum("...ts,sq->...tq", dense, jnp.asarray(Ws, dense.dtype),
+                    precision=precision)
+    d2 = d2.reshape(d2.shape[:-1] + (U, 2))
+    return jnp.einsum("autp,...tup->...au", jnp.asarray(Wt, dense.dtype),
+                      d2, precision=precision)
 
 
 def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
@@ -571,10 +673,11 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
         gamma = atan(u / (D_so + D_od)),
 
     so we evaluate a dense parallel sinogram spectrally (gather-free) and
-    bilinearly resample it at the fan coordinates — the only gather in
-    the program acts on the SINOGRAM (A x n_s elements, ~100x smaller
-    than the volume-sized bilinear gathers that crashed TPU workers; the
-    classical rebinning construction, e.g. Kak & Slaney 1988 ch. 3.4.2).
+    bilinearly resample it at the fan coordinates — as two small MATMULS
+    (:func:`_rebin_mats`), so the program contains NO gather at all
+    (volume-sized bilinear gathers crashed TPU workers, and even the
+    sinogram-sized ``map_coordinates`` ran tens of ms point-at-a-time;
+    the classical rebinning construction, Kak & Slaney 1988 ch. 3.4.2).
 
     Drop-in for :func:`..ct.radon_fan` on the same ``FanBeamGeometry``
     (values agree to the combined rebinning-interpolation + gather-path
@@ -614,16 +717,10 @@ def radon_fan_spectral(vol, angles, geom, n_det: Optional[int] = None,
                                    det_spacing=grid.ds, tables=_tables,
                                    precision=precision)
     dense = _fold_pad(dense, grid.pad)
-    # dense: (Nz, M, n_theta + pad, n_s)
-
-    ti = jnp.asarray(grid.ti, vol.dtype)
-    si = jnp.asarray(grid.si, vol.dtype)
-
-    def resample(p2d):                             # (n_theta, n_s)
-        return jax.scipy.ndimage.map_coordinates(
-            p2d, [ti, si], order=1, mode="constant", cval=0.0)
-
-    return jax.vmap(jax.vmap(resample))(dense)     # (Nz, M, A, n_det)
+    # dense: (Nz, M, n_theta + pad, n_s) -> bilinear resample at the fan
+    # coordinates as two matmuls (the dense program stays gather-FREE)
+    Ws, Wt = _rebin_mats(grid, dense.dtype)
+    return _rebin_apply(dense, Ws, Wt, precision)  # (Nz, M, A, n_det)
 
 
 def _attach_fan_tables(A_obj, apply_like, ang, geom, n_det, N, oversample,
@@ -736,8 +833,7 @@ def _cone_host_consts(geom, ang: np.ndarray, Nz: int, n_det_v: int,
     fan = FanBeamGeometry(source_dist=D_so, det_dist=float(geom.det_dist),
                           det_spacing=pu)
     grid = _fan_dense_grid(ang, fan, n_det_u, N, oversample)
-    thetas, ds, n_s, ti, si = (grid.thetas, grid.ds, grid.n_s, grid.ti,
-                               grid.si)
+    thetas, ds, n_s = grid.thetas, grid.ds, grid.n_s
 
     u_det = (np.arange(n_det_u) - (n_det_u - 1) / 2.0) * pu
     v_det = (np.arange(n_det_v) - (n_det_v - 1) / 2.0) * pv
@@ -791,7 +887,7 @@ def _cone_host_consts(geom, ang: np.ndarray, Nz: int, n_det_v: int,
     s_src = src_r * dir_r + src_c * dir_c            # source coord on line
 
     return {
-        "thetas": thetas, "ds": ds, "n_s": n_s, "ti": ti, "si": si,
+        "thetas": thetas, "ds": ds, "n_s": n_s, "grid": grid,
         "pad": grid.pad,
         "Wz": Wz, "Wdz": Wdz, "sigma": sigma, "obliq": obliq,
         "z0_v": z0_v, "z0_vu": cz + sigma * D_so, "D_so": D_so,
@@ -811,14 +907,13 @@ def _cone_spectral_shared(vol, ang: np.ndarray, geom, n_det_v: int,
     cc = _cone_host_consts(geom, ang, Nz, n_det_v, n_det_u, N, oversample)
     hi = jax.lax.Precision.HIGHEST
 
-    ti = jnp.asarray(cc["ti"], real_dt)
-    si = jnp.asarray(cc["si"], real_dt)
+    Ws, Wt = _rebin_mats(cc["grid"], real_dt)
 
     def fan_resample(dense):                          # (Nz, M, nT, nS)
-        def one(p2d):
-            return jax.scipy.ndimage.map_coordinates(
-                p2d, [ti, si], order=1, mode="constant", cval=0.0)
-        return jax.vmap(jax.vmap(one))(dense)         # (Nz, M, A, U)
+        # bilinear resample at the fan coordinates as two matmuls
+        # (gather-free; map_coordinates here measured ~17 ms per call at
+        # production scale x3 resamples — the old 70 ms forward's bulk)
+        return _rebin_apply(dense, Ws, Wt, precision)  # (Nz, M, A, U)
 
     def dense_radon(v):
         d = _radon_spectral_shared(v, cc["thetas"], cc["n_s"],

@@ -826,3 +826,56 @@ def test_cone_spectral_reconstruction_self_consistent():
                        geom=geom, precond=True, method="spectral")
     assert np.all(np.isfinite(np.asarray(res.loss)))
     assert res.loss[-1] < res.loss[0]
+
+
+def test_rebin_matmul_matches_map_coordinates():
+    """The fan rebinning resample as two matmuls (_rebin_mats/_rebin_apply)
+    must reproduce jax's bilinear map_coordinates to the ulp — including
+    misaligned (non-integer ti) grids and both fold parities."""
+    from pytv4d_tpu.models.ct_spectral import (
+        _fan_dense_grid,
+        _fold_pad,
+        _rebin_apply,
+        _rebin_mats,
+    )
+
+    rng = np.random.default_rng(0)
+    for A, U, N, full, off in [(16, 64, 64, True, 0.0),
+                               (17, 48, 64, False, 0.0371)]:
+        ang = np.linspace(0, (2 if full else 1) * np.pi, A,
+                          endpoint=False) + off
+        geom = FanBeamGeometry(source_dist=2.0 * N, det_dist=1.0 * N)
+        grid = _fan_dense_grid(ang, geom, U, N, 2.0)
+        dense = jnp.asarray(rng.random((3, 2, len(grid.thetas), grid.n_s)))
+        dp = _fold_pad(dense, grid.pad)
+        ti = jnp.asarray(grid.ti)
+        si = jnp.asarray(grid.si)
+        ref = jax.vmap(jax.vmap(
+            lambda p: jax.scipy.ndimage.map_coordinates(
+                p, [ti, si], order=1, mode="constant", cval=0.0)))(dp)
+        Ws, Wt = _rebin_mats(grid, dp.dtype)
+        out = _rebin_apply(dp, Ws, Wt, "highest")
+        assert float(jnp.max(jnp.abs(out - ref))) < 1e-13
+
+
+def test_z_chunked_projector_identical():
+    """z_chunk= streams the projector in z pieces: values must be
+    IDENTICAL (z is a pure batch axis) and the prepare()/apply protocol
+    must survive the wrapper."""
+    vs = (8, 2, 32, 32)
+    ang = np.linspace(0, np.pi, 12, endpoint=False)
+    A, A_T = make_spectral_projector(vs, ang, dtype=jnp.float64)
+    Ac, ATc = make_spectral_projector(vs, ang, dtype=jnp.float64,
+                                      z_chunk=4)
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.random(vs))
+    y = jnp.asarray(rng.random(A(x).shape))
+    assert float(jnp.max(jnp.abs(Ac(x) - A(x)))) < 1e-12
+    assert float(jnp.max(jnp.abs(ATc(y) - A_T(y)))) < 1e-12
+    consts = Ac.prepare()
+    assert float(jnp.max(jnp.abs(Ac.apply(consts, x) - A(x)))) < 1e-12
+    lhs = float(jnp.vdot(Ac(x), y))
+    rhs = float(jnp.vdot(x, ATc(y)))
+    assert abs(lhs - rhs) < 1e-8 * abs(lhs)
+    with pytest.raises(ValueError, match="z_chunk"):
+        make_spectral_projector(vs, ang, z_chunk=3)
