@@ -151,6 +151,39 @@ def bench_tgv_4d(shape=(32, 8, 256, 256), n_iter=30, repeats=5,
     return it_s
 
 
+def bench_north_star(shape=(96, 16, 512, 512), n_iter=40, repeats=3):
+    """README headline, driver-audited (VERDICT r4 item 2): the 403M-voxel
+    north-star CP solve on ONE chip with bf16 primary+dual storage and
+    ``return_dual=False`` (the only storage config that fits next to the
+    solver transients — f32-primary OOMs, docs/performance.md).  Expected
+    ~21.5 it/s = 8.7 Gvox-it/s (round-2 measurement; tunnel variance
+    10-30%)."""
+    import jax.numpy as jnp
+
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.solvers.cp import chambolle_pock
+
+    rng = np.random.default_rng(0)
+    noisy = jnp.asarray(rng.random(shape, dtype=np.float32), jnp.bfloat16)
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+
+    def run():
+        res = chambolle_pock(noisy, n_iter=n_iter, reg=1.0, cfg=cfg,
+                             dual_dtype="bfloat16", return_dual=False)
+        return float(jnp.sum(res.x.astype(jnp.float32)))
+
+    run()  # compile + warm
+    best = float("inf")
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        run()
+        best = min(best, time.perf_counter() - t0)
+    it_s = n_iter / best
+    log(f"north star {shape} bf16 p+d: {it_s:.1f} it/s, "
+        f"{float(np.prod(shape)) * it_s / 1e9:.2f} Gvox-it/s")
+    return it_s
+
+
 def bench_ct_production_recon(n_iter=100, repeats=3, precision=None):
     """Flagship CT claim, driver-audited (VERDICT r3 item 6): the
     TV-regularized ``cp_reconstruct`` at the production dynamic-CT scale
@@ -335,6 +368,14 @@ def main():
                          repeats=3), 1)
     except Exception as e:  # diagnostics must never break the headline
         log(f"4D bench skipped: {e!r}")
+
+    try:
+        # README headline regression guard (VERDICT r4 item 2): shielded
+        # separately so an OOM/compile hiccup at 403M vox cannot take the
+        # CT keys down with it
+        extras["north_star_cp_it_s"] = round(bench_north_star(), 1)
+    except Exception as e:
+        log(f"north-star bench skipped: {e!r}")
 
     try:
         extras["ct_production_recon_it_s"] = round(

@@ -47,8 +47,9 @@ def main():
     geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=1.0 * N)
     ang = np.linspace(0.0, 2 * np.pi, N_ANGLES, endpoint=False)
     cc = cs._cone_host_consts(geom, ang, Nz, Nz, N, N, 2.0)
+    grid = cc["grid"]
     log(f"dense grid: thetas={cc['thetas'].shape} n_s={cc['n_s']} "
-        f"pad={cc['pad']} ti/si={cc['ti'].shape}")
+        f"pad={cc['pad']} ti/si={grid.ti.shape}")
 
     rng = np.random.default_rng(0)
     vol = jnp.asarray(rng.random(VOL_SHAPE), jnp.float32)
@@ -59,8 +60,8 @@ def main():
     tables = jax.jit(lambda: cs._spectral_tables_shared(
         cc["thetas"], N, cc["n_s"], jnp.float32,
         det_spacing=cc["ds"]))()
-    ti = jnp.asarray(cc["ti"], jnp.float32)
-    si = jnp.asarray(cc["si"], jnp.float32)
+    ti = jnp.asarray(grid.ti, jnp.float32)
+    si = jnp.asarray(grid.si, jnp.float32)
 
     def dense_radon(v):
         d = cs._radon_spectral_shared(v, cc["thetas"], cc["n_s"], None,
@@ -93,7 +94,7 @@ def main():
         return out
 
     res = {"precision": precision,
-           "dense_shape": list(np.asarray(dense0.shape))}
+           "dense_shape": list(map(int, dense0.shape))}
     t = _timed(radon_scan, stacked) / N_SCAN * 1e3
     res["dense_radon_ms"] = round(t, 3)
     log(f"dense radon (3x batch): {t:.2f} ms")
