@@ -352,9 +352,11 @@ def cp_reconstruct(
     measured envelope in docs/performance.md), bilinear gather on CPU.
     ``precond=True`` works on parallel/fan spectral (the nonnegative-row
     gate passes when ``n_det ~ N``; a much wider detector can expose the
-    spectral splat's ringing and trip it — use ``op_norm`` there) but is
-    REJECTED on the spectral cone (signed slope-correction entries break
-    the diagonal preconditioner — pass ``op_norm``).  ``fused``/``dual_dtype``
+    spectral splat's ringing and trip it — use ``op_norm`` there) and on
+    the spectral CONE via the abs-factor surrogate sums + power-method
+    step verification (``_spectral_cone_precond_setup`` — the plain
+    signed sums were measured to diverge; VERDICT r4 item 3).
+    ``fused``/``dual_dtype``
     as in :func:`cp_inverse`: the TV half of each iteration rides the
     fused Pallas kernels by default (f32/bf16, scalar steps), and
     ``dual_dtype='bfloat16'`` halves the Nd-channel dual's HBM traffic.
@@ -364,30 +366,111 @@ def cp_reconstruct(
     order) at ~1.6x the reconstruction rate — measured 139.5 vs 88.0 it/s
     at (16,4,512,512) x 96 on one v5e."""
     sino = jnp.asarray(sino)
-    if precond and isinstance(geom, ConeBeamGeometry) \
-            and _resolve_method(method) == "spectral":
-        raise ValueError(
-            "precond=True is not supported on the spectral cone projector: "
-            "its first-order slope correction has SIGNED matrix entries, "
-            "and the Pock-Chambolle diagonal preconditioner needs |A| "
-            "row/column sums — the signed sums stay positive here but "
-            "underestimate them, and the solve was measured to diverge at "
-            "production scale.  Pass op_norm=estimate_op_norm(A, A_T, "
-            "vol_shape) instead (the projector's prepare()/apply protocol "
-            "makes the power method cheap), or method='gather' at small "
-            "sizes"
-        )
     A, A_T = _select_projector(sino, angles, vol_shape, n_det, geom,
                                method=method, precision=precision)
     from ..solvers.inverse import cp_inverse
+
+    precond_kw = {}
+    if precond and isinstance(geom, ConeBeamGeometry) \
+            and _resolve_method(method) == "spectral":
+        # the spectral cone's slope correction has SIGNED matrix entries,
+        # so the plain A(1)/A^T(1) sums underestimate |A| and the
+        # preconditioned solve was measured to DIVERGE at production
+        # scale (docs/performance.md).  Instead: abs-factor surrogate
+        # sums + a power-method verification of the preconditioned step
+        # condition, rescaling all steps by the measured norm (VERDICT
+        # r4 item 3).
+        sums, scale = _spectral_cone_precond_setup(
+            A, A_T, sino.shape, tuple(vol_shape), np.asarray(angles),
+            geom, cfg, sino.dtype, precision)
+        precond_kw = dict(precond_sums=sums, precond_scale=scale)
 
     res = cp_inverse(
         A, sino, vol_shape, A_T=A_T, n_iter=n_iter, reg=reg, cfg=cfg,
         op_norm=op_norm, x_init=x_init, precond=precond, fidelity=fidelity,
         fidelity_weight=fidelity_weight, nonneg=nonneg, state=state,
         fused=fused, dual_dtype=dual_dtype, loss_every=loss_every,
+        **precond_kw,
     )
     return CPReconResult(x=res.x, loss=res.loss, state=res.state)
+
+
+_CONE_PRECOND_CACHE: dict = {}
+
+
+def _spectral_cone_precond_setup(A, A_T, sino_shape, vol_shape, ang_np,
+                                 geom, cfg, dtype, precision):
+    """Preconditioner inputs for the SIGNED spectral cone (VERDICT r4
+    item 3): ``((row_sum, col_sum), scale)``.
+
+    1. ``cone_spectral_precond_sums`` — the abs-factor surrogate's exact
+       row/column sums (bounds the factor-path mass of ``|A|``; the
+       spectral splat's ringing tails are the one unbounded part);
+    2. power-method measurement of ``rho = ||Sigma^{1/2} K T^{1/2}||``
+       for the joint ``K = [A; D]`` with the resulting diagonals — the
+       Pock-Chambolle step condition is ``rho <= 1`` (their Lemma 2), so
+       ``scale = 1.05 rho`` puts the scaled norm at 0.95 REGARDLESS of
+       which side of 1 the surrogate landed on: a loose surrogate
+       (measured ~1.65x the signed sums at small cone scale) makes
+       ``rho < 1`` and the rescale GROWS the steps back, recovering the
+       preconditioner's iteration advantage instead of paying the slack.
+
+    Memoized per (projector identity, cfg, shapes): repeated solves skip
+    the ~1 forward+adjoint pair and 12 power iterations."""
+    key = (id(A), cfg, tuple(vol_shape), tuple(sino_shape),
+           jnp.dtype(dtype).name)
+    hit = _CONE_PRECOND_CACHE.get(key)
+    if hit is not None and hit[0] is A:
+        return hit[1]
+    from .ct_spectral import cone_spectral_precond_sums
+    from ..ops.operators import D, D_T, precond_maps
+    from ..solvers.inverse import _bind_operator, _operator_proto
+
+    n_det_v, n_det_u = sino_shape[2], sino_shape[3]
+    row, col = cone_spectral_precond_sums(
+        vol_shape, ang_np, geom, n_det_v=n_det_v, n_det_u=n_det_u,
+        dtype=dtype, precision=precision)
+
+    proto = _operator_proto(A)
+    consts = A.prepare() if proto else ()
+    kw = cfg.kwargs()
+    grouped = cfg.norm != "aniso"
+    x0 = np.random.default_rng(0).standard_normal(vol_shape)
+
+    @jax.jit
+    def rho(v0, row, col, consts):
+        A_, _ = _bind_operator(A, A_T, proto, consts, vol_shape, dtype)
+        _, vjp = jax.vjp(A_, jnp.zeros(tuple(vol_shape), dtype))
+        sig_D, tau = precond_maps(
+            vol_shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
+            fidelity_colsum=col, grouped=grouped)
+        floor = 1e-6 * jnp.maximum(jnp.max(row), 1e-30)
+        sig_A = (1.0 / jnp.maximum(row, floor)).astype(dtype)
+        sqt = jnp.sqrt(tau).astype(dtype)
+        sig_D = sig_D.astype(dtype)
+
+        def B(v):
+            w = sqt * v
+            (a,) = vjp(sig_A * A_(w))
+            d = D_T(sig_D * D(w, cfg.scheme, **kw), cfg.scheme, **kw)
+            return sqt * (a + d)
+
+        def body(v, _):
+            y = B(v)
+            n = jnp.sqrt(jnp.sum(jnp.square(y)))
+            return y / jnp.maximum(n, 1e-30), n
+
+        v0 = v0 / jnp.sqrt(jnp.sum(jnp.square(v0)))
+        _, norms = jax.lax.scan(body, v0, length=20)
+        return jnp.sqrt(norms[-1])
+
+    r = float(rho(jnp.asarray(x0, dtype), row, col, consts))
+    scale = 1.05 * r
+    out = ((row, col), scale)
+    if len(_CONE_PRECOND_CACHE) >= 8:
+        _CONE_PRECOND_CACHE.pop(next(iter(_CONE_PRECOND_CACHE)))
+    _CONE_PRECOND_CACHE[key] = (A, out)
+    return out
 
 
 def _select_projector(sino, angles, vol_shape, n_det, geom, method="auto",
@@ -801,7 +884,8 @@ def make_cone_projector(vol_shape, angles, geom: ConeBeamGeometry,
 
 
 def fdk(sino, angles, geom: ConeBeamGeometry, vol_shape,
-        angle_batch: Optional[int] = None, filter_name: str = "ramp"):
+        angle_batch: Optional[int] = None, filter_name: str = "ramp",
+        method: str = "auto"):
     """Feldkamp-Davis-Kress reconstruction of a cone-beam sinogram
     ``(M, n_angles, n_det_v, n_det_u)`` — the classical analytic cone-beam
     method (Feldkamp et al. 1984): cosine-weight each projection,
@@ -816,8 +900,23 @@ def fdk(sino, angles, geom: ConeBeamGeometry, vol_shape,
     the usual full-circle orbit.  Use directly for well-sampled data, or
     as ``x_init`` for :func:`cp_reconstruct` with the same geometry.
     ``angles`` may be shared ``(n_angles,)`` or per-frame ``(M,
-    n_angles)``; ``filter_name`` as in :func:`fbp`."""
+    n_angles)``; ``filter_name`` as in :func:`fbp`.
+
+    ``method`` selects the backprojector (VERDICT r4 item 2): ``'gather'``
+    is the classical per-voxel ``map_coordinates`` form above (CPU-safe;
+    compile-OOMs two rungs below production scale on TPU,
+    docs/performance.md), ``'spectral'`` the gather-free rebinning P-FDK
+    (:func:`..ct_spectral.fdk_spectral` — de-obliquity weight, cone->
+    parallel rebin matmuls, spectral parallel FBP per slice); ``'auto'`` =
+    spectral on accelerators, gather on CPU — which makes the production
+    cone scale the FIRST place an analytic cone answer (and a
+    ``cp_reconstruct`` warm start) exists on-chip at all."""
     sino = jnp.asarray(sino)
+    if _resolve_method(method) == "spectral":
+        from .ct_spectral import fdk_spectral
+
+        return fdk_spectral(sino, angles, geom, vol_shape,
+                            filter_name=filter_name)
     dt = sino.dtype
     angles = jnp.asarray(angles, dt)
     M, A, n_det_v, n_det_u = sino.shape

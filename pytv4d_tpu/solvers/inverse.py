@@ -266,6 +266,8 @@ def cp_inverse(
     fused: bool = None,
     dual_dtype: str = None,
     loss_every: int = 1,
+    precond_sums=None,
+    precond_scale: float = 1.0,
 ) -> InverseResult:
     """Solve ``min_x F(A x) + reg TV(x)`` with Chambolle-Pock.
 
@@ -287,6 +289,18 @@ def cp_inverse(
     nonnegative coefficients — CT projectors, blurs, masks).  No
     ``op_norm``/power iteration, and typically several-fold fewer
     iterations (see the TGV analog in solvers/tgv.py).
+
+    ``precond_sums=(row_sum, col_sum)`` supplies EXTERNAL absolute-sum
+    surrogates ``|A| 1`` (data-shaped) / ``|A|^T 1`` (volume-shaped) for
+    a SIGNED operator whose plain ``A(1)``/``A^T(1)`` would underestimate
+    them (e.g. the spectral cone's abs-factor surrogate,
+    ``models.ct_spectral.cone_spectral_precond_sums``) — the
+    nonnegative-operator gate is skipped, so the caller owns validity.
+    ``precond_scale >= 1`` divides ALL preconditioned steps by the given
+    factor: with ``rho = ||Sigma^{1/2} K T^{1/2}||`` measured by a power
+    method, ``precond_scale = rho`` restores the step condition
+    ``||(Sigma/s)^{1/2} K (T/s)^{1/2}|| <= 1`` when surrogate sums are
+    only approximate bounds (``models.ct`` computes it for the cone).
 
     ``state`` resumes a previous run from ``result.state`` (bit-exact
     continuation — the over-relaxed iterate and both duals are carried);
@@ -333,7 +347,8 @@ def cp_inverse(
                 "preconditioned steps come from the operator's exact "
                 "row/column sums, not an operator-norm bound"
             )
-        check_nonneg_operator(A, vol_shape, dtype, what="cp_inverse")
+        if precond_sums is None:
+            check_nonneg_operator(A, vol_shape, dtype, what="cp_inverse")
         sigma = tau = sigma_A = None  # built inside the jitted run
     else:
         if op_norm is None:
@@ -406,16 +421,22 @@ def cp_inverse(
             s_x, s_xb)
         return InverseResult(x=final.x, loss=losses, state=final)
 
+    if precond_sums is not None and not precond:
+        raise ValueError("precond_sums requires precond=True")
     run = _make_inverse_run(
         A, A_T, tuple(vol_shape), cfg, bool(precond), fidelity,
         bool(nonneg), int(n_iter), jnp.dtype(dtype).name, Nd,
         fresh=state is None, loss_every=int(loss_every),
+        has_sums=precond_sums is not None,
     )
     steps = ((0.0, 0.0, 0.0) if precond else (sigma, tau, sigma_A))
     # reg stays traced when the caller differentiates through the solve
     # (unrolled hyperparameter gradients, cf. Bertrand et al. 2020)
     reg_t = reg if reg_traced else float(reg)
-    final, losses = run(b, init, fw, reg_t, *steps, op_consts)
+    psums = () if precond_sums is None else tuple(
+        jnp.asarray(s, dtype) for s in precond_sums)
+    final, losses = run(b, init, fw, reg_t, *steps, op_consts, psums,
+                        jnp.asarray(float(precond_scale), dtype))
     final = InverseState(*final)
     return InverseResult(x=final.x, loss=losses, state=final)
 
@@ -528,7 +549,8 @@ def _make_inverse_run_fused(A, A_T, vol_shape, cfg, fidelity, nonneg,
 
 @functools.lru_cache(maxsize=32)
 def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
-                      n_iter, dtype_name, Nd, fresh, loss_every=1):
+                      n_iter, dtype_name, Nd, fresh, loss_every=1,
+                      has_sums=False):
     """One jitted CP executable per (operator, config) — ``reg``, the step
     scalars and the fidelity weight are TRACED arguments, so a reg sweep
     (``reg_discrepancy``) or changed step sizes reuse the same compiled
@@ -543,7 +565,8 @@ def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
     proto = _operator_proto(A)
 
     @jax.jit
-    def run(b, init, fw, reg, sigma, tau, sigma_A, op_consts):
+    def run(b, init, fw, reg, sigma, tau, sigma_A, op_consts, psums,
+            pscale):
         A_, A_T_ = _bind_operator(A, A_T, proto, op_consts, vol_shape,
                                   dtype)
         if precond:
@@ -551,15 +574,28 @@ def _make_inverse_run(A, A_T, vol_shape, cfg, precond, fidelity, nonneg,
             # volume — nothing volume-sized is baked into the executable
             from ..ops.operators import precond_maps
 
+            if has_sums:
+                # externally supplied |A| surrogate sums (signed
+                # operators, e.g. the spectral cone) + the caller's
+                # verified step rescale (see cp_inverse docstring)
+                row, col = psums
+            else:
+                col = A_T_(jnp.ones(tuple(b.shape), dtype))
+                row = None
             sig, tau_m = precond_maps(
                 vol_shape, cfg.scheme, cfg.reg_z_over_reg, cfg.reg_time,
-                fidelity_colsum=A_T_(jnp.ones(tuple(b.shape), dtype)),
+                fidelity_colsum=col,
                 grouped=(cfg.norm != "aniso"),
             )
-            sig = sig.astype(dtype)
-            tau_m = tau_m.astype(dtype)
-            sig_A = fidelity_row_precond(A_, tuple(b.shape), vol_shape,
-                                         dtype)
+            sig = sig.astype(dtype) / pscale
+            tau_m = tau_m.astype(dtype) / pscale
+            if has_sums:
+                floor = 1e-6 * jnp.maximum(jnp.max(row),
+                                           jnp.asarray(1e-30, dtype))
+                sig_A = (1.0 / jnp.maximum(row, floor)) / pscale
+            else:
+                sig_A = fidelity_row_precond(A_, tuple(b.shape), vol_shape,
+                                             dtype) / pscale
         else:
             sig, tau_m, sig_A = sigma, tau, sigma_A
 

@@ -818,14 +818,164 @@ def test_cone_spectral_reconstruction_self_consistent():
                          op_norm=on, method="spectral")
     err = _rel(np.asarray(res.x), np.asarray(truth))
     assert err < 0.06, err
-    # precond=True must be REJECTED on the spectral cone: the slope
-    # correction has signed entries, and the diagonal preconditioner's
-    # signed sums were measured to diverge at production scale
-    with pytest.raises(ValueError, match="precond=True is not supported"):
-        cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=1, reg=0.3,
-                       geom=geom, precond=True, method="spectral")
     assert np.all(np.isfinite(np.asarray(res.loss)))
     assert res.loss[-1] < res.loss[0]
+
+
+@pytest.mark.full
+def test_cone_spectral_precond_converges_and_saves_iterations():
+    """``precond=True`` on the spectral cone (VERDICT r4 item 3): the
+    abs-factor surrogate sums + the power-method-verified step rescale
+    must (a) converge — the SIGNED sums were measured to diverge — and
+    (b) reach a LOWER loss than the op_norm-stepped solve at a 200-it
+    horizon (measured crossover: op_norm leads early on this small
+    geometry, where the cone's row sums are fairly homogeneous and the
+    scalar rule is near-optimal; precond 760 vs op_norm 902 at 200 it,
+    1507 vs 1295 at 60)."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct import (
+        ConeBeamGeometry,
+        cp_reconstruct,
+        estimate_op_norm,
+    )
+    from pytv4d_tpu.models.ct_spectral import (
+        make_cone_spectral_projector,
+        radon_cone_spectral,
+    )
+
+    rng = np.random.default_rng(0)
+    Nz, M, N, A = 8, 1, 64, 48
+    z, r, c = np.mgrid[:Nz, :N, :N]
+    truth = np.zeros((Nz, M, N, N), np.float32)
+    for _ in range(4):
+        z0 = rng.uniform(2, Nz - 2)
+        r0, c0 = rng.uniform(16, N - 16), rng.uniform(16, N - 16)
+        truth[:, 0] += (((z - z0) ** 2 / 4 + (r - r0) ** 2 / 64
+                         + (c - c0) ** 2 / 64) < 1.0).astype(np.float32)
+    truth = jnp.asarray(truth)
+    angles = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=1.0 * N)
+    sino = radon_cone_spectral(truth, angles, geom)
+    cfg = TVConfig(scheme="hybrid")
+    kw = dict(reg=0.3, cfg=cfg, geom=geom, method="spectral")
+
+    resp = cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=60,
+                          precond=True, **kw)
+    assert np.all(np.isfinite(np.asarray(resp.loss)))
+    assert resp.loss[-1] < resp.loss[0]
+
+    Ax, ATx = make_cone_spectral_projector((Nz, M, N, N), angles, geom)
+    on = float(estimate_op_norm(Ax, ATx, (Nz, M, N, N)))
+    reso = cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=60,
+                          op_norm=on, **kw)
+    # early horizon: within 2x of the scalar rule (NOT diverging — the
+    # signed-sum preconditioner blew up to 8.9e32 at production scale)
+    assert float(resp.loss[-1]) < 2.0 * float(reso.loss[-1]), (
+        float(resp.loss[-1]), float(reso.loss[-1]))
+    # 200-it horizon: preconditioned steps win
+    resp2 = cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=200,
+                           precond=True, **kw)
+    reso2 = cp_reconstruct(sino, angles, (Nz, M, N, N), n_iter=200,
+                           op_norm=on, **kw)
+    assert float(resp2.loss[-1]) < float(reso2.loss[-1]), (
+        float(resp2.loss[-1]), float(reso2.loss[-1]))
+
+
+def _fdk_smooth_phantom(Nz, M, N):
+    z, r, c = np.mgrid[:Nz, :N, :N]
+    ph = np.zeros((Nz, N, N))
+    for (z0, r0, c0, s) in [(Nz / 2 - 0.5, 0.47 * N, 0.53 * N, 0.11 * N),
+                            (Nz / 2 + 1.0, 0.62 * N, 0.39 * N, 0.08 * N),
+                            (Nz / 2 - 1.5, 0.39 * N, 0.62 * N, 0.09 * N)]:
+        ph += np.exp(-(((z - z0) / 2.5) ** 2 + ((r - r0) / s) ** 2
+                       + ((c - c0) / s) ** 2))
+    return np.stack([ph * (1.0 - 0.2 * m) for m in range(M)], axis=1)
+
+
+@pytest.mark.full
+def test_fdk_spectral_parity_envelope():
+    """``fdk(method='spectral')`` (rebinning P-FDK, VERDICT r4 item 2) vs
+    the gather FDK on a smooth phantom, f64: the measured envelope is
+    1.7%/0.7%/0.6% at D_so = 2N/4N/8N, and the wide-geometry limit equals
+    the pure in-plane gather-vs-spectral BACKPROJECTOR family difference
+    (~0.56% at N=64 on identical parallel data — the same floor the
+    accepted ``fbp(method='spectral')`` carries), i.e. the cone-specific
+    part of the new path is <=1e-3.  The spectral FDK is also CLOSER to
+    the ground truth than the gather FDK at every geometry."""
+    from pytv4d_tpu.models.ct import (
+        ConeBeamGeometry,
+        fbp,
+        fdk,
+        radon,
+        radon_cone,
+    )
+
+    Nz, M, N, A = 8, 1, 64, 48
+    vol = _fdk_smooth_phantom(Nz, M, N)
+    volj = jnp.asarray(vol, jnp.float64)
+    ang = np.linspace(0, 2 * np.pi, A, endpoint=False)
+
+    # in-plane family floor: identical parallel data, two backprojectors
+    angp = np.linspace(0, np.pi, A, endpoint=False)
+    psino = radon(volj, angp)
+    floor = _rel(np.asarray(fbp(psino, angp, method="spectral")),
+                 np.asarray(fbp(psino, angp, method="gather")))
+    assert floor < 0.01, floor
+
+    bounds = {2.0: 0.025, 4.0: 0.012, 8.0: 0.009}
+    for mult, bound in bounds.items():
+        geom = ConeBeamGeometry(source_dist=mult * N, det_dist=0.5 * N)
+        sino = radon_cone(volj, ang, geom)
+        xg = np.asarray(fdk(sino, ang, geom, vol.shape, method="gather"))
+        xs = np.asarray(fdk(sino, ang, geom, vol.shape, method="spectral"))
+        assert _rel(xs, xg) < bound, (mult, _rel(xs, xg))
+        # accuracy: the rebinning FDK beats the gather FDK vs truth
+        assert _rel(xs, vol) <= _rel(xg, vol) * 1.02, (
+            mult, _rel(xs, vol), _rel(xg, vol))
+
+    # wide-geometry limit: parity collapses onto the in-plane floor —
+    # the cone-specific contribution is at the 1e-3 level
+    geom = ConeBeamGeometry(source_dist=64.0 * N, det_dist=0.5 * N)
+    sino = radon_cone(volj, ang, geom)
+    xg = np.asarray(fdk(sino, ang, geom, vol.shape, method="gather"))
+    xs = np.asarray(fdk(sino, ang, geom, vol.shape, method="spectral"))
+    assert _rel(xs, xg) < 1.2 * floor, (_rel(xs, xg), floor)
+
+
+@pytest.mark.full
+def test_fdk_spectral_warm_start_helps():
+    """The production purpose of the spectral FDK: used as ``x_init`` for
+    ``cp_reconstruct(geom=cone, method='spectral')`` it must cut the
+    iterations needed to reach a fixed accuracy vs a cold start (the
+    gather FDK cannot run at production scale at all —
+    docs/performance.md's compile-OOM ladder)."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct import (
+        ConeBeamGeometry,
+        cp_reconstruct,
+        estimate_op_norm,
+        fdk,
+    )
+    from pytv4d_tpu.models.ct_spectral import (
+        make_cone_spectral_projector,
+        radon_cone_spectral,
+    )
+
+    Nz, M, N, A = 6, 1, 32, 24
+    vol = _fdk_smooth_phantom(Nz, M, N).astype(np.float32)
+    ang = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    sino = radon_cone_spectral(jnp.asarray(vol), ang, geom)
+    x0 = fdk(sino, ang, geom, vol.shape, method="spectral")
+    assert _rel(np.asarray(x0), vol) < 0.6  # sparse-view FDK is rough
+
+    Ax, ATx = make_cone_spectral_projector(vol.shape, ang, geom)
+    on = float(estimate_op_norm(Ax, ATx, vol.shape))
+    kw = dict(reg=0.05, cfg=TVConfig(scheme="hybrid"), geom=geom,
+              op_norm=on, method="spectral")
+    cold = cp_reconstruct(sino, ang, vol.shape, n_iter=30, **kw)
+    warm = cp_reconstruct(sino, ang, vol.shape, n_iter=30, x_init=x0, **kw)
+    assert _rel(np.asarray(warm.x), vol) < _rel(np.asarray(cold.x), vol)
 
 
 def test_rebin_matmul_matches_map_coordinates():
