@@ -214,7 +214,8 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
                          sigma_tau_split: float = 1.0,
                          dtype_name: str = "float32",
                          interpret: bool = False, tile_rows: int = None,
-                         norm: str = "iso", huber_delta: float = 1.0):
+                         norm: str = "iso", huber_delta: float = 1.0,
+                         _traffic_probe: bool = False):
     """Build ``step(x, xb, w, wb, p, q, x0) -> (x, xb, w, wb, p, q)`` —
     one TGV CP iteration as two pallas_calls.  w/wb/p/q use the INTERNAL
     (Nz, M, n, Nr, Nc) layout (``to_internal``/``from_internal``)."""
@@ -275,11 +276,13 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         it = iter(refs)
         ld = lambda: next(it)[0].astype(compute)
         xb = ld()
-        xb_zp = ld() if has_z else None
+        xb_zp = ld() if has_z and not _traffic_probe else None
         xb_dn = ld()
         wb = ld()
-        wb_zm = ld() if has_z else None
+        wb_zm = ld() if has_z and not _traffic_probe else None
         wb_up = ld()
+        if _traffic_probe and has_z:
+            xb_zp, wb_zm = xb, wb
         p_in = ld()
         q_in = ld()
         p_out = next(it)
@@ -320,11 +323,11 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         q_out[0] = jnp.stack(project(qc, a0, shr0), axis=1).astype(store)
 
     pq_in_specs = [_vol_spec(sp)]
-    if has_z:
+    if has_z and not _traffic_probe:
         pq_in_specs.append(_vol_spec(sp, +1))
     pq_in_specs.append(_vol_rows_spec(sp, +1))
     pq_in_specs.append(_dvol_spec(sp, n))
-    if has_z:
+    if has_z and not _traffic_probe:
         pq_in_specs.append(_dvol_spec(sp, n, -1))
     pq_in_specs.append(_dvol_rows_spec_all(sp, n, -1))
     p_idx = len(pq_in_specs)
@@ -357,11 +360,16 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
         x = ld()
         x0 = ld()
         p = ld()
-        p_zm = ld()[:, 0] if has_z else None
+        p_zm = ld()[:, 0] if has_z and not _traffic_probe else None
         p_up = ld()[:, 0]
         w = ld()
         q = ld()
-        q_zp = {c: ld()[:, 0] for c in q_z_chans}
+        if _traffic_probe:
+            q_zp = {c: q[:, c] for c in q_z_chans}
+            if has_z:
+                p_zm = p[:, z_chan]
+        else:
+            q_zp = {c: ld()[:, 0] for c in q_z_chans}
         q_dn = {c: ld()[:, 0] for c in q_row_chans}
         x_out = next(it)
         xb_out = next(it)
@@ -413,13 +421,14 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
             axis=1).astype(store)
 
     xw_in_specs = [_vol_spec(sp), _vol_spec(sp), _dvol_spec(sp, n)]
-    if has_z:
+    if has_z and not _traffic_probe:
         xw_in_specs.append(_dvol_chan_spec(sp, z_chan, -1))
     xw_in_specs.append(_dvol_chan_rows_spec(sp, row_chan, -1))
     w_in_idx = len(xw_in_specs)
     xw_in_specs.append(_dvol_spec(sp, n))
     xw_in_specs.append(_dvol_spec(sp, n_q))
-    xw_in_specs += [_dvol_chan_spec(sp, c, +1) for c in q_z_chans]
+    if not _traffic_probe:
+        xw_in_specs += [_dvol_chan_spec(sp, c, +1) for c in q_z_chans]
     xw_in_specs += [_dvol_chan_rows_spec(sp, c, +1) for c in q_row_chans]
 
     vol_shape = (Nz, M, Nr, Nc)
@@ -439,16 +448,17 @@ def make_tgv_stream_step(shape, mode: str, alpha1: float, alpha0: float,
     )
 
     def pq(xb, wb, p, q):
-        if has_z:
+        if has_z and not _traffic_probe:
             return pq_call(xb, xb, xb, wb, wb, wb, p, q)
         return pq_call(xb, xb, wb, wb, p, q)
 
     def xw(x, x0, p, w, q):
         xw_ins = [x, x0, p]
-        if has_z:
+        if has_z and not _traffic_probe:
             xw_ins.append(p)
         xw_ins += [p, w, q]
-        xw_ins += [q] * len(q_z_chans)
+        if not _traffic_probe:
+            xw_ins += [q] * len(q_z_chans)
         xw_ins += [q] * len(q_row_chans)
         return xw_call(*xw_ins)
 
