@@ -95,6 +95,36 @@ corr_c = np.corrcoef(np.asarray(res_c.x).ravel(), truth3d.ravel())[0, 1]
 print(f"cone-beam: {len(angles_c)} views, FDK warm start, "
       f"TV recon corr(truth) = {corr_c:.3f}")
 
+# ---- round 5: the gather-free cone stack ---------------------------------
+# Everything above also runs WITHOUT a single gather in the compiled
+# program (the production path on TPU, where gather projectors crash
+# workers): spectral cone data, rebinning P-FDK (`method='spectral'` —
+# auto on TPU), ordered-subsets SART per geometry, and an
+# accuracy-certification tier (`order=2`: z-DFT offset-line evaluation,
+# measured MORE accurate than the gather cone against analytic line
+# integrals at every geometry — docs/performance.md).
+from pytv4d_tpu.models.ct import sart
+from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+sino_cs = radon_cone_spectral(truth3d, np.asarray(angles_c), geom_c,
+                              n_det_v=2 * Nz)
+rec_fdk_s = fdk(sino_cs, np.asarray(angles_c), geom_c, truth3d.shape,
+                method="spectral")   # matches the gather FDK's quality
+res_sart = sart(sino_cs, np.asarray(angles_c), truth3d.shape, n_iter=5,
+                n_subsets=4, geom=geom_c, method="spectral")
+# at this toy scale the wide-cone FDK is artifact-heavy (corr ~0.5 for
+# BOTH methods) so SART makes the better warm start; at production
+# scale FDK-warm was measured 4.4x better than cold
+# (docs/performance.md)
+res_cs = cp_reconstruct(sino_cs, np.asarray(angles_c), truth3d.shape,
+                        n_iter=60, reg=0.01, geom=geom_c,
+                        x_init=res_sart.x, method="spectral")
+corr_cs = np.corrcoef(np.asarray(res_cs.x).ravel(), truth3d.ravel())[0, 1]
+print(f"gather-free cone: SART warm start (residual "
+      f"{float(res_sart.residual[0]):.2e} -> "
+      f"{float(res_sart.residual[-1]):.2e}) + spectral TV recon "
+      f"corr(truth) = {corr_cs:.3f}")
+
 # ---- round 3: the gather-free spectral projector + certified stopping ----
 # On TPU, `method='auto'` picks the spectral projector (FFT + matmuls, no
 # gather in the compiled program) — the production path at scales where the

@@ -1125,13 +1125,21 @@ def sart(
         return row, col
 
     row_sums, col_sums = jax.lax.map(norms_for, ang_sub)
-    eps = jnp.asarray(1e-6, dtype)
 
     def sub_step(x, inp):
         a, b_s, row, col = inp
         P, P_T = subset_ops(a)
-        r = (b_s - P(x)) / jnp.maximum(row, eps)
-        upd = P_T(r) / jnp.maximum(col, eps)
+        # DEAD rows/columns (rays missing the volume, detector rows
+        # beyond the slab) are masked RELATIVE to the live scale, not
+        # floored absolutely: an absolute 1e-6 floor turns a dead row's
+        # tiny nonzero data (e.g. the spectral splat's ringing) into a
+        # 1e6x amplified update and blows the solve up
+        tol_r = 1e-6 * jnp.max(row)
+        tol_c = 1e-6 * jnp.max(col)
+        r = jnp.where(row > tol_r, (b_s - P(x)) / jnp.maximum(row, tol_r),
+                      0.0)
+        upd = jnp.where(col > tol_c, P_T(r) / jnp.maximum(col, tol_c),
+                        0.0)
         x = x + relax * upd
         if nonneg:
             x = jnp.maximum(x, 0.0)
@@ -1150,6 +1158,48 @@ def sart(
 
 
 _SART_RUNNER_CACHE: dict = {}
+_SART_SUMS_CACHE: dict = {}
+
+
+def _sart_cone_sums(pairs, idx, ang_np, vol_shape, det_shape, dtype,
+                    precision, geom):
+    """Health-gated SART normalizers for the spectral cone (see the
+    caller's comment): probe each subset's SIGNED row/column sums; if
+    every subset is well-conditioned (strictly positive, min row above
+    1e-2 of its max) keep them (computed inside the runner as usual),
+    else build the abs-factor surrogate sums for all subsets.  Memoized
+    per (pairs, shapes) — the probes and surrogate builds are one-time
+    per geometry."""
+    key = (tuple(id(p[0]) for p in pairs), tuple(vol_shape), det_shape,
+           jnp.dtype(dtype).name)
+    hit = _SART_SUMS_CACHE.get(key)
+    if hit is not None and hit[0] == [id(p[0]) for p in pairs]:
+        return hit[1]
+    ones = jnp.ones(tuple(vol_shape), dtype)
+    healthy = True
+    for (Ak, AkT) in pairs:
+        row = jax.jit(Ak)(ones)
+        col = jax.jit(AkT)(jnp.ones_like(row))
+        if (float(jnp.min(row)) <= 1e-2 * float(jnp.max(row))
+                or float(jnp.min(col)) <= 1e-2 * float(jnp.max(col))):
+            healthy = False
+            break
+    if healthy:
+        out = (False, ())
+    else:
+        from .ct_spectral import cone_spectral_precond_sums
+
+        out = (True, tuple(
+            cone_spectral_precond_sums(
+                tuple(vol_shape), ang_np[..., k], geom,
+                n_det_v=det_shape[0], n_det_u=det_shape[1], dtype=dtype,
+                precision=precision)
+            for k in idx))
+    if len(_SART_SUMS_CACHE) >= 8:
+        _SART_SUMS_CACHE.pop(next(iter(_SART_SUMS_CACHE)))
+    # pin the pair ids so id() reuse cannot alias a different geometry
+    _SART_SUMS_CACHE[key] = ([id(p[0]) for p in pairs], out, pairs)
+    return out
 
 
 def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
@@ -1196,6 +1246,24 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
     pairs = [pair_for(ang_np[..., k]) for k in idx]
     full_A, _ = pair_for(ang_np)
 
+    # the SSRB cone operator's slope correction has SIGNED entries: at
+    # wide cone angles its signed row sums A_s(1) go small or NEGATIVE
+    # on oblique rays (measured: 4.7% negative, 42% below 1e-2*max at
+    # D_so=1.5N with a 2Nz-row panel) and dividing by them makes the
+    # SART sweep violently unstable (residual x1e4 PER EPOCH).  SART's
+    # normalization wants |A| sums; the cone leg HEALTH-GATES: signed
+    # sums where they are provably well-conditioned (all positive,
+    # bounded away from zero — e.g. the production geometry, where the
+    # signed sums are ~3x tighter and converge correspondingly faster),
+    # the abs-factor surrogate (the preconditioner's machinery) where
+    # they are not.  Cached per geometry so repeated solves skip both
+    # the probes and the surrogate builds.
+    use_surrogate, sums = False, ()
+    if isinstance(geom, ConeBeamGeometry):
+        use_surrogate, sums = _sart_cone_sums(
+            pairs, idx, ang_np, vol_shape, det_shape, dtype, precision,
+            geom)
+
     def proto(A):
         # prepared tables when the eager-table budget allows; else the
         # lazy closure (correct, but rebuilds tables inside the scan)
@@ -1211,31 +1279,45 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
 
     key = (tuple(id(p[0]) for p in pairs), id(full_A), int(n_iter),
            bool(nonneg), tuple(vol_shape), tuple(sino.shape),
-           jnp.dtype(dtype).name)
+           jnp.dtype(dtype).name, bool(use_surrogate))
     hit = _SART_RUNNER_CACHE.get(key)
     run = hit[0] if hit is not None else None
     if run is None:
         vol_shape_t = tuple(vol_shape)
 
         @jax.jit
-        def run(x0, relax_t, sino_full, sino_sub, consts, consts_full):
+        def run(x0, relax_t, sino_full, sino_sub, consts, consts_full,
+                sums):
             ones_vol = jnp.ones(vol_shape_t, dtype)
-            eps = jnp.asarray(1e-6, dtype)
-            rows, cols, vjps = [], [], []
+            rows, cols, vjps, row_live, col_live = [], [], [], [], []
             for k in range(S):
                 fwd = functools.partial(applies[k], consts[k])
-                row = fwd(ones_vol)
                 _, vjp = jax.vjp(fwd, jnp.zeros(vol_shape_t, dtype))
-                (col,) = vjp(jnp.ones_like(row))
-                rows.append(jnp.maximum(row, eps))
-                cols.append(jnp.maximum(col, eps))
+                if use_surrogate:
+                    row, col = sums[k]
+                else:
+                    row = fwd(ones_vol)
+                    (col,) = vjp(jnp.ones_like(row))
+                # dead rows/columns masked RELATIVE to the live scale
+                # (see the generic sub_step: an absolute floor amplifies
+                # dead-row ringing 1e6x and blows the solve up)
+                tol_r = 1e-6 * jnp.max(row)
+                tol_c = 1e-6 * jnp.max(col)
+                rows.append(jnp.maximum(row, tol_r))
+                cols.append(jnp.maximum(col, tol_c))
+                row_live.append(row > tol_r)
+                col_live.append(col > tol_c)
                 vjps.append(vjp)
 
             def epoch(x, _):
                 for k in range(S):
-                    r = (sino_sub[k] - applies[k](consts[k], x)) / rows[k]
+                    r = jnp.where(
+                        row_live[k],
+                        (sino_sub[k] - applies[k](consts[k], x))
+                        / rows[k], 0.0)
                     (upd,) = vjps[k](r)
-                    x = x + relax_t * (upd / cols[k])
+                    x = x + relax_t * jnp.where(col_live[k],
+                                                upd / cols[k], 0.0)
                     if nonneg:
                         x = jnp.maximum(x, 0.0)
                 res = jnp.sqrt(jnp.sum(jnp.square(
@@ -1254,7 +1336,7 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
     x0 = (jnp.zeros(tuple(vol_shape), dtype) if x_init is None
           else jnp.asarray(x_init, dtype))
     x, residuals = run(x0, jnp.asarray(relax, dtype), sino, sino_sub,
-                       tuple(consts), consts_full)
+                       tuple(consts), consts_full, sums)
     return SARTResult(x=x, residual=residuals)
 
 

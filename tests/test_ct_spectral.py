@@ -686,6 +686,10 @@ def test_sart_cone_spectral_matches_plain_loop_reference():
             Ak, AkT = make_cone_spectral_projector(
                 vol.shape, angles[k], geom, n_det_v=sino.shape[2],
                 n_det_u=sino.shape[3])
+            # this compact geometry passes the health gate, so the cone
+            # SART normalizes with the SIGNED sums (the wide-cone
+            # surrogate leg is covered by
+            # test_sart_cone_wide_geometry_is_stable)
             ones = jnp.ones(vol.shape, jnp.float32)
             row = jnp.maximum(Ak(ones), 1e-6)
             col = jnp.maximum(AkT(jnp.ones_like(row)), 1e-6)
@@ -694,6 +698,33 @@ def test_sart_cone_spectral_matches_plain_loop_reference():
     rel = float(jnp.linalg.norm(res.x - x) / jnp.linalg.norm(x))
     assert rel < 1e-5, rel
     clear_projector_cache()
+
+
+@pytest.mark.full
+def test_sart_cone_wide_geometry_is_stable():
+    """The health gate's surrogate leg: at a wide cone (D_so=1.5N,
+    2Nz-row panel) the SIGNED row sums go negative on oblique rays and
+    the naive normalization was measured to diverge (residual x1e4 per
+    epoch); the abs-factor surrogate sums keep the sweep monotone and
+    the reconstruction accurate."""
+    from pytv4d_tpu.models.ct import ConeBeamGeometry, sart
+    from pytv4d_tpu.models.ct_spectral import radon_cone_spectral
+
+    Nz, N = 8, 64
+    z, r, c = np.mgrid[:Nz, :N, :N]
+    ph = np.exp(-(((z - 3.5) / 2.0) ** 2 + ((r - 30) / 8.0) ** 2
+                  + ((c - 34) / 8.0) ** 2)).astype(np.float32)
+    vol = ph[:, None]
+    geom = ConeBeamGeometry(source_dist=1.5 * N, det_dist=24.0)
+    ang = np.linspace(0, 2 * np.pi, 24, endpoint=False)
+    sino = radon_cone_spectral(jnp.asarray(vol), ang, geom,
+                               n_det_v=2 * Nz)
+    res = sart(sino, ang, vol.shape, n_iter=8, n_subsets=4, geom=geom,
+               method="spectral")
+    resid = np.asarray(res.residual)
+    assert np.all(np.isfinite(resid))
+    assert np.all(np.diff(resid) < 0), resid
+    assert _rel(np.asarray(res.x), vol) < 0.25
 
 
 @pytest.mark.full
