@@ -153,11 +153,17 @@ _PROJECTOR_CACHE_MAX = 24
 
 
 def clear_projector_cache() -> None:
-    """Drop all memoized ``(A, A_T)`` projector pairs.  Each cached
-    SPECTRAL projector can pin its prepared NUDFT tables in HBM (~400 MB
-    at production scale) for as long as the pair is referenced — call this
-    between unrelated geometry campaigns to release them."""
+    """Drop all memoized ``(A, A_T)`` projector pairs AND the derived
+    per-geometry caches that pin them (cone precond sums/scales, SART
+    normalizer sums, SART runners).  Each cached SPECTRAL projector can
+    pin its prepared NUDFT tables in HBM (~400 MB at production scale),
+    and a wide-cone SART surrogate entry pins S volume-sized column-sum
+    arrays — call this between unrelated geometry campaigns to release
+    everything."""
     _PROJECTOR_CACHE.clear()
+    _CONE_PRECOND_CACHE.clear()
+    _SART_SUMS_CACHE.clear()
+    _SART_RUNNER_CACHE.clear()
 
 
 def make_projector(vol_shape, angles, n_det: Optional[int] = None,
@@ -416,11 +422,13 @@ def _spectral_cone_precond_setup(A, A_T, sino_shape, vol_shape, ang_np,
        preconditioner's iteration advantage instead of paying the slack.
 
     Memoized per (projector identity, cfg, shapes): repeated solves skip
-    the ~1 forward+adjoint pair and 12 power iterations."""
+    the surrogate forward+adjoint pair and the 20 power iterations."""
     key = (id(A), cfg, tuple(vol_shape), tuple(sino_shape),
            jnp.dtype(dtype).name)
     hit = _CONE_PRECOND_CACHE.get(key)
-    if hit is not None and hit[0] is A:
+    if hit is not None:
+        # the cached entry pins A, so the id-based key cannot be reused
+        # by a different projector while the entry exists
         return hit[1]
     from .ct_spectral import cone_spectral_precond_sums
     from ..ops.operators import D, D_T, precond_maps
@@ -912,7 +920,9 @@ def fdk(sino, angles, geom: ConeBeamGeometry, vol_shape,
     ``method`` selects the backprojector (VERDICT r4 item 2): ``'gather'``
     is the classical per-voxel ``map_coordinates`` form above (CPU-safe;
     compile-OOMs two rungs below production scale on TPU,
-    docs/performance.md), ``'spectral'`` the gather-free rebinning P-FDK
+    docs/performance.md; ``angle_batch`` bounds its in-flight gather and
+    applies ONLY to this method — the spectral path has no gather to
+    bound), ``'spectral'`` the gather-free rebinning P-FDK
     (:func:`..ct_spectral.fdk_spectral` — de-obliquity weight, cone->
     parallel rebin matmuls, spectral parallel FBP per slice); ``'auto'`` =
     spectral on accelerators, gather on CPU — which makes the production
@@ -1161,44 +1171,55 @@ _SART_RUNNER_CACHE: dict = {}
 _SART_SUMS_CACHE: dict = {}
 
 
-def _sart_cone_sums(pairs, idx, ang_np, vol_shape, det_shape, dtype,
-                    precision, geom):
+def _sart_cone_sums(applies, consts, pairs, idx, ang_np, vol_shape,
+                    det_shape, dtype, precision, geom):
     """Health-gated SART normalizers for the spectral cone (see the
-    caller's comment): probe each subset's SIGNED row/column sums; if
-    every subset is well-conditioned (strictly positive, min row above
-    1e-2 of its max) keep them (computed inside the runner as usual),
-    else build the abs-factor surrogate sums for all subsets.  Memoized
-    per (pairs, shapes) — the probes and surrogate builds are one-time
-    per geometry."""
+    caller's comment): ONE jitted program computes every subset's
+    SIGNED row/column sums through the already-prepared applies; if all
+    subsets are well-conditioned (min row/col above 1e-2 of their max)
+    the signed sums are returned for the runner to consume directly,
+    else the abs-factor surrogate sums are built for all subsets.
+    Memoized per (pairs, shapes): the probe and surrogate builds are
+    one-time per geometry, and the cached entry pins the pairs so the
+    id-based key stays valid for its lifetime."""
     key = (tuple(id(p[0]) for p in pairs), tuple(vol_shape), det_shape,
            jnp.dtype(dtype).name)
     hit = _SART_SUMS_CACHE.get(key)
-    if hit is not None and hit[0] == [id(p[0]) for p in pairs]:
-        return hit[1]
-    ones = jnp.ones(tuple(vol_shape), dtype)
-    healthy = True
-    for (Ak, AkT) in pairs:
-        row = jax.jit(Ak)(ones)
-        col = jax.jit(AkT)(jnp.ones_like(row))
-        if (float(jnp.min(row)) <= 1e-2 * float(jnp.max(row))
-                or float(jnp.min(col)) <= 1e-2 * float(jnp.max(col))):
-            healthy = False
-            break
-    if healthy:
-        out = (False, ())
-    else:
+    if hit is not None:
+        return hit[0]
+    vol_shape_t = tuple(vol_shape)
+    S = len(pairs)
+
+    @jax.jit
+    def signed_sums(consts):
+        ones = jnp.ones(vol_shape_t, dtype)
+        out = []
+        for k in range(S):
+            fwd = functools.partial(applies[k], consts[k])
+            row = fwd(ones)
+            _, vjp = jax.vjp(fwd, jnp.zeros(vol_shape_t, dtype))
+            (col,) = vjp(jnp.ones_like(row))
+            out.append((row, col))
+        return out
+
+    sums = signed_sums(tuple(consts))
+    healthy = all(
+        float(jnp.min(row)) > 1e-2 * float(jnp.max(row))
+        and float(jnp.min(col)) > 1e-2 * float(jnp.max(col))
+        for row, col in sums)
+    if not healthy:
         from .ct_spectral import cone_spectral_precond_sums
 
-        out = (True, tuple(
+        sums = [
             cone_spectral_precond_sums(
-                tuple(vol_shape), ang_np[..., k], geom,
+                vol_shape_t, ang_np[..., k], geom,
                 n_det_v=det_shape[0], n_det_u=det_shape[1], dtype=dtype,
                 precision=precision)
-            for k in idx))
+            for k in idx]
+    out = tuple(sums)
     if len(_SART_SUMS_CACHE) >= 8:
         _SART_SUMS_CACHE.pop(next(iter(_SART_SUMS_CACHE)))
-    # pin the pair ids so id() reuse cannot alias a different geometry
-    _SART_SUMS_CACHE[key] = ([id(p[0]) for p in pairs], out, pairs)
+    _SART_SUMS_CACHE[key] = (out, pairs)
     return out
 
 
@@ -1246,6 +1267,16 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
     pairs = [pair_for(ang_np[..., k]) for k in idx]
     full_A, _ = pair_for(ang_np)
 
+    def proto(A):
+        # prepared tables when the eager-table budget allows; else the
+        # lazy closure (correct, but rebuilds tables inside the scan)
+        prep = getattr(A, "prepare", None)
+        return (A.apply, prep()) if prep is not None else \
+            ((lambda _c, x: A(x)), ())
+
+    applies, consts = zip(*(proto(p[0]) for p in pairs))
+    apply_full, consts_full = proto(full_A)
+
     # the SSRB cone operator's slope correction has SIGNED entries: at
     # wide cone angles its signed row sums A_s(1) go small or NEGATIVE
     # on oblique rays (measured: 4.7% negative, 42% below 1e-2*max at
@@ -1257,29 +1288,21 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
     # signed sums are ~3x tighter and converge correspondingly faster),
     # the abs-factor surrogate (the preconditioner's machinery) where
     # they are not.  Cached per geometry so repeated solves skip both
-    # the probes and the surrogate builds.
-    use_surrogate, sums = False, ()
+    # the probe and the surrogate builds; either way the runner
+    # receives the sums as traced args instead of recomputing them.
+    sums = ()
     if isinstance(geom, ConeBeamGeometry):
-        use_surrogate, sums = _sart_cone_sums(
-            pairs, idx, ang_np, vol_shape, det_shape, dtype, precision,
-            geom)
-
-    def proto(A):
-        # prepared tables when the eager-table budget allows; else the
-        # lazy closure (correct, but rebuilds tables inside the scan)
-        prep = getattr(A, "prepare", None)
-        return (A.apply, prep()) if prep is not None else \
-            ((lambda _c, x: A(x)), ())
-
-    applies, consts = zip(*(proto(p[0]) for p in pairs))
-    apply_full, consts_full = proto(full_A)
+        sums = _sart_cone_sums(
+            applies, consts, pairs, idx, ang_np, vol_shape, det_shape,
+            dtype, precision, geom)
+    has_sums = bool(sums)
 
     sino_sub = tuple(jnp.take(sino, jnp.asarray(k), axis=angle_axis)
                      for k in idx)
 
     key = (tuple(id(p[0]) for p in pairs), id(full_A), int(n_iter),
            bool(nonneg), tuple(vol_shape), tuple(sino.shape),
-           jnp.dtype(dtype).name, bool(use_surrogate))
+           jnp.dtype(dtype).name, has_sums)
     hit = _SART_RUNNER_CACHE.get(key)
     run = hit[0] if hit is not None else None
     if run is None:
@@ -1293,7 +1316,7 @@ def _sart_spectral(sino, ang_np, vol_shape, n_iter, n_subsets, relax,
             for k in range(S):
                 fwd = functools.partial(applies[k], consts[k])
                 _, vjp = jax.vjp(fwd, jnp.zeros(vol_shape_t, dtype))
-                if use_surrogate:
+                if has_sums:
                     row, col = sums[k]
                 else:
                     row = fwd(ones_vol)

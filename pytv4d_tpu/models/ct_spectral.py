@@ -653,11 +653,11 @@ def _rebin_mats(grid: "_FanGrid", real_dt):
     # cached value pins the grid via the key tuple.
     key = (id(grid), jnp.dtype(real_dt).name)
     hit = _REBIN_CACHE.get(key)
-    if hit is not None and hit[0] is grid:   # guard against id() reuse
+    if hit is not None:
+        # the cached entry pins the grid, so the id-based key cannot be
+        # reused by a different grid while the entry exists
         _REBIN_CACHE.move_to_end(key)
         return hit[1]
-    if hit is not None:
-        del _REBIN_CACHE[key]                # stale id() collision
     val = _rebin_mats_uncached(grid, real_dt)
     _host_memo(_REBIN_CACHE, key, lambda: (grid, val))
     return val
@@ -1254,6 +1254,9 @@ def radon_cone_spectral(vol, angles, geom, n_det_v: Optional[int] = None,
     growing with ``nu_k * sigma_max * N`` = the ray's z-wander in
     radians) — measured ~10-40x order=1 depending on cone angle; use as
     the accuracy-certification tier, not the iteration workhorse.
+    ``angle_chunk`` and the ``prepare()/apply`` table protocol apply to
+    orders 0/1 only (the z-DFT tier builds its per-node tables in-trace
+    inside its own memoized jitted runner).
     """
     vol = jnp.asarray(vol)
     if vol.ndim != 4 or vol.shape[-2] != vol.shape[-1]:

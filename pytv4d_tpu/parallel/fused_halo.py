@@ -131,7 +131,6 @@ def _sparse_channel_halo(y, axis, axis_name, n, chans, want_axis):
         shape[axis] = 1
         return jnp.zeros(tuple(shape), y.dtype)
 
-    nd = y.ndim
     lo_f, hi_f = _kind_range(chans, want_axis, ("fwd", "ctr"))
     lo_b, hi_b = _kind_range(chans, want_axis, ("bwd", "ctr"))
     dead = axis_name is None or n == 1
@@ -323,7 +322,8 @@ def make_sharded_cp_solver_fused(
                                                y_D_int, dt_l, l21, tm)
             # same pattern for pass B: the y' exchange overlaps with the
             # interior primal update; only the z-differentiating channels
-            # cross z edges (VERDICT r4 item 8 — 134 -> 34 MB at the
+            # cross z edges, and only toward the side whose D^T stencil
+            # reads them (VERDICT r4 item 8 — y halo 134 -> 17 MB at the
             # north star), re-embedded in zero slots for the kernel
             y_halo = _sparse_channel_halo(y_D_int, 0, z_name, ctx.nz,
                                           chans, AXIS_Z)

@@ -396,6 +396,10 @@ def cp_inverse(
             "can_fuse: f32/bf16 volumes, scalar steps, concrete reg)"
         )
 
+    if precond_sums is not None and not precond:
+        raise ValueError("precond_sums requires precond=True")
+    if precond_scale != 1.0 and not precond:
+        raise ValueError("precond_scale requires precond=True")
     init = x0 if state is None else InverseState(*state)
     fw = jnp.asarray(fidelity_weight, dtype)
     # heavy-operator protocol (_operator_proto): precompute the operator's
@@ -421,8 +425,6 @@ def cp_inverse(
             s_x, s_xb)
         return InverseResult(x=final.x, loss=losses, state=final)
 
-    if precond_sums is not None and not precond:
-        raise ValueError("precond_sums requires precond=True")
     run = _make_inverse_run(
         A, A_T, tuple(vol_shape), cfg, bool(precond), fidelity,
         bool(nonneg), int(n_iter), jnp.dtype(dtype).name, Nd,

@@ -157,3 +157,16 @@ def test_loss_every_samples_chunk_ends(data, fused):
     with pytest.raises(ValueError, match="loss_every"):
         cp_inverse(_blur, data, SHAPE, n_iter=8, reg=0.05, op_norm=1.0,
                    loss_every=3)
+
+
+def test_precond_sums_require_precond(data):
+    """precond_sums/precond_scale without precond=True must raise on
+    EVERY path — including when the fused kernels auto-select (the guard
+    used to sit after the fused early-return, silently dropping the
+    caller's surrogate sums)."""
+    with pytest.raises(ValueError, match="precond_sums requires"):
+        cp_inverse(_blur, data, SHAPE, n_iter=2, reg=0.05, op_norm=1.0,
+                   precond_sums=(data, data))
+    with pytest.raises(ValueError, match="precond_scale requires"):
+        cp_inverse(_blur, data, SHAPE, n_iter=2, reg=0.05, op_norm=1.0,
+                   precond_scale=1.5)
