@@ -778,12 +778,18 @@ def test_sart_cone_geometries_reconstruct_and_warm_start():
                           x_init=res.x, **kw)
     assert _rel(np.asarray(warm.x), vol) < _rel(np.asarray(cold.x), vol)
 
-    # fan geometry leg
+    # fan geometry legs: spectral AND gather
     fgeom = FanBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
     fsino = radon_fan_spectral(jnp.asarray(vol), angles, fgeom)
     fres = sart(fsino, angles, vol.shape, n_iter=8, n_subsets=4,
                 method="spectral", geom=fgeom)
     assert float(fres.residual[-1]) < 0.5 * float(fres.residual[0])
+    from pytv4d_tpu.models.ct import radon_fan
+
+    fsino_g = radon_fan(jnp.asarray(vol), jnp.asarray(angles), fgeom)
+    fres_g = sart(fsino_g, angles, vol.shape, n_iter=8, n_subsets=4,
+                  method="gather", geom=fgeom)
+    assert float(fres_g.residual[-1]) < 0.5 * float(fres_g.residual[0])
     with pytest.raises(ValueError, match="unknown geometry"):
         sart(fsino, angles, vol.shape, geom=object())
 
@@ -1238,6 +1244,31 @@ def _cone_blob_vol(blobs, Nz, N, M=1):
         vol[:, 0] += amp * np.exp(-(((z - z0) ** 2 + (r - rr * N) ** 2
                                      + (c - cc * N) ** 2) / s ** 2))
     return vol
+
+
+@pytest.mark.full
+def test_cone_zdft_solver_consistency():
+    """order=2 as the reconstruction operator: the exact-adjoint pair
+    must drive cp_inverse to recover its own data (solver consistency),
+    like every other tier."""
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct import estimate_op_norm
+    from pytv4d_tpu.models.ct_spectral import make_cone_spectral_projector
+    from pytv4d_tpu.solvers.inverse import cp_inverse
+
+    Nz, M, N, A = 6, 1, 32, 16
+    vol = np.asarray(_fdk_smooth_phantom(Nz, M, N), np.float32)
+    ang = np.linspace(0, 2 * np.pi, A, endpoint=False)
+    from pytv4d_tpu.models.ct import ConeBeamGeometry
+
+    geom = ConeBeamGeometry(source_dist=2.0 * N, det_dist=0.5 * N)
+    Ax, ATx = make_cone_spectral_projector(vol.shape, ang, geom, order=2)
+    sino = Ax(jnp.asarray(vol))
+    on = float(estimate_op_norm(Ax, ATx, vol.shape))
+    res = cp_inverse(Ax, sino, vol.shape, A_T=ATx, n_iter=150, reg=0.02,
+                     cfg=TVConfig(scheme="hybrid"), op_norm=on)
+    assert _rel(np.asarray(res.x), vol) < 0.12
+    assert float(res.loss[-1]) < float(res.loss[0])
 
 
 @pytest.mark.full
