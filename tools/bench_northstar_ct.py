@@ -1,0 +1,115 @@
+"""North-star-scale CT: TV-regularized parallel-beam reconstruction of
+the FULL (96,16,512,512) ~403M-voxel dynamic volume from 96 views on ONE
+v5e — the problem class the reference library was built for, at a scale
+its own numpy operators cannot hold (f64 D_img alone is 138 GB).
+
+Memory recipe: spectral projector with ``z_chunk`` streaming (the padded
+spectrum alone would be ~6.5 GB), ``dual_dtype='bfloat16'``,
+``loss_every=n_iter``.  Prints one JSON line.
+"""
+import json
+import sys
+import time
+
+import numpy as np
+
+sys.path.insert(0, "/root/repo")
+
+import jax  # noqa: E402
+import jax.numpy as jnp  # noqa: E402
+
+VOL_SHAPE = (96, 16, 512, 512)
+N_ANGLES = 96
+
+
+def log(*a):
+    print(*a, file=sys.stderr, flush=True)
+
+
+def main():
+    n_iter = int(sys.argv[1]) if len(sys.argv) > 1 else 40
+    from pytv4d_tpu.core.config import TVConfig
+    from pytv4d_tpu.models.ct_spectral import make_spectral_projector
+    from pytv4d_tpu.solvers.inverse import cp_inverse
+
+    import functools
+
+    ang = np.linspace(0.0, np.pi, N_ANGLES, endpoint=False)
+    A, A_T = make_spectral_projector(VOL_SHAPE, ang, dtype=jnp.float32,
+                                     z_chunk=8)
+    rng = np.random.default_rng(0)
+    vol = jnp.asarray(rng.random(VOL_SHAPE, dtype=np.float32))
+    t0 = time.time()
+    # synthesize through the prepared tables (the lazy closure rebuilds
+    # ~400 MB of NUDFT tables in-trace — wasteful at this scale)
+    consts = A.prepare()
+    jax.block_until_ready(consts)
+    log(f"tables prepared in {time.time()-t0:.0f}s")
+    t0 = time.time()
+    # consts must be a jit ARGUMENT — closure-capturing them embeds
+    # ~800 MB of tables as HLO constants and the remote compile dies
+    # with HTTP 413 (the documented payload trap, reproduced here)
+    fwd = jax.jit(A.apply)
+    sino = fwd(consts, vol)
+    float(jnp.sum(sino))
+    log(f"forward {tuple(sino.shape)} in {time.time()-t0:.0f}s")
+    del vol
+    t0 = time.time()
+
+    @jax.jit
+    def opnorm(consts, v0):
+        def fwd_fn(x):
+            return A.apply(consts, x)
+
+        _, vjp = jax.vjp(fwd_fn, jnp.zeros(VOL_SHAPE, jnp.float32))
+
+        def body(x, _):
+            (bp,) = vjp(fwd_fn(x))
+            n = jnp.sqrt(jnp.sum(jnp.square(bp)))
+            return bp / jnp.maximum(n, 1e-30), n
+
+        v0 = v0 / jnp.sqrt(jnp.sum(jnp.square(v0)))
+        _, ns = jax.lax.scan(body, v0, length=12)
+        return jnp.sqrt(ns[-1])
+
+    on = float(opnorm(consts, jnp.asarray(
+        rng.standard_normal(VOL_SHAPE), jnp.float32)))
+    log(f"op norm {on:.1f} in {time.time()-t0:.0f}s")
+
+    cfg = TVConfig(scheme="hybrid", reg_time=0.5)
+    # bf16 PRIMARY storage (the north-star denoise recipe): the f32
+    # solve state (x + x_bar 3.2 GB, Nd=8 bf16 dual 6.4 GB, carried
+    # projections, tables, chunk intermediates) exhausts the 16 GB HBM
+    sino16 = sino.astype(jnp.bfloat16)
+    # release the f32 pair's prepared tables (~0.8 GB; A's prepare()
+    # memoizes them, so the PAIR must go too) and the f32 sinogram
+    # before the solve allocates its ~10 GB state
+    del consts, sino, fwd, A, A_T
+    A16, A16_T = make_spectral_projector(VOL_SHAPE, ang,
+                                         dtype=jnp.bfloat16, z_chunk=4)
+
+    def run():
+        res = cp_inverse(A16, sino16, VOL_SHAPE, A_T=A16_T,
+                         n_iter=n_iter, reg=0.5, cfg=cfg, op_norm=on,
+                         dual_dtype="bfloat16", loss_every=n_iter)
+        return float(jnp.sum(res.x.astype(jnp.float32)))
+
+    t0 = time.time()
+    run()
+    log(f"first solve (compile) {time.time()-t0:.0f}s")
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.time()
+        run()
+        best = min(best, time.time() - t0)
+    print(json.dumps({
+        "metric": "north_star_ct_recon",
+        "vol_shape": list(VOL_SHAPE), "n_angles": N_ANGLES,
+        "it_per_s": round(n_iter / best, 2),
+        "gvox_it_per_s": round(float(np.prod(VOL_SHAPE)) * n_iter / best
+                               / 1e9, 2),
+    }))
+
+
+if __name__ == "__main__":
+    main()
