@@ -18,7 +18,8 @@ sys.path.insert(0, "/root/repo")
 import jax  # noqa: E402
 import jax.numpy as jnp  # noqa: E402
 
-VOL_SHAPE = (96, 16, 512, 512)
+import os as _os
+VOL_SHAPE = tuple(int(v) for v in _os.environ.get("NS_SHAPE", "96,16,512,512").split(","))
 N_ANGLES = 96
 
 
