@@ -501,8 +501,11 @@ def _chunk_over_z(A, vol_shape, z_chunk: int, dtype):
     axis of the parallel geometry, so values are IDENTICAL — only the
     peak memory of the spectral intermediates drops (the padded spectrum
     ``Fs`` alone is ~6.5 GB f32 at the (96,16,512,512) north star; at
-    ``z_chunk=16`` it is ~1.1 GB, which is what lets the full 403M-voxel
-    CT solve fit one v5e's HBM next to the solver state).  The
+    ``z_chunk=8`` it is ~0.5 GB).  Measured single-chip CT envelope with
+    this streaming (round 5, tools/bench_northstar_ct.py): solves up to
+    (64,16,512,512) = 268M voxels fit and run at ~1.8 Gvox-it/s; the
+    403M north star's SOLVE state (bf16 primal pair + Nd=8 dual + tables)
+    still exceeds one v5e's HBM — shard over z/t for that.  The
     ``prepare()/apply`` protocol is preserved (tables are z-independent)."""
     Nz = vol_shape[0]
     if Nz % z_chunk:
