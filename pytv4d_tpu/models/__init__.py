@@ -17,6 +17,8 @@ from .ct import (
     tgv_reconstruct,
 )
 from .ct_spectral import (
+    cone_spectral_precond_sums,
+    fdk_spectral,
     make_cone_spectral_projector,
     make_fan_spectral_projector,
     make_spectral_projector,
