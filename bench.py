@@ -392,6 +392,11 @@ def main():
 
         cone = bench_ct_cone()
         extras["ct_cone_recon_it_s"] = round(cone["cone_recon_it_per_s"], 1)
+        if "cone_fdk_s" in cone:       # round-5: gather-free P-FDK
+            extras["ct_cone_fdk_s"] = round(cone["cone_fdk_s"], 3)
+        if "cone_sart_epochs_per_s" in cone:  # round-5: cone OS-SART
+            extras["ct_cone_sart_epochs_s"] = round(
+                cone["cone_sart_epochs_per_s"], 2)
     except Exception as e:
         log(f"CT cone bench skipped: {e!r}")
 
