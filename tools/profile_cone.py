@@ -75,15 +75,25 @@ def main():
                 p2d, [ti, si], order=1, mode="constant", cval=0.0)
         return jax.vmap(jax.vmap(one))(dense)
 
+    # tables ride as jit ARGUMENTS — closure-capturing ~400 MB of
+    # tables embeds them as HLO constants and the remote compile dies
+    # with HTTP 413 (the payload trap)
     @jax.jit
-    def radon_scan(x0):
+    def radon_scan(x0, tables):
+        def dense_radon_t(v):
+            d = cs._radon_spectral_shared(v, cc["thetas"], cc["n_s"], None,
+                                          det_spacing=cc["ds"],
+                                          tables=tables,
+                                          precision=precision)
+            return cs._fold_pad(d, cc["pad"])
+
         def body(c, _):
-            d = dense_radon(c)
+            d = dense_radon_t(c)
             return c * (1.0 + 1e-12 * jnp.mean(d)), None
         out, _ = jax.lax.scan(body, x0, length=N_SCAN)
         return jnp.sum(out)
 
-    dense0 = dense_radon(stacked)
+    dense0 = jax.jit(lambda v, t: cs._fold_pad(cs._radon_spectral_shared(v, cc['thetas'], cc['n_s'], None, det_spacing=cc['ds'], tables=t, precision=precision), cc['pad']))(stacked, tables)
 
     @jax.jit
     def resample_scan(s0, dense):
@@ -95,7 +105,7 @@ def main():
 
     res = {"precision": precision,
            "dense_shape": list(map(int, dense0.shape))}
-    t = _timed(radon_scan, stacked) / N_SCAN * 1e3
+    t = _timed(radon_scan, stacked, tables) / N_SCAN * 1e3
     res["dense_radon_ms"] = round(t, 3)
     log(f"dense radon (3x batch): {t:.2f} ms")
     z = jnp.asarray(0.0, jnp.float32)
